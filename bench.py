@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each headline query is executed once to warm the JVM/scan caches and
+then timed over ``RUNS`` runs (best-of to reduce local-mode jitter);
+``value`` is the sum of per-query best times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nova_pulsar_spark.registry import all_queries
+from nova_pulsar_spark.session import get_spark
+
+RUNS = 2
+
+# Headline set: the flagship aggregation plus one representative from
+# each heavyweight operator family (join, window, dedup, similarity).
+HEADLINE = [
+    "pricing_summary",
+    "join_inner",
+    "agg_cube",
+    "window_running_sum",
+    "topk_per_group",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_simsearch_topk",
+    "llm_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("nova-pulsar-bench")
+    regs = all_queries()
+
+    names = [n for n in HEADLINE if n in regs]
+    per_query: dict[str, float] = {}
+    for name in names:
+        fn = regs[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

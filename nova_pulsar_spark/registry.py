@@ -1,0 +1,83 @@
+"""Central query registry — the bridge to ``__spark_entry__.py``.
+
+Every operator module registers its judge-checkable queries here with
+an optional DuckDB oracle SQL string. The driver contract then simply
+re-exports :func:`queries` and :func:`oracle_sql`.
+
+Registration contract (mirrors the driver's correctness gate):
+- the Spark callable takes ``(spark, sf_dir)`` and returns a
+  DataFrame;
+- the oracle SQL must be runnable by DuckDB against the same parquet
+  tables (pre-registered views ``region nation customer supplier part
+  orders lineitem events documents embeddings``);
+- column names must match exactly between the two (the driver sorts
+  columns by name before value-hashing), so both sides alias every
+  computed column;
+- ops that are genuinely non-SQL-expressible register with
+  ``sql=None`` and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle SQL; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, sql: str | None = None, doc: str = ""):
+    """Decorator: register ``fn`` as the Spark side of query ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every operator module for its registration side effects."""
+    # Imports are deferred so `import nova_pulsar_spark` stays cheap.
+    from nova_pulsar_spark.operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        setops,
+        similarity,
+        textstats,
+        topk,
+        windows,
+    )
+    from nova_pulsar_spark.functions import scalar  # noqa: F401
+    from nova_pulsar_spark.plans import queue_queries  # noqa: F401
+    from nova_pulsar_spark.streaming import stream_queries  # noqa: F401
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    _load_all_modules()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: rq.fn for name, rq in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: rq.sql for name, rq in all_queries().items() if rq.sql is not None}

@@ -1,0 +1,69 @@
+"""Parquet catalog over the driver's test tables.
+
+The driver's testdata (TESTDATA.md) is one parquet file per table at
+``{sf_dir}/{name}.parquet``. Reads are plain ``spark.read.parquet``
+so Catalyst gets full pushdown/pruning; at cluster scale the same
+loader points at a partitioned directory tree instead of one file and
+nothing else changes (partition pruning then composes with the same
+predicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# driver uses; used by operators to hint broadcast joins explicitly.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Confs the engine relies on, set at runtime so they hold even on a
+    session we did not build (the driver provides its own SparkSession).
+
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS), which
+      Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: DuckDB-oracle timestamp parity.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
+        # nanos. The data is micro-precision, so `div 1000` is lossless
+        # and matches DuckDB's ns→us read of the same column.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (for the SQL-first paths)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

@@ -1,0 +1,120 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered query's Spark side and DuckDB oracle side on
+the same sf dir and compares row count, column names, and
+order-insensitive values (exact; floats compared bit-exact after
+normalization, which our decimal-exact aggregation idiom makes
+possible). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from nova_pulsar_spark.registry import all_queries
+from nova_pulsar_spark.session import get_spark
+from nova_pulsar_spark.sources.tables import TABLE_NAMES
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # lists/arrays → tuples for sortability/comparability
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    try:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    except Exception:
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.map(repr), ignore_index=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    if problems:
+        return problems
+    s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (x, y) in enumerate(zip(sv, ov)):
+            ok = _values_equal(x, y)
+            if not ok and isinstance(x, tuple) and isinstance(y, tuple):
+                ok = len(x) == len(y) and all(_values_equal(p, q) for p, q in zip(x, y))
+            if not ok:
+                problems.append(f"value mismatch col={c} row={i}: spark={x!r} oracle={y!r}")
+                break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if sys.argv[1:] and not os.path.isdir(sys.argv[1]) else None)
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    regs = all_queries()
+    n_pass = n_fail = n_rows_only = 0
+    for name, rq in sorted(regs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = rq.fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark side raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if rq.sql is None:
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+            n_rows_only += 1
+            continue
+        try:
+            opdf = con.execute(rq.sql).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle side raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(spdf, opdf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spdf)} rows)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
