@@ -1,1 +1,406 @@
-"""Filled in incrementally."""
+"""Scalar-function surface: JSON, regex, string, path, timestamp,
+conditional/null, math, array, map (SURVEY.md §2.8 F1-F15).
+
+Reference parity: these reproduce, over the analytic tables, exactly
+what the reference's bash layer does with jq/sed/grep/date/cut —
+JSON extraction with defaults (`hooks/status-tracker.sh:56,140`),
+JSON construction (`hooks/status-tracker.sh:158-182`), regex
+extract/replace (`scripts/starry-daemon.sh:154`,
+`hooks/status-tracker.sh:33`), `cut -d: -f1` splits
+(`scripts/starry-daemon.sh:130-131`), basename/dirname path ops
+(`scripts/resolve-namespace.sh:38`), ISO-timestamp formatting and
+epoch math (`hooks/status-tracker.sh:153`, `commands/pulse.md:88`),
+plan-ID generation (`commands/nova.md:269`), jq-style null defaults
+(`hooks/status-tracker.sh:175`).
+
+All are built-in `pyspark.sql.functions` — JVM-side, codegen'd, no
+Python in the row path; at 100 TB these run inside whole-stage
+codegen at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+
+@register(
+    "fn_json_extract",
+    sql="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+      COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_with_default
+    FROM events
+    """,
+    doc="F1: JSON field extraction with jq-style `// default` semantics",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("bigint"), F.lit(-1)
+        ).alias("missing_with_default"),
+    )
+
+
+@register(
+    "fn_json_build",
+    sql="""
+    SELECT
+      event_id,
+      '{"task_id":"' || 'phase-' || CAST(user_id AS VARCHAR) || '-' || event_type ||
+      '","tool_count":' || CAST(event_id % 50 AS VARCHAR) || '}' AS status_json
+    FROM events
+    """,
+    doc="F2: JSON construction (status-record build, jq -n shape)",
+)
+def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine-native form is to_json(struct(...)); for byte-parity
+    # with the oracle we assemble the canonical string explicitly —
+    # same output, and still fully codegen'd.
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"task_id":"phase-'),
+            F.col("user_id").cast("string"),
+            F.lit("-"),
+            F.col("event_type"),
+            F.lit('","tool_count":'),
+            (F.col("event_id") % 50).cast("string"),
+            F.lit("}"),
+        ).alias("status_json"),
+    )
+
+
+@register(
+    "fn_regex_extract",
+    sql="""
+    SELECT
+      doc_id,
+      regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_prefix,
+      CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num,
+      regexp_extract(text, '^(\\w+)', 1) AS first_word
+    FROM documents
+    """,
+    doc="F4: regex group extraction (plan-id / thread-id patterns)",
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 1).alias("src_prefix"),
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).cast("bigint").alias("src_num"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regex_replace",
+    sql="""
+    SELECT
+      doc_id,
+      regexp_replace(source, '[0-9]+', '#', 'g') AS src_masked,
+      regexp_replace(substr(text, 1, 50), '\\s+', '_', 'g') AS head_snake
+    FROM documents
+    """,
+    doc="F5: global regex substitution (sed s/// shape)",
+)
+def fn_regex_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("source", "[0-9]+", "#").alias("src_masked"),
+        F.regexp_replace(F.substring("text", 1, 50), r"\s+", "_").alias("head_snake"),
+    )
+
+
+@register(
+    "fn_split_part",
+    sql="""
+    SELECT
+      event_id,
+      string_split(event_type || ':' || CAST(user_id AS VARCHAR), ':')[1] AS kind,
+      string_split(event_type || ':' || CAST(user_id AS VARCHAR), ':')[2] AS who,
+      len(string_split(text, ' ')) AS n_tokens
+    FROM events JOIN documents ON events.event_id % 500 = documents.doc_id
+    """,
+    doc="F6: delimiter split + field access (cut -d: -f1/-f2 shape)",
+)
+def fn_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    joined = e.join(d, e.event_id % 500 == d.doc_id)
+    composite = F.concat(F.col("event_type"), F.lit(":"), F.col("user_id").cast("string"))
+    return joined.select(
+        "event_id",
+        F.element_at(F.split(composite, ":"), 1).alias("kind"),
+        F.element_at(F.split(composite, ":"), 2).alias("who"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "fn_path_ops",
+    sql="""
+    SELECT
+      doc_id,
+      '/comms/plans/' || source || '/queued/background/plan-' || CAST(doc_id AS VARCHAR) || '.md' AS path,
+      regexp_extract('/comms/plans/' || source || '/queued/background/plan-' || CAST(doc_id AS VARCHAR) || '.md',
+                     '([^/]+)$', 1) AS base_name,
+      regexp_replace(regexp_extract('/comms/plans/' || source || '/queued/background/plan-' || CAST(doc_id AS VARCHAR) || '.md',
+                     '([^/]+)$', 1), '\\.md$', '', 'g') AS plan_id,
+      regexp_extract('/comms/plans/' || source || '/queued/background/plan-' || CAST(doc_id AS VARCHAR) || '.md',
+                     '^(.*)/[^/]+$', 1) AS dir_name
+    FROM documents
+    """,
+    doc="F7: basename/dirname/strip-extension (S1/P8 plan-id-from-filename)",
+)
+def fn_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/comms/plans/"),
+        F.col("source"),
+        F.lit("/queued/background/plan-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".md"),
+    )
+    base = F.regexp_extract(path, r"([^/]+)$", 1)
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        base.alias("base_name"),
+        F.regexp_replace(base, r"\.md$", "").alias("plan_id"),
+        F.regexp_extract(path, r"^(.*)/[^/]+$", 1).alias("dir_name"),
+    )
+
+
+@register(
+    "fn_ts_format",
+    sql="""
+    SELECT
+      event_id,
+      strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_utc,
+      strftime(ts, '%Y-%m-%d') AS day_str,
+      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+      CAST(EXTRACT(dow FROM ts) AS BIGINT) AS day_of_week
+    FROM events
+    """,
+    doc="F8: ISO-8601 formatting + parts (date -u +%Y-%m-%dT%H:%M:%SZ shape)",
+)
+def fn_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_utc"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1 → align.
+        (F.dayofweek("ts") - 1).cast("bigint").alias("day_of_week"),
+    )
+
+
+@register(
+    "fn_ts_diff",
+    sql="""
+    SELECT
+      event_id, user_id, ts,
+      CAST(EPOCH_US(ts) AS BIGINT) AS epoch_us,
+      CAST((EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01 00:00:00')) // 60000000 AS BIGINT) AS minutes_since_start,
+      CASE WHEN EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01 00:00:00') > 600000000
+           THEN 'stale' ELSE 'fresh' END AS freshness
+    FROM events
+    """,
+    doc="F9: epoch math, age thresholds (stall/freshness windows W1/P7)",
+)
+def fn_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    start = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    age_us = F.unix_micros(F.col("ts")) - F.unix_micros(start)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("epoch_us"),
+        F.floor(age_us / 60_000_000).cast("bigint").alias("minutes_since_start"),
+        F.when(age_us > 600_000_000, "stale").otherwise("fresh").alias("freshness"),
+    )
+
+
+@register(
+    "fn_id_gen",
+    sql="""
+    SELECT
+      event_id,
+      'plan-' || strftime(ts, '%Y%m%d-%H%M') AS plan_id,
+      'phase-' || CAST(event_id % 6 AS VARCHAR) || '-plan-' || strftime(ts, '%Y%m%d-%H%M') AS task_id
+    FROM events
+    """,
+    doc="F10: deterministic ID generation (plan-{YYYYMMDD}-{HHMM})",
+)
+def fn_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    plan_id = F.concat(F.lit("plan-"), F.date_format("ts", "yyyyMMdd-HHmm"))
+    return e.select(
+        "event_id",
+        plan_id.alias("plan_id"),
+        F.concat(
+            F.lit("phase-"), (F.col("event_id") % 6).cast("string"), F.lit("-"), plan_id
+        ).alias("task_id"),
+    )
+
+
+@register(
+    "fn_cond_null",
+    sql="""
+    SELECT
+      event_id,
+      NULLIF(event_type, 'view') AS type_or_null,
+      COALESCE(NULLIF(event_type, 'view'), 'default') AS type_with_default,
+      CASE WHEN value IS NULL THEN 'missing'
+           WHEN value < 10.0 THEN 'low'
+           ELSE 'high' END AS value_class
+    FROM events
+    """,
+    doc="F11: nullif/coalesce/case chains (jq `//` and bash ${VAR:-x})",
+)
+def fn_cond_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    type_or_null = F.nullif(F.col("event_type"), F.lit("view"))
+    return e.select(
+        "event_id",
+        type_or_null.alias("type_or_null"),
+        F.coalesce(type_or_null, F.lit("default")).alias("type_with_default"),
+        F.when(F.col("value").isNull(), "missing")
+        .when(F.col("value") < 10.0, "low")
+        .otherwise("high")
+        .alias("value_class"),
+    )
+
+
+@register(
+    "fn_math",
+    sql="""
+    SELECT
+      event_id,
+      CAST(FLOOR(value) AS BIGINT) AS v_floor,
+      CAST(CEIL(value) AS BIGINT) AS v_ceil,
+      ABS(value - 100.0) AS v_absdiff,
+      CAST(event_id % 7 AS BIGINT) AS v_mod,
+      SQRT(value) AS v_sqrt,
+      CAST(value * value AS DOUBLE) AS v_sq,
+      CAST(100 * event_id // 999 AS BIGINT) AS pct_progress
+    FROM events
+    """,
+    doc="F12: arithmetic (counter += 1, interval/60, 100*done/total shapes)",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sqrt is IEEE-exact (correctly rounded) in both engines; we avoid
+    # transcendentals (pow/ln/exp) in oracle-checked paths since libm
+    # implementations may differ in the last ulp.
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.floor("value").cast("bigint").alias("v_floor"),
+        F.ceil("value").cast("bigint").alias("v_ceil"),
+        F.abs(F.col("value") - 100.0).alias("v_absdiff"),
+        (F.col("event_id") % 7).cast("bigint").alias("v_mod"),
+        F.sqrt("value").alias("v_sqrt"),
+        (F.col("value") * F.col("value")).cast("double").alias("v_sq"),
+        F.floor(100 * F.col("event_id") / 999).cast("bigint").alias("pct_progress"),
+    )
+
+
+@register(
+    "fn_array_ops",
+    sql="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS n_words,
+      string_split(text, ' ')[1] AS first_word,
+      string_split(text, ' ')[-1] AS last_word,
+      CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN TRUE ELSE FALSE END AS mentions_spark,
+      list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))) AS head_vocab
+    FROM documents
+    """,
+    doc="F13: array size/index/contains/distinct-sort (phase Files lists)",
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "spark").alias("mentions_spark"),
+        F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 60), " "))).alias("head_vocab"),
+    )
+
+
+@register(
+    "fn_map_lookup",
+    sql="""
+    SELECT
+      event_id, event_type,
+      CASE event_type
+        WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        WHEN 'click' THEN 4 ELSE 5 END AS priority,
+      CASE event_type
+        WHEN 'error' THEN 'x' WHEN 'purchase' THEN 'v' ELSE 'o' END AS icon
+    FROM events
+    """,
+    doc="F14: map-literal lookup (type→priority P9, status→icon P11)",
+)
+def fn_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # create_map literal + element_at — the engine-native rendition of
+    # the reference's type→priority table (agents/orbiter.md:71-77).
+    prio_map = F.create_map(
+        F.lit("error"), F.lit(1), F.lit("purchase"), F.lit(2), F.lit("signup"), F.lit(3), F.lit("click"), F.lit(4)
+    )
+    icon_map = F.create_map(F.lit("error"), F.lit("x"), F.lit("purchase"), F.lit("v"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.element_at(prio_map, F.col("event_type")), F.lit(5)).cast("int").alias("priority"),
+        F.coalesce(F.element_at(icon_map, F.col("event_type")), F.lit("o")).alias("icon"),
+    )
+
+
+@register(
+    "fn_string_ops",
+    sql="""
+    SELECT
+      doc_id,
+      upper(lang) AS lang_uc,
+      trim('  ' || source || '  ') AS src_trim,
+      lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+      substr(text, 1, 20) AS head,
+      length(text) AS n_chars_computed,
+      concat_ws('|', lang, source) AS lang_src,
+      CASE WHEN text LIKE '%vector%' THEN TRUE ELSE FALSE END AS has_vector,
+      CAST(strpos(text, 'data') AS BIGINT) AS data_pos
+    FROM documents
+    """,
+    doc="F15: case/trim/pad/substr/concat/like/instr",
+)
+def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.trim(F.concat(F.lit("  "), F.col("source"), F.lit("  "))).alias("src_trim"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.substring("text", 1, 20).alias("head"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.col("text").like("%vector%").alias("has_vector"),
+        F.instr(F.col("text"), "data").cast("bigint").alias("data_pos"),
+    )

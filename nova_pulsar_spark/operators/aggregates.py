@@ -1,1 +1,261 @@
-"""Filled in incrementally."""
+"""Aggregation surface: grouped/conditional/distinct aggs, rollup/cube/
+grouping sets, exact moments, approximate distinct.
+
+Reference parity: the reference's aggregations are counts and rollups
+over small JSON sets — queued-plan counts
+(`scripts/starry-daemon.sh:106-115`), conditional state counts
+(`hooks/session-start.sh:86-88`), the pulse nested rollup
+(`agents/orbiter.md:198-242`), progress percentages
+(`commands/pulsar-status.md:81-87`). Queue-domain renditions live in
+:mod:`nova_pulsar_spark.plans.queue_queries`; this module ships the
+general aggregation family (SURVEY.md §2.4 extensions) on the
+analytic tables.
+
+Scale notes: all aggregates here are hash aggregates with map-side
+partial aggregation — the shuffle carries #partitions × #groups
+partial rows, not the input. Exact variance is computed from
+decimal-exact sum/sumsq (associative, order-insensitive) rather than
+streaming moments, so results are reproducible across any partition
+count — the property the oracle hash needs, and the property that
+makes re-runs at 1000 executors byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+
+@register(
+    "agg_conditional",
+    sql="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS n_large,
+      CAST(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / COUNT(*) AS DOUBLE) AS pct_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional counts + percent (reference A2/A4 progress shape)",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n_finished = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        n_finished.alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 300000.0, 1).otherwise(0)).alias("n_large"),
+        (F.lit(100.0) * n_finished / F.count(F.lit(1))).cast("double").alias("pct_finished"),
+    )
+
+
+@register(
+    "agg_distinct",
+    sql="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(DISTINCT l_partkey)  AS n_parts,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregation (expand+two-phase in Spark)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_rollup",
+    sql="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical rollup (subtotals + grand total)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    sql="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Full cube over two dimensions",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    sql="""
+    SELECT
+      o_orderstatus, o_orderpriority,
+      GROUPING(o_orderstatus) AS g_status,
+      GROUPING(o_orderpriority) AS g_prio,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit grouping sets with GROUPING() indicators",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("np_orders_gs")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM np_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_stats_exact",
+    sql="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(MIN(value) AS DOUBLE) AS min_v,
+      CAST(MAX(value) AS DOUBLE) AS max_v,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+      (CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE)
+        - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1) AS var_v
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact moments from decimal sums (order-insensitive variance)",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    dec_sumsq = F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return e.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+        dec_sum.alias("sum_v"),
+        (dec_sum / n).alias("mean_v"),
+        ((dec_sumsq - dec_sum * dec_sum / n) / (n - F.lit(1))).alias("var_v"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    sql="""
+    SELECT
+      o_orderpriority,
+      MIN(o_orderdate) AS first_order,
+      MAX(o_orderdate) AS last_order,
+      ARG_MAX(o_orderkey, o_totalprice) AS top_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="min/max timestamps + argmax (max_by)",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    sql=None,  # HLL implementations differ across engines → rows-only check;
+    # exactness is covered by agg_distinct.
+    doc="approx_count_distinct (HLL) per group — scale path for 100 TB distincts",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    sql="""
+    SELECT
+      n_regionkey,
+      LIST(n_name ORDER BY n_name) AS nations,
+      COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="collect_list into a deterministic sorted array (pulse-rollup A3 shape)",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    # sort_array makes collect_list deterministic under any partitioning —
+    # the same trick the pulse rollup uses for nested phase arrays.
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_pivot",
+    sql="""
+    SELECT
+      l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot status → columns",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

@@ -1,1 +1,106 @@
-"""Filled in incrementally."""
+"""Sort / limit / top-k surface.
+
+Reference parity: best-plan top-1 selection (`agents/orbiter.md:85-89`
+— sort by priority then created, take first), latest-queued default
+(`commands/pulsar.md:99-101`), bounded listings (head -5). The
+queue-domain renditions live in
+:mod:`nova_pulsar_spark.plans.queue_queries`; here is the general
+family (SURVEY.md §2.5) with deterministic tie-breaks — a LIMIT
+without a total order is nondeterministic in any engine, so every
+top-k orders by a unique key suffix.
+
+Scale notes: global top-k in Spark is TakeOrderedAndProject — each
+partition keeps k rows, the driver merges #partitions × k, no global
+sort. Per-group top-k is a rank-filter window, shuffling once on the
+group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+
+@register(
+    "topk_global",
+    sql="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-10 (TakeOrderedAndProject — no full sort)",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "topk_per_group",
+    sql="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn <= 3
+    """,
+    doc="Top-3 per group via rank filter (O1 per-project variant)",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@register(
+    "topk_latest",
+    sql="""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 5
+    """,
+    doc="Most-recent-N (O2 latest-queued-plan shape)",
+)
+def topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("ts").desc(), "event_id")
+        .limit(5)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@register(
+    "topk_best_per_key_argmax",
+    sql="""
+    SELECT user_id,
+           ARG_MAX(event_id, value) AS best_event,
+           CAST(MAX(value) AS DOUBLE) AS best_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Top-1 per key as argmax — cheaper than a window when k=1",
+)
+def topk_best_per_key_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k=1 top-k degenerates to max_by: a hash aggregate (one shuffle,
+    # map-side combinable) instead of a sort window — the plan we'd
+    # want at 100 TB for O1-style "best plan per project".
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "value").alias("best_event"),
+        F.max("value").cast("double").alias("best_value"),
+    )

@@ -32,8 +32,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            # lists/arrays → tuples for sortability/comparability
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            # lists/arrays (incl. numpy arrays from DuckDB LIST cols)
+            # → tuples for sortability/comparability
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
     try:
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     except Exception:
