@@ -1,0 +1,74 @@
+"""Behavioral assertions for the queue-domain semantics (SURVEY.md §2.9,
+FIXTURES.md §B scenarios) — beyond oracle equality, these pin the
+*expected* reference behaviors to concrete fixture outcomes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.plans import scheduler as S
+from nova_pulsar_spark.plans.fixtures import NOW, PHASES, PLANS, STATUS_EVENTS
+
+
+def test_dep_satisfied_blocks_on_active_and_failed_deps(spark):
+    eligible = {r.id for r in S.dep_satisfied(PLANS.spark_df(spark), PHASES.spark_df(spark)).collect()}
+    # search overlaps the ACTIVE payments plan; gamma-1300 overlaps the FAILED ingest plan
+    assert "plan-20260228-1000" not in eligible
+    assert "plan-20260228-1300" not in eligible
+    # refactor's deps are both completed
+    assert "plan-20260228-0900" in eligible
+
+
+def test_best_plan_is_oldest_waiting_bug(spark):
+    best = S.best_plan(PLANS.spark_df(spark), PHASES.spark_df(spark)).collect()
+    assert len(best) == 1
+    # bug (base 2) with waited-longest boost (−1) beats security (1) on created tie-break
+    assert best[0].id == "plan-20260226-0900"
+    assert best[0].priority == 1
+
+
+def test_completed_guard_suppresses_regression(spark):
+    latest = S.latest_status(STATUS_EVENTS.spark_df(spark))
+    row = latest.filter(
+        (F.col("plan_id") == "plan-20260227-1100") & (F.col("phase") == 1)
+    ).collect()[0]
+    # a stray `running` update 1 min after `completed` must not regress
+    assert row.status == "completed"
+
+
+def test_stall_detection_10min_boundary(spark):
+    latest = S.latest_status(STATUS_EVENTS.spark_df(spark))
+    now = F.to_timestamp(F.lit(NOW.strftime("%Y-%m-%d %H:%M:%S")))
+    flags = {
+        (r.plan_id, r.phase): r.stalled
+        for r in S.stalled(latest, now).filter(F.col("plan_id") == "plan-20260227-1100").collect()
+    }
+    assert flags[("plan-20260227-1100", 2)] is True  # silent 15 min
+    assert flags[("plan-20260227-1100", 3)] is False  # 30 s old
+    assert flags[("plan-20260227-1100", 4)] is False  # 1 min old
+    assert flags[("plan-20260227-1100", 1)] is False  # completed, never stalled
+
+
+def test_phase_rounds_serialize_conflicts(spark):
+    rounds = {
+        (r.plan_id, r.phase): r.round
+        for r in S.phase_rounds(PHASES.spark_df(spark)).collect()
+    }
+    # gamma dashboard: phase 4 shares ui/state.ts with phase 3 → round 2
+    assert rounds[("plan-20260228-1200", 3)] == 1
+    assert rounds[("plan-20260228-1200", 4)] == 2
+    # independent phases all round 1
+    assert rounds[("plan-20260228-0900", 1)] == 1
+    assert rounds[("plan-20260228-0900", 2)] == 1
+
+
+def test_model_routing_backward_compat_default(spark):
+    routed = {
+        (r.plan_id, r.phase): r.model
+        for r in PHASES.spark_df(spark)
+        .select("plan_id", "phase", S.route_model(F.col("complexity")).alias("model"))
+        .collect()
+    }
+    assert routed[("plan-20260227-1100", 1)] == "opus"  # High (Architectural)
+    assert routed[("plan-20260227-1100", 4)] == "sonnet"  # Low
+    assert routed[("plan-20260228-0900", 2)] == "sonnet"  # missing complexity → default
