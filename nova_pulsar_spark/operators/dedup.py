@@ -1,1 +1,247 @@
-"""Filled in incrementally."""
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star layer (BASELINE.json): exact hash dedup, MinHash+LSH
+near-dup, SimHash fingerprints, n-gram Jaccard — each over the
+`documents` table, each with a DuckDB oracle twin.
+
+Engine-parity hashing: both Spark and DuckDB compute identical
+lowercase-hex ``md5``, so MinHash signatures (min of md5 over
+shingles) and band signatures are bit-identical across engines —
+this is what makes probabilistic dedup oracle-checkable exactly.
+
+Scale notes (the 100 TB story):
+- exact dedup: hash-groupBy on md5(text) — map-side combinable,
+  shuffles 16-byte keys, not documents;
+- MinHash LSH: cost is (docs × shingles × seeds) map work then a
+  shuffle on (band, signature) — candidates join only within
+  buckets, never all-pairs. Hot buckets (boilerplate text) are the
+  skew risk → AQE skew-join plus a bucket-size cap in production;
+- SimHash: one pass to 16-bit signatures, near-dup candidates via
+  signature equality or small-radius blocking;
+- n-gram Jaccard here verifies pairs within a blocking key (lang) —
+  the exact-verify stage that follows LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+N_SEEDS = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (2 rows per band)
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def _shingles_expr():
+    """3-word shingle array from `text` (distinct)."""
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        )
+    )
+
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))"
+)
+
+
+@register(
+    "llm_dedup_exact",
+    sql="""
+    SELECT
+      md5(text) AS text_hash,
+      COUNT(*) AS n_copies,
+      MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy, keep lowest doc_id (scales as a 16-byte-key shuffle)",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """(doc_id, seed, mh): mh = min over shingles of md5(seed || '|' || shingle).
+
+    Lexicographic min over hex digests is a valid min-hash; seeds salt
+    the hash family. All JVM-side built-ins — no Python in the path.
+    """
+    shingled = docs.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
+    return (
+        shingled.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")).cast("binary")
+                )
+            ).alias("mh")
+        )
+    )
+
+
+MINHASH_SQL_CTES = (
+    f"shingled AS (SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM documents)",
+    f"seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed)",
+    """mh AS (
+    SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+    FROM shingled CROSS JOIN seeds GROUP BY doc_id, seed)""",
+    """bands AS (
+    SELECT doc_id, seed // 2 AS band,
+           MIN(CASE WHEN seed % 2 = 0 THEN mh END) || MIN(CASE WHEN seed % 2 = 1 THEN mh END) AS sig
+    FROM mh GROUP BY doc_id, seed // 2)""",
+    """cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""",
+)
+
+
+@register(
+    "llm_dedup_near",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + """
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND ma.seed = mb.seed
+    GROUP BY c.doc_a, c.doc_b
+    """,
+    doc="MinHash+LSH near-dup: shingle→minhash→band→bucket-join→estimate (never all-pairs)",
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(d).cache()
+    bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
+            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
+        ).alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    return (
+        cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
+        .join(mb, (F.col("mb.doc_id") == F.col("doc_b")) & (F.col("ma.seed") == F.col("mb.seed")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("ma.mh") == F.col("mb.mh"), 1).otherwise(0)).cast("double")
+                / N_SEEDS
+            ).alias("est_jaccard")
+        )
+    )
+
+
+# 16-bit SimHash from the first 4 hex chars of each token's md5.
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "llm_dedup_simhash",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    tv AS (
+      SELECT doc_id,
+             (strpos('{_HEX}', substr(md5(token), 1, 1)) - 1) * 4096
+           + (strpos('{_HEX}', substr(md5(token), 2, 1)) - 1) * 256
+           + (strpos('{_HEX}', substr(md5(token), 3, 1)) - 1) * 16
+           + (strpos('{_HEX}', substr(md5(token), 4, 1)) - 1) AS hv
+      FROM tok),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(2 * ((hv // CAST(POW(2, b.b) AS BIGINT)) % 2) - 1) AS s
+      FROM tv CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           SUM(CASE WHEN s >= 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash 16-bit document fingerprint (one-pass signature; near-dups = small Hamming radius)",
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
+    h = F.md5(F.col("token").cast("binary"))
+
+    def nib(i: int):
+        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+
+    hv = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("hv")
+    bitsrc = tok.select("doc_id", hv)
+    bits = d.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
+    contrib = (
+        bitsrc.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                2 * ((F.col("hv") / F.pow(F.lit(2), F.col("bit")).cast("bigint")).cast("bigint") % 2) - 1
+            ).alias("s")
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS words
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard
+    FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
+    """,
+    doc="Blocked n-gram Jaccard verify (lang-blocked pairs; the exact-verify stage after LSH)",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", F.array_distinct(_words(F.col("text"))).alias("words"))
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,1 +1,170 @@
-"""Filled in incrementally."""
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+North-star layer (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, an IVF-style coarse-quantized probe as the
+scale path, and embedding-cosine near-dup pairs.
+
+Exactness: dot products and norms are computed as a **sequential
+left fold** over the vector on both engines (Spark `aggregate`,
+DuckDB `list_reduce`) with per-element double products — identical
+operation order → bit-identical doubles. This avoids both the
+nondeterminism of shuffle-order sums and the cross-engine rounding
+drift of double→decimal casts; it is also the engine-native fast
+path (no explode: one fused JVM expression per row).
+
+Scale notes (100 TB / billions of vectors):
+- brute force: broadcast the query, map-side fold, TakeOrdered top-k
+  — no shuffle of the corpus, but O(n·d) per query → baseline and
+  rerank stage only;
+- IVF pattern: centroids per coarse cell (here the `label` column as
+  the quantizer), probe the top-2 cells, scan only those. At scale
+  the corpus is written partitioned by centroid id so probing
+  becomes parquet partition pruning;
+- near-dup: label-blocked pair joins — the post-LSH verify stage;
+  never all-pairs across blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _fold_dot(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product of two array columns (Spark side)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine(a: str, b: str) -> F.Column:
+    return _fold_dot(a, b) / (F.sqrt(_fold_dot(a, a)) * F.sqrt(_fold_dot(b, b)))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Same sequential fold on the DuckDB side (1-based list index)."""
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)})))"
+
+
+@register(
+    "llm_simsearch_topk",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, {_sql_cos("e.embedding", "q.qe")} AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
+    """,
+    doc="Brute-force cosine top-k vs query vector (broadcast query + fused fold + TakeOrdered)",
+)
+def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", cosine("embedding", "qe").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "llm_simsearch_ivf",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    idx AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centdim AS (
+      SELECT e.label, idx.i AS i,
+             list_reduce(list(CAST(e.embedding[idx.i] AS DOUBLE) ORDER BY e.vec_id), (a, b) -> a + b)
+               / COUNT(*) AS c
+      FROM embeddings e CROSS JOIN idx
+      GROUP BY e.label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cemb FROM centdim GROUP BY label),
+    probes AS (
+      SELECT cent.label FROM cent CROSS JOIN q
+      ORDER BY {_sql_cos("cent.cemb", "q.qe")} DESC, cent.label LIMIT 2)
+    SELECT e.vec_id, e.label, {_sql_cos("e.embedding", "q.qe")} AS cosine
+    FROM embeddings e
+    JOIN probes p ON e.label = p.label
+    CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
+    """,
+    doc="IVF-style ANN: label-centroid coarse quantizer, probe top-2 cells, scan only those (partition-pruning scale path)",
+)
+def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    # Centroids: per-(label, dim) mean with a vec_id-ordered sequential
+    # fold so the result is deterministic under any partitioning.
+    centdim = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
+        .select("vec_id", "label", (F.col("i") + 1).alias("i"), F.col("val").cast("double").alias("v"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = centdim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cemb")
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .orderBy(cosine("cemb", "qe").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(probes), "label")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", cosine("embedding", "qe").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "llm_dedup_embedding",
+    sql=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_sql_cos("a.embedding", "b.embedding")} AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.40
+    """,
+    doc="Embedding-cosine near-dup pairs, label-blocked (the post-LSH/IVF verify stage at scale)",
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cosine("ea", "eb").alias("cosine"))
+        .filter(F.col("cosine") >= 0.40)
+    )

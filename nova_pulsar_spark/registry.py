@@ -65,7 +65,7 @@ def _load_all_modules() -> None:
         topk,
         windows,
     )
-    from nova_pulsar_spark.functions import scalar  # noqa: F401
+    from nova_pulsar_spark.functions import extract, scalar  # noqa: F401
     from nova_pulsar_spark.plans import queue_queries  # noqa: F401
     from nova_pulsar_spark.streaming import stream_queries  # noqa: F401
 

@@ -43,6 +43,14 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # If the session still has the stock 200 shuffle partitions, right-
+    # size to local parallelism (AQE coalesces anyway; this cuts task-
+    # scheduling overhead on small/medium inputs). An explicit non-
+    # default setting is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        from nova_pulsar_spark.session import default_parallelism
+
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
