@@ -1,0 +1,145 @@
+"""Structured Streaming tests: topics, stateful lifecycle, and
+streaming↔batch equivalence of the windowed queries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.plans.fixtures import STATUS_EVENTS
+from nova_pulsar_spark.streaming.state import lifecycle_batch, lifecycle_stream
+from nova_pulsar_spark.streaming.topics import (
+    STATUS_SCHEMA,
+    QueueNamespace,
+    Topic,
+    atomic_write_json,
+)
+
+
+def _write_status_fixture_files(directory: str) -> int:
+    cols = [c for c, _ in STATUS_EVENTS.columns]
+    for i, row in enumerate(STATUS_EVENTS.rows):
+        rec = {c: (v.isoformat() if hasattr(v, "isoformat") else v) for c, v in zip(cols, row)}
+        atomic_write_json(directory, f"ev-{i:04d}.json", rec)
+    return len(STATUS_EVENTS.rows)
+
+
+def test_topic_produce_consume_available_now(spark, tmp_path):
+    d = str(tmp_path / "status_topic")
+    n = _write_status_fixture_files(d)
+    topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+    q = (
+        topic.reader(spark)
+        .writeStream.format("memory")
+        .queryName("topic_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM topic_out")
+    assert out.count() == n
+    # values survive the JSON round-trip
+    got = {(r.plan_id, r.phase, r.status, r.tool_count) for r in out.collect()}
+    want = {(r[2], r[3], r[5], r[6]) for r in STATUS_EVENTS.rows}
+    assert got == want
+
+
+def test_lifecycle_stream_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "status_topic2")
+    _write_status_fixture_files(d)
+    topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+    q = (
+        lifecycle_stream(topic.reader(spark))
+        .writeStream.format("memory")
+        .queryName("lifecycle_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = {
+        (r.plan_id, r.phase, r.kind, r.from_status, r.to_status)
+        for r in spark.sql("SELECT * FROM lifecycle_out").collect()
+        if r.kind != "stalled" or r.to_status == "retrying"
+    }
+    batch_rows = {
+        (r.plan_id, r.phase, r.kind, r.from_status, r.to_status)
+        for r in lifecycle_batch(STATUS_EVENTS.spark_df(spark)).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_lifecycle_semantics(spark):
+    out = lifecycle_batch(STATUS_EVENTS.spark_df(spark)).collect()
+    kinds = {(r.plan_id, r.phase, r.kind) for r in out}
+    # P3: the stray running-after-completed on phase 1 is suppressed
+    assert ("plan-20260227-1100", 1, "suppressed_regression") in kinds
+    # W1/Q7: phase 2's 25-min silent gap produces a stall incident
+    assert ("plan-20260227-1100", 2, "stalled") in kinds
+    # normal transitions exist
+    assert ("plan-20260227-1100", 1, "transition") in kinds
+
+
+def test_claim_cas_rejects_competing_thread(spark):
+    from nova_pulsar_spark.streaming.stream_queries import state_claim
+
+    out = state_claim(spark, "unused").collect()
+    rejected = [r for r in out if r.kind == "claim_rejected"]
+    assert len(rejected) == 1  # exactly the th-B event
+    # th-A's full lifecycle went through
+    assert {r.to_status for r in out if r.kind == "transition"} == {"starting", "running", "completed"}
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    from nova_pulsar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_parquet")
+    e.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n)
+        for r in e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_queue_namespace_lifecycle_moves(tmp_path):
+    ns = QueueNamespace(root=str(tmp_path / "comms"), project="alpha")
+    ns.setup()
+    ns.enqueue_plan({"id": "plan-x", "title": "t"})
+    assert os.path.exists(os.path.join(ns.dir_for("queued_background"), "plan-x.json"))
+    ns.move_plan("plan-x", "queued_background", "active")
+    ns.move_plan("plan-x", "active", "completed")
+    final = os.path.join(ns.dir_for("completed"), "plan-x.json")
+    assert os.path.exists(final)
+    assert json.load(open(final))["id"] == "plan-x"
