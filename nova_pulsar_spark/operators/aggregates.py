@@ -101,7 +101,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT
       l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
       COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -109,9 +109,11 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Full cube over two dimensions",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nova_pulsar_spark.functions.exact import sum_cents
+
     l = load_table(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        sum_cents(F.col("l_extendedprice"), 100).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

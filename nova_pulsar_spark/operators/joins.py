@@ -34,7 +34,7 @@ from nova_pulsar_spark.sources.tables import load_table
     SELECT
       o.o_orderkey,
       o.o_orderdate,
-      CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(ROUND((l.l_extendedprice * (1.0 - l.l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
       COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -44,6 +44,8 @@ from nova_pulsar_spark.sources.tables import load_table
     doc="Fact-fact inner equi-join + aggregate (shuffle join, AQE-managed)",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nova_pulsar_spark.functions.exact import sum_cents
+
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -51,7 +53,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.sum(revenue.cast("decimal(22,6)")).cast("double").alias("revenue"),
+            sum_cents(revenue, 1_000_000).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

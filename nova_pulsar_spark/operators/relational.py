@@ -32,36 +32,46 @@ from nova_pulsar_spark.sources.tables import load_table
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary over lineitem (scan→filter→agg→sort in one plan)."""
+    """Pricing summary over lineitem (scan→filter→agg→sort in one plan).
+
+    Uses the long-cents exact-sum idiom (functions/exact.py): integer
+    sums are both reproducible across engines and ~3× faster than
+    decimal aggregation — this is the headline bench query.
+    """
+    from nova_pulsar_spark.functions.exact import sum_cents
+
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(22,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(22,6)")).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            sum_cents(F.col("l_quantity"), 100).alias("sum_qty"),
+            sum_cents(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            sum_cents(disc_price, 1_000_000).alias("sum_disc_price"),
+            sum_cents(charge, 1_000_000).alias("sum_charge"),
+            (sum_cents(F.col("l_quantity"), 100) / n).alias("avg_qty"),
+            (sum_cents(F.col("l_discount"), 100) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-FLAGSHIP_SQL = """
+from nova_pulsar_spark.functions.exact import sql_sum_cents as _ssc  # noqa: E402
+
+FLAGSHIP_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  {_ssc("l_quantity", 100)} AS sum_qty,
+  {_ssc("l_extendedprice", 100)} AS sum_base_price,
+  {_ssc("l_extendedprice * (1.0 - l_discount)", 1000000)} AS sum_disc_price,
+  {_ssc("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 1000000)} AS sum_charge,
+  {_ssc("l_quantity", 100)} / COUNT(*) AS avg_qty,
+  {_ssc("l_discount", 100)} / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

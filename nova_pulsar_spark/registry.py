@@ -70,9 +70,28 @@ def _load_all_modules() -> None:
     from nova_pulsar_spark.streaming import stream_queries  # noqa: F401
 
 
+# SURVEY.md §2 promises these exact query keys; where the registered
+# name differs, expose the promised key as an alias of the same query.
+ALIASES = {
+    "pulse_aggregate": "agg_pulse",  # S8 — same rollup as A3
+    "window_frame": "window_frame_moving",
+    "fn_split": "fn_split_part",
+    "fn_path": "fn_path_ops",
+    "fn_array": "fn_array_ops",
+    "fn_map": "fn_map_lookup",
+    "fn_string": "fn_string_ops",
+    "state_phase": "state_lifecycle",  # Q3 — phase status stream transitions
+}
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
     _load_all_modules()
-    return dict(_REGISTRY)
+    out = dict(_REGISTRY)
+    for alias, target in ALIASES.items():
+        if alias not in out and target in out:
+            t = out[target]
+            out[alias] = RegisteredQuery(name=alias, fn=t.fn, sql=t.sql, doc=f"[alias of {target}] {t.doc}")
+    return out
 
 
 def queries() -> dict[str, QueryFn]:
