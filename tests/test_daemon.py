@@ -1,0 +1,103 @@
+"""End-to-end dispatcher/monitor cycle over real queue directories —
+the reference's §3.3 daemon path on Spark."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+from nova_pulsar_spark.plans.daemon import dispatch_once, monitor_once
+from nova_pulsar_spark.streaming.topics import QueueNamespace, atomic_write_json
+
+NOW = datetime(2026, 3, 1, 12, 0, 0)
+
+
+def _plan(pid, project, ptype, created, phases, mode="background"):
+    return {
+        "id": pid,
+        "title": pid,
+        "project": project,
+        "type": ptype,
+        "execution_mode": mode,
+        "created_at": created,
+        "n_phases": len(phases),
+        "phases": [
+            {"phase": i + 1, "title": f"ph{i+1}", "files": files, "complexity": "Low"}
+            for i, files in enumerate(phases)
+        ],
+    }
+
+
+def _setup_queues(root):
+    for proj in ("alpha", "beta"):
+        ns = QueueNamespace(root=root, project=proj)
+        ns.setup()
+    alpha = QueueNamespace(root=root, project="alpha")
+    beta = QueueNamespace(root=root, project="beta")
+    # beta's bug is oldest-queued → waited-longest boost → priority 1
+    beta.enqueue_plan(_plan("plan-20260226-0900", "beta", "bug", "2026-02-26T09:00:00", [["b.py"]]))
+    alpha.enqueue_plan(_plan("plan-20260228-1000", "alpha", "feature", "2026-02-28T10:00:00", [["a.py"]]))
+    return alpha, beta
+
+
+def test_dispatch_picks_best_and_moves_file(spark, tmp_path):
+    root = str(tmp_path / "comms")
+    _setup_queues(root)
+    d = dispatch_once(spark, root, NOW)
+    assert d["action"] == "dispatch"
+    assert d["plan_id"] == "plan-20260226-0900" and d["project"] == "beta"
+    # file physically moved queued → active
+    assert os.path.exists(os.path.join(root, "beta", "active", "plan-20260226-0900.json"))
+    assert not os.path.exists(
+        os.path.join(root, "beta", "queued", "background", "plan-20260226-0900.json")
+    )
+    # board updated
+    board = json.load(open(os.path.join(root, "board.json")))
+    assert board["entries"][0]["status"] == "active"
+    # log appended
+    assert "dispatch" in open(os.path.join(root, "daemon.log")).read()
+
+
+def test_dispatch_gate_blocks_second_cycle(spark, tmp_path):
+    root = str(tmp_path / "comms2")
+    _setup_queues(root)
+    assert dispatch_once(spark, root, NOW)["action"] == "dispatch"
+    # one plan is now active → at-most-one-active gate
+    d2 = dispatch_once(spark, root, NOW)
+    assert d2["action"] == "wait"
+    assert d2["n_active"] == 1
+
+
+def test_dispatch_idle_when_empty(spark, tmp_path):
+    root = str(tmp_path / "comms3")
+    QueueNamespace(root=root, project="alpha").setup()
+    assert dispatch_once(spark, root, NOW)["action"] in ("idle",)
+
+
+def test_monitor_writes_pulse_and_incidents(spark, tmp_path):
+    root = str(tmp_path / "comms4")
+    ns = QueueNamespace(root=root, project="alpha")
+    ns.setup()
+    status_dir = ns.dir_for("status")
+    base = {
+        "task_id": "phase-1-p1",
+        "project": "alpha",
+        "plan_id": "p1",
+        "phase": 1,
+        "thread_id": "th",
+        "last_tool": "Edit",
+        "last_file": "x.py",
+        "started_at": "2026-03-01T11:00:00",
+        "completed_at": None,
+    }
+    atomic_write_json(status_dir, "p1-1.json", {**base, "status": "running", "tool_count": 4, "updated_at": "2026-03-01T11:40:00"})
+    atomic_write_json(status_dir, "p1-2.json", {**base, "task_id": "phase-2-p1", "phase": 2, "status": "running", "tool_count": 9, "updated_at": "2026-03-01T11:58:00"})
+    pulse = monitor_once(spark, root, NOW)
+    assert pulse["rounds"][0]["plan_id"] == "p1"
+    flags = {p["phase"]: p["stalled"] for p in pulse["rounds"][0]["phases"]}
+    assert flags[1] is True and flags[2] is False  # 20 min vs 2 min silence
+    assert len(pulse["incidents"]) == 1
+    assert pulse["incidents"][0]["stalled_for_minutes"] == 20
+    # pulse.json atomically published
+    assert json.load(open(os.path.join(root, "pulse.json")))["incidents"]
