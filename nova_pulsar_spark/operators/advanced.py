@@ -1,0 +1,243 @@
+"""Advanced relational surface: as-of joins, subquery family, exact
+medians, skew-salted aggregation, interval range frames, Pandas-UDF
+parity.
+
+These extend SURVEY.md §2 beyond the reference's own operators to the
+full surface a Spark analytics user expects (§2.3 notes the engine
+exposes the complete join family; §2.6 the full frame surface). Each
+has a DuckDB oracle twin unless inherently approximate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+# Inline checkpoint series for the as-of join (five aligned marks).
+CHECKPOINTS = [
+    ("2024-01-05 00:00:00", "cp1"),
+    ("2024-01-12 00:00:00", "cp2"),
+    ("2024-01-19 00:00:00", "cp3"),
+    ("2024-01-26 00:00:00", "cp4"),
+    ("2024-02-02 00:00:00", "cp5"),
+]
+_CP_VALUES = ", ".join(f"(TIMESTAMP '{t}', '{n}')" for t, n in CHECKPOINTS)
+
+
+@register(
+    "join_asof",
+    sql=f"""
+    WITH checkpoints AS (SELECT * FROM (VALUES {_CP_VALUES}) AS t(cts, cname))
+    SELECT e.event_id, e.ts, c.cname AS checkpoint, c.cts AS checkpoint_ts
+    FROM events e
+    ASOF LEFT JOIN checkpoints c ON e.ts >= c.cts
+    """,
+    doc="As-of join: latest checkpoint ≤ event time (broadcast+argmax small side; merge_asof per group at big-big scale)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cps = spark.createDataFrame(
+        [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
+    ).select(F.to_timestamp("cts_s").alias("cts"), "cname")
+    # Small reference side → broadcast theta join + per-event argmax.
+    # (For big-big as-of: repartition both on a shared bucket key and
+    # pd.merge_asof inside applyInPandas — documented path.)
+    joined = e.join(F.broadcast(cps), e.ts >= cps.cts, "left")
+    return joined.groupBy("event_id", "ts").agg(
+        F.max_by("cname", "cts").alias("checkpoint"),
+        F.max("cts").alias("checkpoint_ts"),
+    )
+
+
+@register(
+    "subquery_scalar",
+    sql="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+      SELECT CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+      FROM part)
+    """,
+    doc="Scalar subquery: parts above the average retail price",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    avg_price = p.agg(
+        (F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")).cast("double") / 100 / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("a"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "subquery_correlated",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery (Catalyst decorrelates to an aggregate+join)",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double") / 100 / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.ck)
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "subquery_in",
+    sql="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+    """,
+    doc="IN-subquery (compiles to left-semi join)",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 1))
+    return s.join(n, s.s_nationkey == n.n_nationkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@register(
+    "median_exact",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, value AS median_lower, n
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Exact per-group median (lower-middle, engine-independent definition)",
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wcnt = W.partitionBy("event_type")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("median_lower"), "n")
+    )
+
+
+@register(
+    "quantiles_approx",
+    sql=None,  # approximate sketch values are engine-specific → rows-only
+    doc="approx percentiles (the 100 TB path for quantiles; exactness covered by median_exact)",
+)
+def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    )
+
+
+@register(
+    "agg_salted_hot_key",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Skew-salted two-phase aggregation — provably identical to the plain groupBy (oracle = unsalted)",
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Phase 1 groups by (user_id, salt) spreading a hot key across
+    # partitions; phase 2 merges partials. Integer partials make the
+    # two-phase result bit-equal to the one-phase plan — which is
+    # exactly what the oracle checks.
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", (F.col("event_id") % 8).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("pc"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pc").cast("double") / 100).alias("sum_value"),
+    )
+
+
+@register(
+    "window_range_interval",
+    sql="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+             AS sum_last_10min
+    FROM events
+    """,
+    doc="RANGE frame over event time: rolling 10-minute per-user sum (the stall window as a frame)",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).cast("double") / 100).alias(
+            "sum_last_10min"
+        ),
+    )
+
+
+@register(
+    "udf_pandas_score",
+    sql="""
+    SELECT doc_id,
+           CAST((doc_id * 2654435761 % 1000003) AS BIGINT) AS doc_hash,
+           CAST(n_chars * 2 + (doc_id % 7) AS BIGINT) AS synth_score
+    FROM documents
+    """,
+    doc="Vectorized Pandas UDF with integer-exact oracle parity (Arrow batch path)",
+)
+def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately integer-only arithmetic: the Arrow/pandas path then
+    # produces bit-identical results to the SQL twin — demonstrating
+    # the UDF surface without sacrificing the correctness gate.
+    @F.pandas_udf("long")
+    def doc_hash(s: pd.Series) -> pd.Series:
+        return (s * 2654435761) % 1000003
+
+    @F.pandas_udf("long")
+    def synth_score(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return n_chars * 2 + (doc_id % 7)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_hash(F.col("doc_id")).alias("doc_hash"),
+        synth_score(F.col("n_chars"), F.col("doc_id")).alias("synth_score"),
+    )

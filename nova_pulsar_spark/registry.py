@@ -54,6 +54,7 @@ def _load_all_modules() -> None:
     """Import every operator module for its registration side effects."""
     # Imports are deferred so `import nova_pulsar_spark` stays cheap.
     from nova_pulsar_spark.operators import (  # noqa: F401
+        advanced,
         aggregates,
         dedup,
         joins,

@@ -1,0 +1,136 @@
+"""Plan-shape regressions (the 100 TB contract), SURVEY §2 key
+coverage audit, and source round-trips."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+# Query keys SURVEY.md §2 promises (column "Query key" across §2.1-§2.10).
+SURVEY_KEYS = [
+    # §2.1 scans
+    "scan_queue", "scan_active", "scan_status", "plan_metadata_extract",
+    "board_upsert", "pulse_aggregate",
+    # §2.2 filters/projections
+    "filter_dep_satisfied", "gate_single_active", "guard_completed",
+    "filter_marker_claim", "filter_queue_kind", "filter_fresh",
+    "project_derived", "project_priority", "project_model_route",
+    # §2.3 joins
+    "join_marker_status", "join_pid_lookup", "join_plan_board",
+    "join_dep_overlap", "join_phase_conflict", "join_namespace",
+    # §2.4 aggregations
+    "agg_queue_count", "agg_state_counts", "agg_pulse", "agg_progress",
+    "agg_exec_log", "agg_tool_count", "agg_eta",
+    "agg_distinct", "agg_grouping_sets", "agg_cube", "agg_rollup",
+    "agg_approx_distinct",
+    # §2.5 sort/topk
+    "topk_best_plan", "topk_latest",
+    # §2.6 windows
+    "window_stall", "window_hung", "window_rank_wait",
+    "window_rank", "window_running_sum", "window_frame",
+    # §2.7 set ops
+    "setop_union_migrate", "setop_except",
+    # §2.8 functions
+    "fn_json_extract", "fn_json_build", "fn_json_update",
+    "fn_regex_extract", "fn_regex_replace", "fn_split", "fn_path",
+    "fn_ts_format", "fn_ts_diff", "fn_id_gen", "fn_cond_null",
+    "fn_math", "fn_array", "fn_map", "fn_string",
+    # §2.9 streaming/state
+    "state_lifecycle", "state_phase", "sched_rounds", "state_claim",
+    "state_incident", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_dedup",
+    # §2.10 north star
+    "llm_dedup_exact", "llm_dedup_near", "llm_simsearch_topk",
+    "llm_text_stats",
+]
+
+
+def test_every_survey_key_is_registered():
+    q = entrymod.queries()
+    missing = [k for k in SURVEY_KEYS if k not in q]
+    assert not missing, f"SURVEY §2 keys missing from queries(): {missing}"
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    from nova_pulsar_spark.operators.joins import join_multiway_star
+
+    plan = join_multiway_star(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # dims must never trigger a sort-merge shuffle of the fact table
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown_prunes_columns(spark):
+    from nova_pulsar_spark.operators.relational import scan_project_filter
+
+    import re
+
+    qe = scan_project_filter(spark, "/root/testdata/sf0.001")._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in qe
+    assert "LessThan(l_shipdate" in qe
+    # projection reaches the reader: FileScan lists only the 4 needed columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", qe)
+    assert m and len(m.group(1).split(",")) == 4
+
+
+def test_global_topk_uses_take_ordered(spark):
+    from nova_pulsar_spark.operators.topk import topk_global
+
+    plan = topk_global(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_asof_join_semantics(spark):
+    from nova_pulsar_spark.operators.advanced import join_asof
+
+    rows = join_asof(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        if r.checkpoint_ts is not None:
+            assert r.checkpoint_ts <= r.ts
+    # events before the first checkpoint have no match
+    early = [r for r in rows if r.ts < datetime(2024, 1, 5)]
+    assert early and all(r.checkpoint is None for r in early)
+
+
+def test_csv_json_source_round_trip(spark, tmp_path):
+    from nova_pulsar_spark.sources.tables import load_table
+
+    n = load_table(spark, "/root/testdata/sf0.001", "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.write.mode("overwrite").json(json_dir)
+    back_csv = spark.read.schema(n.schema).option("header", True).csv(csv_dir)
+    back_json = spark.read.schema(n.schema).json(json_dir)
+    want = {tuple(r) for r in n.collect()}
+    assert {tuple(r) for r in back_csv.collect()} == want
+    assert {tuple(r) for r in back_json.collect()} == want
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key removes the exchange —
+    the 100 TB co-located-join strategy from docs/SCALE.md."""
+    from nova_pulsar_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load_table(spark, "/root/testdata/sf0.001", "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, "/root/testdata/sf0.001", "lineitem").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -47,8 +47,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
+    try:
+        if pd.isna(a) and pd.isna(b):  # None/NaN/NaT in any combination
+            return True
+    except (TypeError, ValueError):
+        pass  # pd.isna on arrays/tuples
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
