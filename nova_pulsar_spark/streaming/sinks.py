@@ -1,0 +1,70 @@
+"""Exactly-once-ish sinks (Q9, SURVEY.md §2.9).
+
+The reference gets atomic publish from single-node tmp+rename
+(`hooks/status-tracker.sh:156-188`) and heals missed writes with
+pre-created markers (`commands/pulsar.md:203-208`). The Spark
+rendition: `foreachBatch` sinks that are **idempotent per
+(key, batch_id)** — checkpoint replay after a failure re-runs a batch
+with the same batch_id, and the sink recognizes already-applied work.
+
+`JsonDirSink` materializes one JSON file per key (the reference's
+one-file-per-record layout) with atomic rename; a `.batch-<id>` seal
+file makes replays no-ops. At scale the same contract is what makes
+speculative/retried tasks safe: last-writer-wins on identical
+content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from nova_pulsar_spark.streaming.topics import atomic_write_json
+
+
+class JsonDirSink:
+    """foreachBatch target: one JSON file per key, idempotent replays."""
+
+    def __init__(self, directory: str, key_cols: list[str]):
+        self.directory = directory
+        self.key_cols = key_cols
+        os.makedirs(directory, exist_ok=True)
+
+    def _seal_path(self, batch_id: int) -> str:
+        return os.path.join(self.directory, f".batch-{batch_id}")
+
+    def already_applied(self, batch_id: int) -> bool:
+        return os.path.exists(self._seal_path(batch_id))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.already_applied(batch_id):
+            return  # checkpoint replay — the batch's effects are on disk
+        rows = batch_df.collect()  # sink-side: batches are small rollups
+        for r in rows:
+            d = r.asDict(recursive=True)
+            name = "-".join(str(d[k]) for k in self.key_cols) + ".json"
+            atomic_write_json(self.directory, name, d)
+        # seal AFTER all files are in place: a crash mid-batch replays
+        # the whole batch; per-file atomic rename makes that safe.
+        atomic_write_json(self.directory, os.path.basename(self._seal_path(batch_id)), {"batch_id": batch_id})
+        os.replace(
+            os.path.join(self.directory, os.path.basename(self._seal_path(batch_id))),
+            self._seal_path(batch_id),
+        )
+
+
+class AppendLogSink:
+    """S9 append-log sink: `{ts} - {msg}` lines, one write per batch."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        lines = [json.dumps(r.asDict(recursive=True), default=str) for r in batch_df.collect()]
+        if lines:
+            with open(self.path, "a") as f:
+                for line in lines:
+                    f.write(line + "\n")

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5.5): order-insensitivity of
+aggregations, migration idempotence, claim uniqueness under races."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.functions.exact import sum_cents
+from nova_pulsar_spark.streaming.state import lifecycle_batch
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50_000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@_settings
+def test_exact_sum_is_order_and_partition_insensitive(spark, rows, seed):
+    """Σ via the cents idiom is identical for any row order and any
+    partition count — the invariant the oracle hash relies on."""
+    data = [(k, v / 100.0) for k, v in rows]
+    shuffled = data[:]
+    random.Random(seed).shuffle(shuffled)
+
+    def agg(d, parts):
+        df = spark.createDataFrame(d, "k int, v double").repartition(parts)
+        return {
+            r.k: r.s
+            for r in df.groupBy("k").agg(sum_cents(F.col("v"), 100).alias("s")).collect()
+        }
+
+    assert agg(data, 2) == agg(shuffled, 7)
+
+
+@given(
+    statuses=st.lists(
+        st.sampled_from(["review", "archived", "completed", "queued"]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_settings
+def test_migration_is_idempotent(spark, statuses):
+    """U1: applying the review/archived→completed rewrite twice equals
+    applying it once (scripts/migrate-all-projects.sh re-run safety)."""
+    rows = [
+        (f"plan-{i}", s, f"/comms/plans/p/{s if s != 'queued' else 'queued/background'}/plan-{i}.md")
+        for i, s in enumerate(statuses)
+    ]
+    df = spark.createDataFrame(rows, "id string, status string, path string")
+
+    def migrate(d):
+        legacy = d.filter(F.col("status").isin("review", "archived")).select(
+            "id",
+            F.lit("completed").alias("status"),
+            F.regexp_replace("path", "/(review|archived)/", "/completed/").alias("path"),
+        )
+        rest = d.filter(~F.col("status").isin("review", "archived"))
+        return rest.unionByName(legacy)
+
+    once = {tuple(r) for r in migrate(df).collect()}
+    twice = {tuple(r) for r in migrate(migrate(df)).collect()}
+    assert once == twice
+
+
+@given(
+    n_threads=st.integers(min_value=2, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@_settings
+def test_claim_uniqueness_under_races(spark, n_threads, seed):
+    """Q6: however many threads race on one phase, exactly one owns it;
+    every other thread's events are rejected."""
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    base = datetime(2026, 3, 1, 9, 0, 0)
+    rows = []
+    order = [f"th-{i}" for i in range(n_threads)]
+    rng.shuffle(order)
+    for j, th in enumerate(order):
+        rows.append(
+            (
+                "phase-1-p1", "alpha", "p1", 1, th, "running", j + 1,
+                "Edit", "x.py", base + timedelta(seconds=j), base, None,
+            )
+        )
+    from nova_pulsar_spark.plans.fixtures import STATUS_EVENTS
+
+    df = spark.createDataFrame(rows, STATUS_EVENTS.spark_schema())
+    out = lifecycle_batch(df).collect()
+    rejected = [r for r in out if r.kind == "claim_rejected"]
+    accepted_threads = n_threads - len(rejected)
+    assert accepted_threads == 1  # single writer per key
