@@ -1143,3 +1143,101 @@ def fn_json_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             head, F.lit('"'), F.coalesce(F.col("pid"), F.lit("77777")), F.lit('"}')
         ).alias("claimed_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minor reference operators without SURVEY query keys (S2, P6, O3, A8, U2) —
+# covered anyway for complete §2 parity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_namespaces",
+    sql=_sql(
+        """
+        SELECT project, COUNT(*) AS n_plans,
+               SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) > 0 AS has_queue
+        FROM plans GROUP BY project
+        """,
+        PLANS,
+    ),
+    doc="S2/P6: project-namespace scan — valid projects and their queue presence (starry-daemon.sh:53-63)",
+)
+def scan_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = PLANS.spark_df(spark)
+    return p.groupBy("project").agg(
+        F.count(F.lit(1)).alias("n_plans"),
+        (F.sum(F.when(F.col("status") == "queued", 1).otherwise(0)) > 0).alias("has_queue"),
+    )
+
+
+@register(
+    "topk_oldest_tiebreak",
+    sql=_sql(
+        """
+        SELECT id AS plan_id, project, created_at
+        FROM plans WHERE status = 'queued'
+        ORDER BY created_at, id LIMIT 1
+        """,
+        PLANS,
+    ),
+    doc="O3: oldest-plan tie-break — circular deps resolved by minimum created_at (orbiter.md:138-139)",
+)
+def topk_oldest_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = PLANS.spark_df(spark)
+    return (
+        p.filter(F.col("status") == "queued")
+        .orderBy("created_at", "id")
+        .limit(1)
+        .select(F.col("id").alias("plan_id"), "project", "created_at")
+    )
+
+
+@register(
+    "agg_migration_counts",
+    sql=_sql(
+        """
+        SELECT project,
+               SUM(CASE WHEN status = 'review' THEN 1 ELSE 0 END) AS n_review,
+               SUM(CASE WHEN status = 'archived' THEN 1 ELSE 0 END) AS n_archived,
+               SUM(CASE WHEN status IN ('review', 'archived') THEN 1 ELSE 0 END) AS n_to_migrate
+        FROM board GROUP BY project
+        """,
+        BOARD,
+    ),
+    doc="A8: migration counts per source partition (migrate-all-projects.sh:46-75)",
+)
+def agg_migration_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = BOARD.spark_df(spark)
+
+    def cnt(*s):
+        return F.sum(F.when(F.col("status").isin(*s), 1).otherwise(0))
+
+    return b.groupBy("project").agg(
+        cnt("review").alias("n_review"),
+        cnt("archived").alias("n_archived"),
+        cnt("review", "archived").alias("n_to_migrate"),
+    )
+
+
+@register(
+    "setop_two_queue_search",
+    sql=_sql(
+        """
+        SELECT id AS plan_id, project, execution_mode AS found_in
+        FROM plans
+        WHERE status = 'queued' AND id = 'plan-20260228-1200'
+        """,
+        PLANS,
+    ),
+    doc="U2: plan lookup across background ∪ interactive queues (pulsar.md:96-98)",
+)
+def setop_two_queue_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = PLANS.spark_df(spark).filter(F.col("status") == "queued")
+    bg = p.filter(F.col("execution_mode") == "background")
+    ia = p.filter(F.col("execution_mode") == "interactive")
+    return (
+        bg.unionByName(ia)
+        .filter(F.col("id") == "plan-20260228-1200")
+        .select(F.col("id").alias("plan_id"), "project", F.col("execution_mode").alias("found_in"))
+    )
