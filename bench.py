@@ -27,13 +27,19 @@ RUNS = 2
 HEADLINE = [
     "pricing_summary",
     "join_inner",
+    "join_multiway_star",
     "agg_cube",
     "window_running_sum",
+    "window_sessionize",
+    "stream_tumbling",
     "topk_per_group",
+    "median_exact",
     "llm_dedup_exact",
     "llm_dedup_near",
     "llm_simsearch_topk",
+    "llm_simsearch_ivf",
     "llm_text_stats",
+    "llm_text_fingerprint",
 ]
 
 

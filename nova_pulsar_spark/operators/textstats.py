@@ -187,15 +187,19 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Document fingerprints: exact md5, order-insensitive bag-of-words md5, winnowing-style min-bigram hash",
 )
 def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # Pre-split once into a column: Catalyst does NOT common-subexpression
+    # a split() referenced inside transform() lambdas, so inlining it
+    # re-tokenizes per bigram (~9× slower, measured at sf0.1).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("ws")
+    )
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
     )
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("exact_fp"),
-        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(words))).cast("binary")).alias("bag_fp"),
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.col("ws")))).cast("binary")).alias("bag_fp"),
         F.array_min(F.transform(bigrams, lambda b: F.md5(b.cast("binary")))).alias("min_bigram_fp"),
     )

@@ -187,6 +187,15 @@ def monitor_once(
     return pulse
 
 
+def watcher_should_exit(spark: SparkSession, root: str) -> bool:
+    """Q8 watcher auto-exit (`agents/orbiter.md:282-293`): stop the
+    monitor loop when no plan is active anywhere."""
+    plans = scan_namespaces(spark, root)
+    if plans is None:
+        return True
+    return plans.filter(F.col("status") == "active").limit(1).count() == 0
+
+
 def _update_board(root: str, project: str, plan_id: str, status: str, now: datetime) -> None:
     """Board upsert (S6/J3): read-modify-write with atomic publish."""
     board_path = os.path.join(root, "board.json")

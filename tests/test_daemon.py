@@ -75,6 +75,18 @@ def test_dispatch_idle_when_empty(spark, tmp_path):
     assert dispatch_once(spark, root, NOW)["action"] in ("idle",)
 
 
+def test_watcher_auto_exit(spark, tmp_path):
+    from nova_pulsar_spark.plans.daemon import watcher_should_exit
+
+    root = str(tmp_path / "comms_exit")
+    _setup_queues(root)
+    # queued-only → nothing to watch → exit
+    assert watcher_should_exit(spark, root) is True
+    dispatch_once(spark, root, NOW)
+    # one plan active → keep watching
+    assert watcher_should_exit(spark, root) is False
+
+
 def test_monitor_writes_pulse_and_incidents(spark, tmp_path):
     root = str(tmp_path / "comms4")
     ns = QueueNamespace(root=root, project="alpha")
