@@ -79,34 +79,50 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """(doc_id, seed, mh): mh = min over shingles of md5(seed || '|' || shingle).
+    """(doc_id, seed, mh): 8 min-hash functions from TWO md5 digests.
 
-    Lexicographic min over hex digests is a valid min-hash; seeds salt
-    the hash family. All JVM-side built-ins — no Python in the path.
+    Each shingle is hashed twice (md5(s), md5('#'+s)); seed k uses the
+    16-hex-char slice starting at 4k+1 of digest k//4. Slices of a
+    strong hash are themselves uniform hash functions, so the min over
+    shingles per slice is a valid min-hash — at 4× fewer digest
+    computations than hashing per-seed (the dominant cost at 100 TB).
+    Lexicographic min over hex is order-isomorphic to numeric min.
     """
     shingled = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
-        "doc_id", F.explode(_shingles_expr()).alias("shingle")
+        "doc_id",
+        F.explode(_shingles_expr()).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.md5(F.col("shingle").cast("binary")).alias("h0"),
+        F.md5(F.concat(F.lit("#"), F.col("shingle")).cast("binary")).alias("h1"),
     )
-    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingled.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")).cast("binary")
-                )
-            ).alias("mh")
-        )
+    # All 8 mins in ONE aggregation pass (no seed×rows blowup), then
+    # unpivot the 8 columns to (seed, mh) rows — the shuffle carries
+    # one row per doc instead of one per (doc, seed, shingle).
+    mins = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("h0") if s < 4 else F.col("h1"), (s % 4) * 4 + 1, 16)).alias(f"m{s}")
+            for s in range(n_seeds)
+        ]
+    )
+    stack_args = ", ".join(f"{s}, m{s}" for s in range(n_seeds))
+    return mins.selectExpr("doc_id", f"stack({n_seeds}, {stack_args}) AS (seed, mh)").select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "mh"
     )
 
 
+_MIN_COLS = ", ".join(
+    f"MIN(substring({'h0' if s < 4 else 'h1'}, {(s % 4) * 4 + 1}, 16)) AS m{s}" for s in range(N_SEEDS)
+)
+_UNPIVOT_SELECTS = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {s} AS seed, m{s} AS mh FROM mins" for s in range(N_SEEDS)
+)
 MINHASH_SQL_CTES = (
-    f"shingled AS (SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM documents)",
-    f"seeds AS (SELECT UNNEST(range(0, {N_SEEDS})) AS seed)",
-    """mh AS (
-    SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
-    FROM shingled CROSS JOIN seeds GROUP BY doc_id, seed)""",
+    f"shingled AS (SELECT doc_id, md5(shingle) AS h0, md5('#' || shingle) AS h1 "
+    f"FROM (SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM documents))",
+    f"mins AS (SELECT doc_id, {_MIN_COLS} FROM shingled GROUP BY doc_id)",
+    f"""mh AS (
+    {_UNPIVOT_SELECTS})""",
     """bands AS (
     SELECT doc_id, seed // 2 AS band,
            MIN(CASE WHEN seed % 2 = 0 THEN mh END) || MIN(CASE WHEN seed % 2 = 1 THEN mh END) AS sig
