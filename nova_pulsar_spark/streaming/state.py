@@ -157,23 +157,28 @@ def lifecycle_stream(status_stream: DataFrame, stall_minutes: int = STALL_MINUTE
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # silence timeout: emit a stall incident and reset the clock
+            # silence timeout: stall incident, retry up to the cap, then
+            # kill and drop the state (orbiter.md:183-196, pulsar.md:383)
             (status, tool_count, owner, retries, last_epoch) = state.get
+            capped = int(retries or 0) >= RETRY_CAP
             yield pd.DataFrame(
                 [
                     {
                         "plan_id": key[0],
                         "phase": key[1],
-                        "kind": "stalled",
+                        "kind": "killed" if capped else "stalled",
                         "from_status": status,
-                        "to_status": "retrying",
+                        "to_status": "killed" if capped else "retrying",
                         "tool_count": tool_count,
                         "at": pd.Timestamp.utcnow().tz_localize(None),
                     }
                 ]
             )
-            state.update((status, tool_count, owner, int(retries or 0) + 1, last_epoch))
-            state.setTimeoutDuration(stall_minutes * 60 * 1000)
+            if capped:
+                state.remove()
+            else:
+                state.update((status, tool_count, owner, int(retries or 0) + 1, last_epoch))
+                state.setTimeoutDuration(int(stall_minutes * 60 * 1000))
             return
         st: dict[str, Any] = {}
         if state.exists:
@@ -199,7 +204,7 @@ def lifecycle_stream(status_stream: DataFrame, stall_minutes: int = STALL_MINUTE
                 int(st.get("last_update_epoch") or 0),
             )
         )
-        state.setTimeoutDuration(stall_minutes * 60 * 1000)
+        state.setTimeoutDuration(int(stall_minutes * 60 * 1000))
         if rows:
             yield pd.DataFrame(rows)
 

@@ -133,6 +133,45 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_processing_time_timeout_stall_then_kill(spark, tmp_path):
+    """The REAL silence path: no events → ProcessingTimeTimeout fires,
+    emits stall incidents up to the retry cap, then kills and drops
+    state (orbiter.md:183-196 / pulsar.md:383)."""
+    import time
+
+    d = str(tmp_path / "silent_topic")
+    base = {
+        "task_id": "phase-1-p1", "project": "alpha", "plan_id": "p1", "phase": 1,
+        "thread_id": "th", "last_tool": "Edit", "last_file": "x.py",
+        "started_at": "2026-03-01T09:00:00", "completed_at": None,
+    }
+    atomic_write_json(d, "e1.json", {**base, "status": "running", "tool_count": 1, "updated_at": "2026-03-01T09:00:10"})
+    q = (
+        lifecycle_stream(
+            Topic(base_dir=d, schema=STATUS_SCHEMA).reader(spark), stall_minutes=0.02  # 1.2 s
+        )
+        .writeStream.format("memory")
+        .queryName("lc_timeout")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        kinds = []
+        while time.time() < deadline:
+            kinds = [r.kind for r in spark.sql("SELECT kind FROM lc_timeout").collect()]
+            if "killed" in kinds:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert kinds.count("stalled") == 2  # retry cap
+    assert kinds.count("killed") == 1  # then killed, state dropped
+    assert kinds[0] == "transition"
+
+
 def test_queue_namespace_lifecycle_moves(tmp_path):
     ns = QueueNamespace(root=str(tmp_path / "comms"), project="alpha")
     ns.setup()
