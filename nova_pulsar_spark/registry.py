@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
         setops,
         similarity,
         textstats,
+        tpch_shapes,
         topk,
         windows,
     )
