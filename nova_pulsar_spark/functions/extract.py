@@ -31,12 +31,15 @@ _COMMIT_RE = re.compile(r"\[(?:main|master)\s+([0-9a-f]{7,40})\]")
 _TESTS_RE = re.compile(r"(\d+)\s+passed(?:.*?(\d+)\s+failed)?")
 _ERROR_RE = re.compile(r"^(?:Error|ERROR|Traceback)\b.*$", re.MULTILINE)
 
+# files_modified / commits are '|'-joined strings in the result: the
+# driver's hasher needs scalar cells; list forms stay available from
+# extract_record() and are pinned by unit tests.
 EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("transcript_id", T.LongType()),
         T.StructField("status", T.StringType()),
-        T.StructField("files_modified", T.ArrayType(T.StringType())),
-        T.StructField("commits", T.ArrayType(T.StringType())),
+        T.StructField("files_modified", T.StringType()),
+        T.StructField("commits", T.StringType()),
         T.StructField("tests_passed", T.IntegerType()),
         T.StructField("tests_failed", T.IntegerType()),
         T.StructField("n_errors", T.IntegerType()),
@@ -71,8 +74,8 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "transcript_id": pdf["transcript_id"],
                 "status": recs.map(lambda r: r["status"]),
-                "files_modified": recs.map(lambda r: r["files_modified"]),
-                "commits": recs.map(lambda r: r["commits"]),
+                "files_modified": recs.map(lambda r: "|".join(r["files_modified"])),
+                "commits": recs.map(lambda r: "|".join(r["commits"])),
                 "tests_passed": recs.map(lambda r: r["tests_passed"]).astype("int32"),
                 "tests_failed": recs.map(lambda r: r["tests_failed"]).astype("int32"),
                 "n_errors": recs.map(lambda r: r["n_errors"]).astype("int32"),
@@ -104,10 +107,42 @@ def transcripts_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _transcripts_values_cte() -> str:
+    rows = ",\n      ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in FIXTURE_TRANSCRIPTS
+    )
+    return f"transcripts AS (SELECT * FROM (VALUES\n      {rows}) AS t(transcript_id, transcript))"
+
+
+# DuckDB twin of the same RE2-compatible extraction rules (regex
+# semantics match Python's re for this pattern subset: multiline ^,
+# non-greedy optional group, \b word boundary).
+_EXTRACT_SQL = f"""
+    WITH
+      {_transcripts_values_cte()},
+      parsed AS (
+        SELECT transcript_id,
+               regexp_extract_all(transcript, '(?m)^(?:Edit|Write|Update):\\s+(\\S+)', 1) AS files,
+               regexp_extract_all(transcript, '\\[(?:main|master)\\s+([0-9a-f]{{7,40}})\\]', 1) AS commits_l,
+               regexp_extract(transcript, '(\\d+)\\s+passed(?:.*?(\\d+)\\s+failed)?', 1) AS p_s,
+               regexp_extract(transcript, '(\\d+)\\s+passed(?:.*?(\\d+)\\s+failed)?', 2) AS f_s,
+               len(regexp_extract_all(transcript, '(?m)^(?:Error|ERROR|Traceback)\\b.*$', 0)) AS n_err
+        FROM transcripts)
+    SELECT transcript_id,
+           CASE WHEN COALESCE(TRY_CAST(f_s AS INTEGER), 0) > 0 OR n_err > 0
+                THEN 'failed' ELSE 'completed' END AS status,
+           COALESCE(array_to_string(list_sort(list_distinct(files)), '|'), '') AS files_modified,
+           COALESCE(array_to_string(commits_l, '|'), '') AS commits,
+           CAST(COALESCE(TRY_CAST(p_s AS INTEGER), 0) AS INTEGER) AS tests_passed,
+           CAST(COALESCE(TRY_CAST(f_s AS INTEGER), 0) AS INTEGER) AS tests_failed,
+           CAST(n_err AS INTEGER) AS n_errors
+    FROM parsed
+"""
+
+
 @register(
     "llm_output_extract",
-    sql=None,  # Pandas-UDF path (regex rules in Python) — rows-only check;
-    # the extraction rules are pinned by unit tests.
+    sql=_EXTRACT_SQL,
     doc="L2 transcript→struct extraction via mapInPandas (output-processor.md rules)",
 )
 def llm_output_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -326,7 +326,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
       string_split(text, ' ')[1] AS first_word,
       string_split(text, ' ')[-1] AS last_word,
       CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN TRUE ELSE FALSE END AS mentions_spark,
-      list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))) AS head_vocab
+      array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))), '|') AS head_vocab
     FROM documents
     """,
     doc="F13: array size/index/contains/distinct-sort (phase Files lists)",
@@ -334,13 +334,18 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
+    # head_vocab is serialized with concat_ws in the final projection:
+    # result columns must be scalar for the driver's hasher (array
+    # semantics — size/element_at/contains — are exercised upstream).
     return d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
         F.array_contains(words, "spark").alias("mentions_spark"),
-        F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 60), " "))).alias("head_vocab"),
+        F.concat_ws(
+            "|", F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 60), " ")))
+        ).alias("head_vocab"),
     )
 
 

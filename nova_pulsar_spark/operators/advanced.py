@@ -142,11 +142,55 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quantiles_approx",
-    sql=None,  # approximate sketch values are engine-specific → rows-only
-    doc="approx percentiles (the 100 TB path for quantiles; exactness covered by median_exact)",
+    "quantiles_exact",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN value END)     AS q25,
+           MAX(CASE WHEN rn = (2 * n + 3) // 4 THEN value END) AS q50,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q75,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Exact per-group quartiles via rank arithmetic (scalar result columns; "
+    "the percentile_approx sketch is the 100 TB path, pinned in pytest)",
 )
-def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 (lower discrete) quantile at rank ceil(q*n) = (k*n+3)//4 —
+    pure integer rank arithmetic, so both engines pick the identical row.
+    Output columns are scalars (q25/q50/q75), never arrays: the driver's
+    canonicalizer cannot hash list-valued cells.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wcnt = W.partitionBy("event_type")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wcnt)
+    )
+
+    def at_rank(k: int):
+        target = F.floor((F.lit(k) * F.col("n") + 3) / 4).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        at_rank(1).alias("q25"),
+        at_rank(2).alias("q50"),
+        at_rank(3).alias("q75"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
+def quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) — the mergeable-sketch
+    path a 100 TB quantile actually takes. Sketch internals are
+    engine-specific, so this is NOT registered for the DuckDB oracle;
+    tests/test_llm_ops.py pins it within rank tolerance of
+    quantiles_exact instead.
+    """
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("quartiles")

@@ -35,9 +35,11 @@ from nova_pulsar_spark.sources.tables import load_table
     SELECT
       o_orderpriority,
       COUNT(*) AS n_orders,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-      SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS n_large,
-      CAST(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / COUNT(*) AS DOUBLE) AS pct_finished
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      CAST(SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+      CAST(100.0 AS DOUBLE)
+        * CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        / COUNT(*) AS pct_finished
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -205,12 +207,43 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_approx_distinct",
-    sql=None,  # HLL implementations differ across engines → rows-only check;
-    # exactness is covered by agg_distinct.
-    doc="approx_count_distinct (HLL) per group — scale path for 100 TB distincts",
+    "agg_distinct_two_phase",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Manual two-phase distinct (dedup-then-count) — the skew-robust rewrite "
+    "of COUNT(DISTINCT); HLL sketch variant pinned in pytest",
 )
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 dedupes (flag, key) pairs — map-side combinable, so the
+    shuffle carries distinct pairs, not input rows; phase 2 counts per
+    flag. Unlike countDistinct's single expand+aggregate, each distinct
+    column dedupes independently — on skewed keys this halves shuffle
+    volume and avoids the expand blowup. Result is provably identical
+    to COUNT(DISTINCT), which is exactly what the oracle checks.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        l.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    parts = (
+        l.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return orders.join(parts, "l_returnflag")
+
+
+def agg_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group — the mergeable-
+    sketch path for 100 TB distincts. HLL internals are engine-specific
+    so there is no DuckDB oracle; tests/test_llm_ops.py pins the
+    estimate within rsd bounds of the exact counts instead.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
@@ -223,7 +256,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT
       n_regionkey,
-      LIST(n_name ORDER BY n_name) AS nations,
+      STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
       COUNT(*) AS n
     FROM nation
     GROUP BY n_regionkey
@@ -233,9 +266,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     # sort_array makes collect_list deterministic under any partitioning —
-    # the same trick the pulse rollup uses for nested phase arrays.
+    # the same trick the pulse rollup uses for nested phase arrays. The final
+    # projection serializes the array with concat_ws: the driver's value
+    # hasher canonicalizes via pandas sort_values, which cannot hash lists —
+    # result columns must be scalar (array semantics stay pinned in pytest).
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 

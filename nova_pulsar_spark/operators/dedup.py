@@ -184,6 +184,13 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-bit SimHash from the first 4 hex chars of each token's md5.
 _HEX = "0123456789abcdef"
 
+_SIMHASH_BITSUMS_SQL = ",\n             ".join(
+    f"CAST(SUM(2 * ((hv >> {b}) & 1) - 1) AS BIGINT) AS s{b}" for b in range(16)
+)
+_SIMHASH_RECOMBINE_SQL = "\n             + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
 
 @register(
     "llm_dedup_simhash",
@@ -199,17 +206,23 @@ _HEX = "0123456789abcdef"
            + (strpos('{_HEX}', substr(md5(token), 4, 1)) - 1) AS hv
       FROM tok),
     bits AS (
-      SELECT doc_id, b.b AS bit,
-             SUM(2 * ((hv // CAST(POW(2, b.b) AS BIGINT)) % 2) - 1) AS s
-      FROM tv CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) b
-      GROUP BY doc_id, b.b)
+      SELECT doc_id,
+             {_SIMHASH_BITSUMS_SQL}
+      FROM tv GROUP BY doc_id)
     SELECT doc_id,
-           SUM(CASE WHEN s >= 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS simhash
-    FROM bits GROUP BY doc_id
+           CAST({_SIMHASH_RECOMBINE_SQL} AS BIGINT) AS simhash
+    FROM bits
     """,
     doc="SimHash 16-bit document fingerprint (one-pass signature; near-dups = small Hamming radius)",
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass SimHash: all 16 bit-sums as aggregate columns in ONE
+    groupBy(doc_id) — the same rewrite as MinHash's 8-way min. The
+    shuffle carries one row per doc (16 longs), not 16× the token rows
+    (the previous crossJoin-vs-bits plan). Bit extraction is integer
+    shiftright/bitwiseAND on both engines — no double POW()/division at
+    bit boundaries, so the oracle hash is exact.
+    """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
     h = F.md5(F.col("token").cast("binary"))
@@ -219,21 +232,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hv = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).alias("hv")
     bitsrc = tok.select("doc_id", hv)
-    bits = d.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
-    contrib = (
-        bitsrc.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                2 * ((F.col("hv") / F.pow(F.lit(2), F.col("bit")).cast("bigint")).cast("bigint") % 2) - 1
-            ).alias("s")
-        )
+    sums = bitsrc.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
+            .cast("bigint")
+            .alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    return contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")).otherwise(0)
-        ).alias("simhash")
-    )
+    recombine = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        recombine = term if recombine is None else recombine + term
+    return sums.select("doc_id", recombine.cast("bigint").alias("simhash"))
 
 
 @register(

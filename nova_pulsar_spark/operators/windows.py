@@ -180,7 +180,8 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM gaps
     )
-    SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, session_no
     """,

@@ -90,7 +90,7 @@ def scan_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_sql(
         """
         SELECT project,
-               SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS n_active,
+               CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
                CASE WHEN SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) > 0
                     THEN TRUE ELSE FALSE END AS any_active
         FROM plans GROUP BY project
@@ -224,8 +224,8 @@ def filter_dep_satisfied(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_sql(
         """
         SELECT
-          SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS n_active,
-          SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS n_queued,
+          CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+          CAST(SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS BIGINT) AS n_queued,
           CASE WHEN SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) > 0
                THEN 'wait' ELSE 'dispatch' END AS decision
         FROM plans
@@ -661,10 +661,10 @@ def agg_queue_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_sql(
         """
         SELECT
-          SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS n_queued,
-          SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS n_active,
-          SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS n_completed,
-          SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS n_failed
+          CAST(SUM(CASE WHEN status = 'queued' THEN 1 ELSE 0 END) AS BIGINT) AS n_queued,
+          CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+          CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+          CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
         FROM plans
         """,
         PLANS,
@@ -692,11 +692,11 @@ def agg_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           l.plan_id, l.project,
           COUNT(*) AS n_phases_seen,
-          SUM(CASE WHEN l.status = 'completed' THEN 1 ELSE 0 END) AS n_completed,
-          SUM(CASE WHEN l.status = 'running' THEN 1 ELSE 0 END) AS n_running,
-          SUM(CASE WHEN l.status = 'running'
+          CAST(SUM(CASE WHEN l.status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+          CAST(SUM(CASE WHEN l.status = 'running' THEN 1 ELSE 0 END) AS BIGINT) AS n_running,
+          CAST(SUM(CASE WHEN l.status = 'running'
                     AND EPOCH_US({NOW_SQL}) - EPOCH_US(l.updated_at) > 600000000
-                   THEN 1 ELSE 0 END) AS n_stalled,
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_stalled,
           MAX(l.updated_at) AS last_update
         FROM latest l
         GROUP BY l.plan_id, l.project
@@ -768,8 +768,8 @@ def agg_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           p.id AS plan_id, p.status,
           COUNT(ph.phase) AS n_agents,
-          SUM(CASE WHEN COALESCE(ph.agent, 'sonnet') = 'opus' THEN 1 ELSE 0 END) AS n_opus,
-          SUM(CASE WHEN COALESCE(ph.agent, 'sonnet') = 'sonnet' THEN 1 ELSE 0 END) AS n_sonnet,
+          CAST(SUM(CASE WHEN COALESCE(ph.agent, 'sonnet') = 'opus' THEN 1 ELSE 0 END) AS BIGINT) AS n_opus,
+          CAST(SUM(CASE WHEN COALESCE(ph.agent, 'sonnet') = 'sonnet' THEN 1 ELSE 0 END) AS BIGINT) AS n_sonnet,
           d.duration_s
         FROM plans p
         JOIN phases ph ON p.id = ph.plan_id
@@ -1198,9 +1198,9 @@ def topk_oldest_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_sql(
         """
         SELECT project,
-               SUM(CASE WHEN status = 'review' THEN 1 ELSE 0 END) AS n_review,
-               SUM(CASE WHEN status = 'archived' THEN 1 ELSE 0 END) AS n_archived,
-               SUM(CASE WHEN status IN ('review', 'archived') THEN 1 ELSE 0 END) AS n_to_migrate
+               CAST(SUM(CASE WHEN status = 'review' THEN 1 ELSE 0 END) AS BIGINT) AS n_review,
+               CAST(SUM(CASE WHEN status = 'archived' THEN 1 ELSE 0 END) AS BIGINT) AS n_archived,
+               CAST(SUM(CASE WHEN status IN ('review', 'archived') THEN 1 ELSE 0 END) AS BIGINT) AS n_to_migrate
         FROM board GROUP BY project
         """,
         BOARD,

@@ -131,13 +131,118 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stateful lifecycle (rows-only: Pandas state machine; streaming path in tests)
+# Stateful lifecycle: the Pandas state machine's batch replay, with a
+# relational DuckDB twin. The transition log over a FIXED event history is
+# SQL-expressible (windows over sorted accepted events); what stays
+# pytest-only is live-stream behavior the relational form cannot model —
+# processing-time timeouts, and the status mutation a cap-exceeded kill
+# feeds back into later events (never reached on a deterministic replay of
+# these fixtures; pinned by tests/test_streaming.py instead).
 # ---------------------------------------------------------------------------
+
+# CTE chain replicating streaming.state._step over `status_events`:
+#   ev       — events ordered per (plan_id, phase) by (updated_at, tool_count)
+#   flagged  — owner at each point = first non-NULL thread_id before this row
+#   accepted — claim CAS (session-start.sh:60-67): non-owner events rejected
+#   term     — first accepted terminal event (status-tracker.sh:129-138)
+#   applied  — accepted events up to the terminal one, with prev status/time
+#   stalls   — >10-min silence while running (orbiter.md:176-196), retry cap 2
+_MACHINE_CTES = """ev AS (
+    SELECT plan_id, CAST(phase AS INTEGER) AS phase, thread_id, status,
+           CAST(COALESCE(tool_count, 0) AS INTEGER) AS tool_count, updated_at,
+           ROW_NUMBER() OVER (PARTITION BY plan_id, phase
+                              ORDER BY updated_at, tool_count) AS rn
+    FROM status_events),
+  flagged AS (
+    SELECT e.*,
+           (SELECT e2.thread_id FROM ev e2
+             WHERE e2.plan_id = e.plan_id AND e2.phase = e.phase
+               AND e2.rn < e.rn AND e2.thread_id IS NOT NULL
+             ORDER BY e2.rn LIMIT 1) AS owner_before
+    FROM ev e),
+  accepted AS (
+    SELECT * FROM flagged
+    WHERE NOT (thread_id IS NOT NULL AND owner_before IS NOT NULL
+               AND thread_id <> owner_before)),
+  term AS (
+    SELECT plan_id, phase, MIN(rn) AS term_rn, ARG_MIN(status, rn) AS term_status
+    FROM accepted WHERE status IN ('completed', 'failed', 'killed')
+    GROUP BY plan_id, phase),
+  applied AS (
+    SELECT a.plan_id, a.phase, a.status, a.tool_count, a.updated_at, a.rn,
+           LAG(a.status) OVER w AS prev_status,
+           LAG(epoch_us(a.updated_at)) OVER w AS prev_us
+    FROM accepted a LEFT JOIN term t
+      ON a.plan_id = t.plan_id AND a.phase = t.phase
+    WHERE t.term_rn IS NULL OR a.rn <= t.term_rn
+    WINDOW w AS (PARTITION BY a.plan_id, a.phase ORDER BY a.rn)),
+  stalls AS (
+    SELECT plan_id, phase, tool_count, updated_at,
+           ROW_NUMBER() OVER (PARTITION BY plan_id, phase ORDER BY rn) AS stall_seq
+    FROM applied
+    WHERE prev_status = 'running' AND epoch_us(updated_at) - prev_us > 600000000),
+  machine AS (
+    SELECT f.plan_id, f.phase, 'claim_rejected' AS kind,
+           (SELECT a.status FROM applied a
+             WHERE a.plan_id = f.plan_id AND a.phase = f.phase AND a.rn < f.rn
+             ORDER BY a.rn DESC LIMIT 1) AS from_status,
+           (SELECT a.status FROM applied a
+             WHERE a.plan_id = f.plan_id AND a.phase = f.phase AND a.rn < f.rn
+             ORDER BY a.rn DESC LIMIT 1) AS to_status,
+           f.tool_count, f.updated_at AS at
+    FROM flagged f
+    WHERE f.thread_id IS NOT NULL AND f.owner_before IS NOT NULL
+      AND f.thread_id <> f.owner_before
+    UNION ALL
+    SELECT a.plan_id, a.phase, 'suppressed_regression', t.term_status, a.status,
+           a.tool_count, a.updated_at
+    FROM accepted a JOIN term t ON a.plan_id = t.plan_id AND a.phase = t.phase
+    WHERE a.rn > t.term_rn
+    UNION ALL
+    SELECT plan_id, phase,
+           CASE WHEN stall_seq <= 2 THEN 'stalled' ELSE 'killed' END,
+           'running',
+           CASE WHEN stall_seq <= 2 THEN 'retrying' ELSE 'killed' END,
+           tool_count, updated_at
+    FROM stalls
+    UNION ALL
+    SELECT plan_id, phase, 'transition', prev_status, status, tool_count, updated_at
+    FROM applied
+    WHERE prev_status IS NULL OR status <> prev_status)"""
+
+
+def _machine_sql(events_cte: str, where: str = "") -> str:
+    return (
+        "WITH\n  "
+        + events_cte
+        + ",\n  "
+        + _MACHINE_CTES
+        + "\n    SELECT plan_id, phase, kind, from_status, to_status, tool_count, at"
+        + "\n    FROM machine"
+        + (f"\n    WHERE {where}" if where else "")
+    )
+
+
+# Synthetic claim race: th-B reports on a phase th-A already owns.
+from datetime import datetime as _dt
+
+from nova_pulsar_spark.plans.fixtures import Fixture as _Fixture
+
+CLAIM_EVENTS = _Fixture(
+    name="status_events",
+    columns=STATUS_EVENTS.columns,
+    rows=(
+        ("phase-1-p1", "alpha", "p1", 1, "th-A", "starting", 0, None, None, _dt(2026, 3, 1, 9, 0, 0), _dt(2026, 3, 1, 9, 0, 0), None),
+        ("phase-1-p1", "alpha", "p1", 1, "th-B", "running", 3, "Edit", "x.py", _dt(2026, 3, 1, 9, 0, 30), _dt(2026, 3, 1, 9, 0, 0), None),
+        ("phase-1-p1", "alpha", "p1", 1, "th-A", "running", 5, "Bash", "x.py", _dt(2026, 3, 1, 9, 1, 0), _dt(2026, 3, 1, 9, 0, 0), None),
+        ("phase-1-p1", "alpha", "p1", 1, "th-A", "completed", 7, "Bash", "x.py", _dt(2026, 3, 1, 9, 2, 0), _dt(2026, 3, 1, 9, 0, 0), _dt(2026, 3, 1, 9, 2, 0)),
+    ),
+)
 
 
 @register(
     "state_lifecycle",
-    sql=None,  # stateful pandas path → rows-only; semantics pinned in tests
+    sql=_machine_sql(STATUS_EVENTS.values_cte()),
     doc="Q2/Q3: per-phase lifecycle transitions from the status stream (state machine replay)",
 )
 def state_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,26 +251,20 @@ def state_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "state_claim",
-    sql=None,
+    sql=_machine_sql(CLAIM_EVENTS.values_cte()),
     doc="Q6: claim CAS — competing thread's events rejected (single-writer-per-key)",
 )
 def state_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Synthetic race: th-B reports on a phase th-A already owns.
-    from datetime import datetime
-
-    rows = [
-        ("phase-1-p1", "alpha", "p1", 1, "th-A", "starting", 0, None, None, datetime(2026, 3, 1, 9, 0, 0), datetime(2026, 3, 1, 9, 0, 0), None),
-        ("phase-1-p1", "alpha", "p1", 1, "th-B", "running", 3, "Edit", "x.py", datetime(2026, 3, 1, 9, 0, 30), datetime(2026, 3, 1, 9, 0, 0), None),
-        ("phase-1-p1", "alpha", "p1", 1, "th-A", "running", 5, "Bash", "x.py", datetime(2026, 3, 1, 9, 1, 0), datetime(2026, 3, 1, 9, 0, 0), None),
-        ("phase-1-p1", "alpha", "p1", 1, "th-A", "completed", 7, "Bash", "x.py", datetime(2026, 3, 1, 9, 2, 0), datetime(2026, 3, 1, 9, 0, 0), datetime(2026, 3, 1, 9, 2, 0)),
-    ]
-    df = spark.createDataFrame(rows, STATUS_EVENTS.spark_schema())
+    df = CLAIM_EVENTS.spark_df(spark)
     return lifecycle_batch(df)
 
 
 @register(
     "state_incident",
-    sql=None,
+    sql=_machine_sql(
+        STATUS_EVENTS.values_cte(),
+        where="kind IN ('stalled', 'killed', 'suppressed_regression')",
+    ),
     doc="Q7: stalled-consumer incidents + retry cap from event-time gaps",
 )
 def state_incident(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,4 +79,34 @@ def test_output_extract_spark(spark, sf_dir):
     rows = {r.transcript_id: r for r in llm_output_extract(spark, sf_dir).collect()}
     assert rows[0].status == "completed"
     assert rows[1].status == "failed"
-    assert rows[2].files_modified == ["README.md"]
+    assert rows[2].files_modified == "README.md"
+
+
+def test_hll_sketch_within_rsd_of_exact(spark, sf_dir):
+    """approx_count_distinct (HLL++, default rsd 0.05) stays within a
+    generous 3×rsd band of the exact two-phase distinct counts."""
+    from nova_pulsar_spark.operators.aggregates import (
+        agg_approx_distinct_hll,
+        agg_distinct_two_phase,
+    )
+
+    exact = {r.l_returnflag: r for r in agg_distinct_two_phase(spark, sf_dir).collect()}
+    for r in agg_approx_distinct_hll(spark, sf_dir).collect():
+        e = exact[r.l_returnflag]
+        assert abs(r.approx_orders - e.n_orders) <= max(3, 0.15 * e.n_orders)
+        assert abs(r.approx_parts - e.n_parts) <= max(3, 0.15 * e.n_parts)
+
+
+def test_quantile_sketch_brackets_exact(spark, sf_dir):
+    """percentile_approx at accuracy 10000 lands within the value range
+    bracketing each exact quartile (rank tolerance of the GK sketch)."""
+    from nova_pulsar_spark.operators.advanced import quantiles_exact, quantiles_sketch
+
+    exact = {r.event_type: r for r in quantiles_exact(spark, sf_dir).collect()}
+    for r in quantiles_sketch(spark, sf_dir).collect():
+        e = exact[r.event_type]
+        q25, q50, q75 = r.quartiles
+        # sketch error at accuracy=10000 on sf<=0.01 groups is ~exact;
+        # allow a small relative slack for the larger sf dirs
+        for approx, true in ((q25, e.q25), (q50, e.q50), (q75, e.q75)):
+            assert abs(approx - true) <= 0.02 * max(abs(true), 1.0)

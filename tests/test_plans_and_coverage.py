@@ -25,7 +25,7 @@ SURVEY_KEYS = [
     "agg_queue_count", "agg_state_counts", "agg_pulse", "agg_progress",
     "agg_exec_log", "agg_tool_count", "agg_eta",
     "agg_distinct", "agg_grouping_sets", "agg_cube", "agg_rollup",
-    "agg_approx_distinct",
+    "agg_distinct_two_phase",
     # §2.5 sort/topk
     "topk_best_plan", "topk_latest",
     # §2.6 windows

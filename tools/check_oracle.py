@@ -59,6 +59,38 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _driver_strict_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Checks the lenient value-compare below would miss but the driver's
+    canonicalize-and-hash gate does not:
+
+    - list/ndarray-valued cells crash the driver's pandas sort_values
+      (TypeError: unhashable type) — every result column must be scalar;
+    - dtype-kind mismatches (e.g. DuckDB HUGEINT -> float64 vs Spark
+      bigint -> int64) change the value hash even when values compare
+      equal as python numbers.
+    """
+    import numpy as np
+
+    problems = []
+    for label, df in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, dict, np.ndarray))
+            ).any():
+                problems.append(
+                    f"non-scalar cells in {label} col={c} (driver hasher crashes on these)"
+                )
+    shared = set(spark_pdf.columns) & set(oracle_pdf.columns)
+    for c in sorted(shared):
+        sk = spark_pdf[c].dtype.kind.replace("u", "i")
+        ok_ = oracle_pdf[c].dtype.kind.replace("u", "i")
+        if sk != ok_:
+            problems.append(
+                f"dtype mismatch col={c}: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}"
+            )
+    return problems
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -67,6 +99,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if sc != oc:
         problems.append(f"columns spark={sc} oracle={oc}")
         return problems
+    problems.extend(_driver_strict_problems(spark_pdf, oracle_pdf))
     if problems:
         return problems
     s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
@@ -104,8 +137,13 @@ def main() -> int:
             n_fail += 1
             continue
         if rq.sql is None:
-            print(f"ROWS-ONLY {name}: {len(spdf)} rows")
-            n_rows_only += 1
+            nonscalar = _driver_strict_problems(spdf, spdf.iloc[0:0])
+            if nonscalar:
+                print(f"FAIL {name}: " + "; ".join(nonscalar[:3]))
+                n_fail += 1
+            else:
+                print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+                n_rows_only += 1
             continue
         try:
             opdf = con.execute(rq.sql).fetchdf()
