@@ -36,10 +36,14 @@ HEADLINE = [
     "median_exact",
     "llm_dedup_exact",
     "llm_dedup_near",
+    "llm_dedup_simhash",
+    "llm_dedup_verify",
     "llm_simsearch_topk",
     "llm_simsearch_ivf",
     "llm_text_stats",
     "llm_text_fingerprint",
+    "sched_rounds",
+    "agg_pulse",
 ]
 
 

@@ -133,6 +133,29 @@ MINHASH_SQL_CTES = (
 )
 
 
+def lsh_candidates(mh: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b) from (doc_id, seed, mh)
+    signatures — the bucket self-join that replaces all-pairs: only
+    documents agreeing on a full band signature ever meet."""
+    bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
+            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
+        ).alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "llm_dedup_near",
     sql="WITH\n  "
@@ -150,23 +173,7 @@ MINHASH_SQL_CTES = (
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mh = minhash_signatures(d).cache()
-    bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
-        F.concat(
-            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
-            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
-        ).alias("sig")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidates(mh)
     ma, mb = mh.alias("ma"), mh.alias("mb")
     return (
         cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
@@ -178,6 +185,58 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / N_SEEDS
             ).alias("est_jaccard")
         )
+    )
+
+
+@register(
+    "llm_dedup_verify",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + """,
+    ws AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand))
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8 AS is_dup
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+    """,
+    doc="LSH→verify pipeline: exact Jaccard computed ONLY on MinHash-LSH candidate "
+    "pairs (the production dedup DAG; SURVEY §7.3.5)",
+)
+def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DAG: candidate generation is banded LSH
+    (never all-pairs), the exact-Jaccard verify stage then runs only on
+    those candidates. At 100 TB the verify join touches |cand| pairs —
+    word sets are materialized only for docs that appear in a candidate
+    pair (the semi-join below), so the expensive array intersection
+    never sees the full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(d).cache()
+    cand = lsh_candidates(mh)
+    needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ws = (
+        d.join(needed, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(_words(F.col("text"))).alias("words"))
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"), (jac >= 0.8).alias("is_dup"))
     )
 
 

@@ -129,6 +129,68 @@ def dispatch_once(spark: SparkSession, root: str, now: datetime | None = None) -
     return decision
 
 
+def dispatch_stream(
+    spark: SparkSession, root: str, checkpoint_dir: str, now: datetime | None = None
+) -> list[tuple[str, str]]:
+    """J7 stream-static guard join (`scripts/starry-daemon.sh:175-195`)
+    in true streaming form: the queued-plan stream is LEFT-ANTI joined
+    against the static active-plan set (projects with an active plan
+    are guarded out — the daemon's "a plan is currently active,
+    waiting" branch), then each micro-batch runs the Orbiter top-1
+    selection and publishes the dispatch decision atomically.
+
+    Returns the (project, plan_id) decisions for assertion; uses
+    ``Trigger.AvailableNow`` (the daemon's ``--once``) so tests drive a
+    complete cycle synchronously.
+    """
+    now = now or datetime.utcnow()
+    stream = (
+        spark.readStream.schema(PLAN_SCHEMA)
+        .option("pathGlobFilter", "*.json")
+        .json(os.path.join(root, "*", "queued", "background"))
+    )
+    active = _read_plans(spark, root, "active/*.json", "active")
+    if active is not None:
+        # the stream-static guard join: static side re-planned per batch
+        guarded = stream.join(active.select("project").distinct(), "project", "left_anti")
+    else:
+        guarded = stream
+
+    dispatched: list[tuple[str, str]] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        plan_meta = batch_df.select(
+            "id", "title", "project", "type", F.lit("queued").alias("status"),
+            "execution_mode", "created_at", "n_phases",
+        )
+        phases = batch_df.select(
+            F.col("id").alias("plan_id"), F.explode("phases").alias("ph")
+        ).select("plan_id", F.col("ph.phase").alias("phase"), F.col("ph.files").alias("files"))
+        best = S.best_plan(plan_meta, phases).collect()
+        if best:
+            chosen = best[0]
+            atomic_write_json(
+                root,
+                f"dispatch-{batch_id}.json",
+                {
+                    "action": "dispatch",
+                    "project": chosen.project,
+                    "plan_id": chosen.id,
+                    "at": now.isoformat(),
+                },
+            )
+            dispatched.append((chosen.project, chosen.id))
+
+    q = (
+        guarded.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dispatched
+
+
 def monitor_once(
     spark: SparkSession, root: str, now: datetime, stall_minutes: int = 10
 ) -> dict:
@@ -146,43 +208,67 @@ def monitor_once(
         atomic_write_json(root, "pulse.json", pulse)
         return pulse
     latest = S.latest_status(se)
-    flagged = S.stalled(latest, F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S"))), stall_minutes)
-    rows = flagged.select(
-        "project", "plan_id", "phase", "status", "tool_count", "last_tool", "updated_at", "stalled"
-    ).collect()
-    rounds: dict[str, dict] = {}
-    incidents = []
-    for r in rows:
-        g = rounds.setdefault(r.plan_id, {"plan_id": r.plan_id, "project": r.project, "phases": []})
-        g["phases"].append(
-            {
-                "phase": r.phase,
-                "status": r.status,
-                "tool_count": r.tool_count,
-                "last_tool": r.last_tool,
-                "updated_at": r.updated_at.isoformat(),
-                "stalled": bool(r.stalled),
-            }
+    now_col = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    flagged = S.stalled(latest, now_col, stall_minutes)
+
+    # The nested rollup is built IN SPARK (A3, orbiter.md:198-242):
+    # per-plan phase arrays via sort_array(collect_list(struct)), plans
+    # collected into one document column with to_json — the driver
+    # fetches a single serialized row, never per-(plan, phase) rows.
+    # At 100× plan counts this stays a two-level tree aggregation.
+    phase_struct = F.struct(
+        F.col("phase"),
+        F.col("status"),
+        F.col("tool_count"),
+        F.col("last_tool"),
+        F.date_format("updated_at", "yyyy-MM-dd'T'HH:mm:ss").alias("updated_at"),
+        F.col("stalled"),
+    )
+    rounds_df = flagged.groupBy("plan_id", "project").agg(
+        F.sort_array(F.collect_list(phase_struct)).alias("phases")
+    )
+    rounds_doc = rounds_df.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("plan_id"), F.col("project"), F.col("phases")))
+        ).alias("rounds")
+    )
+    incidents_doc = (
+        flagged.filter(F.col("stalled"))
+        .select(
+            F.struct(
+                F.lit("stalled_kill").alias("type"),
+                F.col("project"),
+                F.col("plan_id"),
+                F.col("phase"),
+                F.lit(now.isoformat()).alias("killed_at"),
+                F.floor(
+                    (F.unix_timestamp(now_col) - F.unix_timestamp("updated_at")) / 60
+                ).cast("int").alias("stalled_for_minutes"),
+            ).alias("inc")
         )
-        if r.stalled:
-            stalled_min = int((now - r.updated_at).total_seconds() // 60)
-            incidents.append(
-                {
-                    "type": "stalled_kill",
-                    "project": r.project,
-                    "plan_id": r.plan_id,
-                    "phase": r.phase,
-                    "killed_at": now.isoformat(),
-                    "stalled_for_minutes": stalled_min,
-                }
-            )
-    for g in rounds.values():
-        g["phases"].sort(key=lambda p: p["phase"])
-    pulse = {
-        "updated_at": now.isoformat(),
-        "rounds": sorted(rounds.values(), key=lambda g: g["plan_id"]),
-        "incidents": incidents,
-    }
+        .agg(F.sort_array(F.collect_list("inc")).alias("incidents"))
+    )
+    doc_row = (
+        rounds_doc.crossJoin(incidents_doc)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit(now.isoformat()).alias("updated_at"),
+                    F.col("rounds"),
+                    F.col("incidents"),
+                )
+            ).alias("pulse")
+        )
+        .first()
+    )
+    pulse = json.loads(doc_row["pulse"])
+    # to_json drops null-valued fields; restore them so the pulse file
+    # shape is stable for consumers regardless of phase state.
+    pulse.setdefault("rounds", [])
+    pulse.setdefault("incidents", [])
+    for g in pulse["rounds"]:
+        for p in g["phases"]:
+            p.setdefault("last_tool", None)
     atomic_write_json(root, "pulse.json", pulse)
     return pulse
 

@@ -137,7 +137,14 @@ PLANS = Fixture(
         ("plan-20260225-1200", "Update docs", "beta", "/w/beta", None, "docs", "completed", "background", _ts(25, 12, 0), 1, 1),
         ("plan-20260228-1200", "Gamma dashboard", "gamma", "/w/gamma", "th-05", "feature", "queued", "interactive", _ts(28, 12, 0), 5, 3),
         ("plan-20260224-0800", "Gamma ingest", "gamma", "/w/gamma", None, "feature", "failed", "background", _ts(24, 8, 0), 3, 2),
+        # active plan whose agent died days ago: the plan FILE is present
+        # but the heartbeat is stale — S10 liveness must call it dead
+        ("plan-20260224-0850", "Gamma migration", "gamma", "/w/gamma", "th-06", "refactor", "active", "background", _ts(24, 8, 50), 1, 1),
         ("plan-20260228-1300", "Gamma fix nulls", "gamma", "/w/gamma", None, "bug", "queued", "background", _ts(28, 13, 0), 2, 1),
+        # critical-files plan (orbiter.md:82): chore touching src/security/
+        # → priority 4, ranking ABOVE the earlier-created "Cleanup deps"
+        # chore (5) — the rank flip only the critical-files −1 can cause.
+        ("plan-20260228-1400", "Rotate signing keys", "beta", "/w/beta", None, "chore", "queued", "background", _ts(28, 14, 0), 1, 1),
     ),
 )
 
@@ -181,11 +188,13 @@ PHASES = Fixture(
         ("plan-20260228-1200", 3, "State", ["ui/state.ts"], "High (Implementation)", "opus"),
         ("plan-20260228-1200", 4, "Wire API", ["ui/api.ts", "ui/state.ts"], "Medium", "opus"),
         ("plan-20260228-1200", 5, "Tests", ["ui/tests/dash.test.ts"], "Low", "sonnet"),
+        ("plan-20260224-0850", 1, "Migrate schema", ["ops/migrate.sql"], "Medium", "opus"),
         ("plan-20260224-0800", 1, "Schema", ["etl/schema.sql"], "Medium", "opus"),
         ("plan-20260224-0800", 2, "Loader", ["etl/load.py"], "High (Implementation)", "opus"),
         ("plan-20260224-0800", 3, "Backfill", ["etl/backfill.py"], "Medium", "opus"),
         ("plan-20260228-1300", 1, "Null guard", ["etl/load.py"], "Low", "sonnet"),
         ("plan-20260228-1300", 2, "Tests", ["etl/tests/test_load.py"], "Low", "sonnet"),
+        ("plan-20260228-1400", 1, "Rotate keys", ["src/security/keys.py"], "Low", "sonnet"),
     ),
 )
 
@@ -232,6 +241,8 @@ STATUS_EVENTS = Fixture(
         ("phase-3-plan-20260225-0900", "alpha", "plan-20260225-0900", 3, "th-01", "completed", 9, "Bash", "tests/test_auth.py", _ts(25, 11, 10), _ts(25, 10, 55), _ts(25, 11, 10)),
         ("phase-1-plan-20260226-1000", "alpha", "plan-20260226-1000", 1, None, "completed", 6, "Bash", "tests/test_login.py", _ts(26, 10, 30), _ts(26, 10, 10), _ts(26, 10, 30)),
         ("phase-2-plan-20260226-1000", "alpha", "plan-20260226-1000", 2, None, "completed", 11, "Edit", "src/auth/api.py", _ts(26, 11, 5), _ts(26, 10, 35), _ts(26, 11, 5)),
+        # stale active plan: last heartbeat days before NOW (S10 liveness)
+        ("phase-1-plan-20260224-0850", "gamma", "plan-20260224-0850", 1, "th-06", "running", 4, "Bash", "ops/migrate.sql", _ts(24, 9, 0), _ts(24, 8, 55), None),
         # failed plan-20260224-0800 phase 2
         ("phase-1-plan-20260224-0800", "gamma", "plan-20260224-0800", 1, None, "completed", 8, "Bash", "etl/schema.sql", _ts(24, 8, 40), _ts(24, 8, 10), _ts(24, 8, 40)),
         ("phase-2-plan-20260224-0800", "gamma", "plan-20260224-0800", 2, None, "failed", 17, "Bash", "etl/load.py", _ts(24, 9, 30), _ts(24, 8, 45), _ts(24, 9, 30)),

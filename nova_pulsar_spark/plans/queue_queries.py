@@ -108,6 +108,51 @@ def scan_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_active_live",
+    sql=_sql(
+        f"""
+        SELECT p.project, p.id AS plan_id,
+               CASE WHEN hb.last_beat IS NOT NULL
+                     AND EPOCH_US({NOW_SQL}) - EPOCH_US(hb.last_beat) <= 600000000
+                    THEN TRUE ELSE FALSE END AS live
+        FROM plans p
+        LEFT JOIN hb ON hb.plan_id = p.id
+        WHERE p.status = 'active'
+        """,
+        PLANS,
+        STATUS_EVENTS,
+        ctes=(
+            "hb AS (SELECT plan_id, MAX(updated_at) AS last_beat FROM status_events GROUP BY plan_id)",
+        ),
+    ),
+    doc="S10: PID-liveness analog (starry-daemon.sh:77-85) — an active plan "
+    "counts as LIVE only with a heartbeat fresher than the stall window; "
+    "a present plan file with a dead agent is stale state, not activity",
+)
+def scan_active_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference probes `ps -p $(cat pid)`; the engine's analog is
+    the W1 age predicate over the plan's newest status heartbeat — the
+    same signal the stall detector uses, evaluated at the injected NOW.
+    """
+    p = PLANS.spark_df(spark)
+    hb = (
+        STATUS_EVENTS.spark_df(spark)
+        .groupBy("plan_id")
+        .agg(F.max("updated_at").alias("last_beat"))
+    )
+    now_col = F.to_timestamp(F.lit(NOW.strftime("%Y-%m-%d %H:%M:%S")))
+    live = (
+        F.col("last_beat").isNotNull()
+        & ((F.unix_micros(now_col) - F.unix_micros(F.col("last_beat"))) <= 600_000_000)
+    )
+    return (
+        p.filter(F.col("status") == "active")
+        .join(hb, p.id == hb.plan_id, "left")
+        .select("project", F.col("id").alias("plan_id"), live.alias("live"))
+    )
+
+
+@register(
     "scan_status",
     sql=_sql(
         "SELECT project, plan_id, phase, status, tool_count, last_tool, updated_at FROM latest",
@@ -405,6 +450,9 @@ def project_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN 'refactor' THEN 4 ELSE 5 END
             - CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.dep_id = p.id) THEN 1 ELSE 0 END
             - CASE WHEN p.created_at = (SELECT MIN(created_at) FROM plans WHERE status = 'queued')
+                   THEN 1 ELSE 0 END
+            - CASE WHEN EXISTS (SELECT 1 FROM plan_files f WHERE f.plan_id = p.id
+                                AND regexp_matches(f.file, 'auth|security|pay'))
                    THEN 1 ELSE 0 END
             + CASE WHEN p.n_phases >= 4 THEN 1 ELSE 0 END
           AS INTEGER) AS priority
@@ -897,6 +945,9 @@ def agg_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 'refactor' THEN 4 ELSE 5 END
               - CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.dep_id = p.id) THEN 1 ELSE 0 END
               - CASE WHEN p.created_at = (SELECT MIN(created_at) FROM plans WHERE status = 'queued')
+                     THEN 1 ELSE 0 END
+              - CASE WHEN EXISTS (SELECT 1 FROM plan_files f WHERE f.plan_id = p.id
+                                  AND regexp_matches(f.file, 'auth|security|pay'))
                      THEN 1 ELSE 0 END
               + CASE WHEN p.n_phases >= 4 THEN 1 ELSE 0 END
             AS INTEGER) AS priority

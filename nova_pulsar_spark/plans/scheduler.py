@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 # Reference type→priority table (agents/orbiter.md:68-77).
 TYPE_PRIORITY = {"security": 1, "bug": 2, "feature": 3, "refactor": 4, "chore": 5, "docs": 5}
 
+# "Plan touches critical files (auth, security, payments) → -1"
+# (agents/orbiter.md:82). Substring patterns over the plan's file set.
+CRITICAL_FILE_RE = "auth|security|pay"
+
 # Reference complexity→model routing (commands/pulsar.md:114-137):
 # High*/Medium → opus, Low → sonnet, missing → sonnet (backward compat).
 def route_model(complexity_col):
@@ -76,7 +80,8 @@ def priority_scores(plans: DataFrame, phases: DataFrame) -> DataFrame:
     """Priority projection (P9, `agents/orbiter.md:68-83`).
 
     base(type) − 1 if the plan unblocks others − 1 if it waited
-    longest among queued + 1 if large (≥4 phases).
+    longest among queued − 1 if it touches critical files
+    (auth/security/payments, orbiter.md:82) + 1 if large (≥4 phases).
     """
     base = F.coalesce(
         F.element_at(
@@ -87,10 +92,18 @@ def priority_scores(plans: DataFrame, phases: DataFrame) -> DataFrame:
     )
     edges = dep_edges(plans, phases)
     unblocks = edges.select(F.col("dep_id").alias("id")).distinct().withColumn("unblocks", F.lit(1))
+    critical = (
+        plan_files(phases)
+        .filter(F.col("file").rlike(CRITICAL_FILE_RE))
+        .select(F.col("plan_id").alias("id"))
+        .distinct()
+        .withColumn("critical", F.lit(1))
+    )
     queued = plans.filter(F.col("status") == "queued")
     waited = queued.select(F.min("created_at").alias("oldest_created"))
     return (
         queued.join(unblocks, "id", "left")
+        .join(critical, "id", "left")
         .crossJoin(waited)
         .select(
             "id",
@@ -101,6 +114,7 @@ def priority_scores(plans: DataFrame, phases: DataFrame) -> DataFrame:
                 base
                 - F.coalesce(F.col("unblocks"), F.lit(0))
                 - F.when(F.col("created_at") == F.col("oldest_created"), 1).otherwise(0)
+                - F.coalesce(F.col("critical"), F.lit(0))
                 + F.when(F.col("n_phases") >= 4, 1).otherwise(0)
             ).cast("int").alias("priority"),
         )
@@ -142,7 +156,13 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
     each step is a distributed join; depth ≤ max phase count bounds it.
     """
     conflicts = phase_conflicts(phases)
-    rounds = phases.select("plan_id", "phase").withColumn("round", F.lit(1))
+    # localCheckpoint truncates lineage each step — without it every
+    # iteration re-plans (and the fixpoint probe re-executes) the whole
+    # join chain so far, and the plan grows superlinearly with depth.
+    rounds = (
+        phases.select("plan_id", "phase").withColumn("round", F.lit(1)).localCheckpoint()
+    )
+    prev_max = 1
     for _ in range(max_iters):
         bumped = (
             conflicts.alias("c")
@@ -156,19 +176,18 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
                 (F.col("r.round") + 1).alias("round"),
             )
         )
-        new_rounds = (
+        rounds = (
             rounds.unionByName(bumped)
             .groupBy("plan_id", "phase")
             .agg(F.max("round").alias("round"))
+            .localCheckpoint()
         )
-        # Fixpoint check on max depth (cheap: single scalar).
-        if (
-            new_rounds.agg(F.max("round")).first()[0]
-            == rounds.agg(F.max("round")).first()[0]
-        ):
-            rounds = new_rounds
+        # Fixpoint when the frontier stopped deepening (ONE scalar probe
+        # per step; the previous depth is remembered driver-side).
+        new_max = rounds.agg(F.max("round")).first()[0]
+        if new_max == prev_max:
             break
-        rounds = new_rounds
+        prev_max = new_max
     return rounds
 
 

@@ -48,23 +48,34 @@ class JsonDirSink:
             atomic_write_json(self.directory, name, d)
         # seal AFTER all files are in place: a crash mid-batch replays
         # the whole batch; per-file atomic rename makes that safe.
+        # (atomic_write_json is already tmp+rename — no second publish step.)
         atomic_write_json(self.directory, os.path.basename(self._seal_path(batch_id)), {"batch_id": batch_id})
-        os.replace(
-            os.path.join(self.directory, os.path.basename(self._seal_path(batch_id))),
-            self._seal_path(batch_id),
-        )
 
 
 class AppendLogSink:
-    """S9 append-log sink: `{ts} - {msg}` lines, one write per batch."""
+    """S9 append-log sink: `{ts} - {msg}` lines, one write per batch.
+
+    Idempotent per batch_id like JsonDirSink: a `.batch-<id>` seal in a
+    sidecar dir makes checkpoint replays no-ops — without it a crash
+    between append and checkpoint-commit would duplicate the batch's
+    lines on recovery.
+    """
 
     def __init__(self, path: str):
         self.path = path
+        self.seal_dir = path + ".batches"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        os.makedirs(self.seal_dir, exist_ok=True)
+
+    def _seal_path(self, batch_id: int) -> str:
+        return os.path.join(self.seal_dir, f".batch-{batch_id}")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._seal_path(batch_id)):
+            return  # checkpoint replay — lines already appended
         lines = [json.dumps(r.asDict(recursive=True), default=str) for r in batch_df.collect()]
         if lines:
             with open(self.path, "a") as f:
                 for line in lines:
                     f.write(line + "\n")
+        atomic_write_json(self.seal_dir, f".batch-{batch_id}", {"batch_id": batch_id})

@@ -72,3 +72,29 @@ def test_model_routing_backward_compat_default(spark):
     assert routed[("plan-20260227-1100", 1)] == "opus"  # High (Architectural)
     assert routed[("plan-20260227-1100", 4)] == "sonnet"  # Low
     assert routed[("plan-20260228-0900", 2)] == "sonnet"  # missing complexity → default
+
+
+def test_critical_files_adjustment_flips_chore_rank(spark):
+    """orbiter.md:82 — 'Plan touches critical files (auth, security,
+    payments) → -1'. The security-keys chore (created LAST) must rank
+    ahead of the earlier-created plain chore purely because of the
+    critical-files adjustment."""
+    scores = {
+        r.id: r.priority
+        for r in S.priority_scores(PLANS.spark_df(spark), PHASES.spark_df(spark)).collect()
+    }
+    assert scores["plan-20260228-1400"] == 4  # chore 5 − critical 1
+    assert scores["plan-20260228-1100"] == 5  # chore, no critical files
+    assert scores["plan-20260228-1400"] < scores["plan-20260228-1100"]
+    # auth-refactor gets the same −1 (base 4 → 3)
+    assert scores["plan-20260228-0900"] == 3
+
+
+def test_stale_heartbeat_active_plan_is_not_live(spark):
+    """S10 (starry-daemon.sh:77-85): an active plan file whose agent
+    stopped heartbeating days ago is stale state — not activity."""
+    from nova_pulsar_spark.plans.queue_queries import scan_active_live
+
+    rows = {r.plan_id: r.live for r in scan_active_live(spark, "unused").collect()}
+    assert rows["plan-20260227-1100"] is True  # heartbeat 30 s before NOW
+    assert rows["plan-20260224-0850"] is False  # heartbeat days old

@@ -60,3 +60,15 @@ def test_append_log_sink(spark, tmp_path):
     sink(batch, 1)
     lines = open(p).read().strip().splitlines()
     assert len(lines) == 2 and json.loads(lines[0])["action"] == "dispatch"
+
+
+def test_append_log_sink_replay_is_noop(spark, tmp_path):
+    """Replaying the SAME batch_id (checkpoint recovery) must not
+    duplicate the batch's lines."""
+    p = str(tmp_path / "log2" / "daemon.log")
+    sink = AppendLogSink(p)
+    batch = spark.createDataFrame([("dispatch", "p1")], "action string, plan_id string")
+    sink(batch, 0)
+    sink(batch, 0)  # replay
+    lines = open(p).read().strip().splitlines()
+    assert len(lines) == 1
