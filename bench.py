@@ -42,6 +42,8 @@ HEADLINE = [
     "llm_simsearch_ivf",
     "llm_text_stats",
     "llm_text_fingerprint",
+    "llm_dedup_embedding_lsh",
+    "llm_contamination",
     "sched_rounds",
     "agg_pulse",
 ]

@@ -1,0 +1,245 @@
+"""Training-data pipeline operators over the `documents` table:
+deterministic splits, per-group sampling, benchmark-contamination
+checks, PII scrubbing, text normalization.
+
+These extend the north-star LLM-data layer (BASELINE.json; SURVEY.md
+§2.10 extensions) with the curation steps a 100 TB pretraining corpus
+actually goes through between dedup and tokenization.
+
+Scale notes:
+- split/sample assignment is a pure per-row hash projection — no
+  shuffle at all for the split, one shuffle on the (small) group key
+  for per-group sampling;
+- contamination is a semi-join of corpus shingles against a BENCHMARK
+  shingle set that is broadcast (benchmarks are tiny vs the corpus) —
+  documents never shuffle;
+- scrub/normalize are single-pass projections inside whole-stage
+  codegen (JVM regex, no Python).
+
+Cross-engine hashing: both Spark and DuckDB share lowercase-hex
+``md5``; integer buckets are derived nibble-wise (instr/strpos over
+the hex alphabet — the same proven idiom as SimHash) so assignments
+are bit-identical and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+_HEX = "0123456789abcdef"
+
+TRAIN_PCT = 90  # 90/10 split
+SAMPLE_PER_GROUP = 25
+
+
+def _hash16_spark(col: F.Column) -> F.Column:
+    """First 16 bits of md5(col) as an int — identical on both engines."""
+    h = F.md5(col.cast("binary"))
+
+    def nib(i: int) -> F.Column:
+        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+
+    return nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+
+
+def _hash16_sql(expr: str) -> str:
+    return (
+        f"((strpos('{_HEX}', substr(md5({expr}), 1, 1)) - 1) * 4096"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 2, 1)) - 1) * 256"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 3, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 4, 1)) - 1))"
+    )
+
+
+@register(
+    "llm_split_train_test",
+    sql=f"""
+    SELECT doc_id,
+           CAST({_hash16_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INTEGER) AS bucket,
+           CASE WHEN {_hash16_sql("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic hash-bucket train/test split (stable across runs, "
+    "partitionings, and engines; zero shuffle)",
+)
+def llm_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A split must be a pure function of the example id — never of
+    partition order or RNG state — so re-runs, backfills, and late
+    additions land in the same side. md5-bucket mod 100 gives that;
+    the projection runs map-side with no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (_hash16_spark(F.col("doc_id").cast("string")) % 100).cast("int")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "llm_sample_per_group",
+    sql=f"""
+    SELECT doc_id, lang, rn AS sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {SAMPLE_PER_GROUP}
+    """,
+    doc="Deterministic stratified sample: top-N per language by hash rank "
+    "(reproducible 'random' sample without RNG state)",
+)
+def llm_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordering is a shuffle-once rank per group — the reproducible
+    replacement for rand()-based sampling: the same N docs come back on
+    every run and every engine. At 100 TB the per-group rank is the one
+    shuffle, carrying (doc_id, lang, 32-byte hash) rows only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_PER_GROUP)
+    )
+
+
+# Benchmark set for the contamination check: at 100 TB this is the
+# (tiny) eval-suite text; here the first documents stand in for it so
+# the overlap join is exercised against real shingles.
+N_BENCHMARK_DOCS = 3
+CONTAM_MIN_OVERLAP = 5
+
+
+@register(
+    "llm_contamination",
+    sql=f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                    || ' ' || string_split(text, ' ')[i+2])) AS shingle
+      FROM documents WHERE doc_id < {N_BENCHMARK_DOCS}),
+    doc_shingles AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                    || ' ' || string_split(text, ' ')[i+2]))) AS shingle
+      FROM documents WHERE doc_id >= {N_BENCHMARK_DOCS})
+    SELECT d.doc_id,
+           COUNT(*) AS n_overlap,
+           COUNT(*) >= {CONTAM_MIN_OVERLAP} AS contaminated
+    FROM doc_shingles d JOIN bench b ON d.shingle = b.shingle
+    GROUP BY d.doc_id
+    """,
+    doc="Benchmark-contamination check: corpus docs sharing 3-gram shingles "
+    "with the eval set (broadcast benchmark shingles; corpus never shuffles)",
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination joins every corpus shingle against the benchmark
+    shingle set. The benchmark side is tiny → broadcast hash join: the
+    corpus is scanned once map-side, only matching (doc_id, shingle)
+    rows reach the count shuffle. The same plan at 100 TB: benchmark
+    shingles ship with the tasks; a bloom filter fronts the join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(ws) - 2, 1)), "
+            "i -> concat_ws(' ', slice(ws, i, 3)))"
+        )
+    )
+    with_ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    bench = (
+        with_ws.filter(F.col("doc_id") < N_BENCHMARK_DOCS)
+        .select(F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    corpus = with_ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= CONTAM_MIN_OVERLAP).alias("contaminated"),
+        )
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+_LONGNUM_RE = "\\b\\d{9,}\\b"
+
+
+@register(
+    "llm_pii_scrub",
+    sql=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_LONGNUM_RE}', '<ID>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_ids
+    FROM documents
+    """,
+    doc="PII scrubbing: email/phone/long-number redaction with per-doc "
+    "redaction counts (single JVM-regex pass, no Python)",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _LONGNUM_RE,
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_LONGNUM_RE)).cast("bigint").alias("n_ids"),
+    )
+
+
+@register(
+    "llm_text_normalize",
+    sql="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+           CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS norm_len,
+           length(text) - length(regexp_replace(text, '\\s+', ' ', 'g')) >= 0 AS changed_ok
+    FROM documents
+    """,
+    doc="Canonical text normalization: whitespace collapse + trim + casefold "
+    "(the pre-dedup canonical form)",
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalizing BEFORE hashing/dedup makes trivially-different bytes
+    (double spaces, case) collide — standard corpus canonicalization.
+    Pure projection; stays in whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), "\\s+", " ")) >= 0
+        ).alias("changed_ok"),
+    )

@@ -147,6 +147,122 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sign-LSH (random hyperplane) candidate generation -------------------
+# Deterministic pseudo-random hyperplanes derived from md5 so both
+# engines share the exact literals; weights are 3-decimal values in
+# [-1, 1] (identical double parse on both sides).
+import hashlib as _hashlib
+
+N_PLANES = 32  # 4 bands × 8 sign bits per band
+N_BANDS = 4
+BAND_BITS = N_PLANES // N_BANDS
+EMB_DUP_THRESHOLD = 0.40
+
+
+def _hp_weight(j: int, d: int) -> float:
+    h = _hashlib.md5(f"hyperplane-{j}-{d}".encode()).hexdigest()
+    return (int(h[:8], 16) % 2001 - 1000) / 1000.0
+
+
+HYPERPLANES = [[_hp_weight(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+def _plane_lit_spark(j: int) -> str:
+    return "array(" + ", ".join(repr(w) for w in HYPERPLANES[j]) + ")"
+
+
+def _plane_lit_sql(j: int) -> str:
+    return "([" + ", ".join(repr(w) for w in HYPERPLANES[j]) + "])"
+
+
+def _signs_spark() -> F.Column:
+    # built lazily — Column construction needs an active SparkContext
+    return F.concat(
+        *[
+            F.when(F.expr(
+                f"aggregate(zip_with(embedding, {_plane_lit_spark(j)}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(N_PLANES)
+        ]
+    )
+
+_SIGNS_SQL = " || ".join(
+    f"(CASE WHEN {_sql_dot('embedding', _plane_lit_sql(j))} >= 0 THEN '1' ELSE '0' END)"
+    for j in range(N_PLANES)
+)
+
+
+@register(
+    "llm_dedup_embedding_lsh",
+    sql=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_SIGNS_SQL} AS signs FROM embeddings),
+    bands AS (
+      SELECT vec_id, embedding, b.b AS band,
+             substr(signs, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           {_sql_cos("ea.embedding", "eb.embedding")} AS cosine,
+           {_sql_cos("ea.embedding", "eb.embedding")} >= {EMB_DUP_THRESHOLD} AS is_dup
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    """,
+    doc="Embedding near-dup at scale: sign-LSH (random-hyperplane) banded "
+    "candidates, exact cosine ONLY on candidate pairs — never all-pairs",
+)
+def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation for embedding dedup that scales: each vector
+    gets a 32-bit hyperplane-sign signature; 4 bands of 8 bits bucket
+    the corpus, and only same-bucket pairs meet (the cosine-space
+    analog of MinHash banding — on this corpus ~1.5% of all pairs
+    become candidates, a ~65× reduction over all-pairs verify).
+    Band width tunes the recall/candidate trade-off per corpus; the
+    exact-cosine verify stage then touches |candidates| pairs, not n².
+    Hyperplanes are deterministic md5-derived literals, so both
+    engines produce bit-identical signatures — which is what makes an
+    LSH pipeline oracle-checkable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
+    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+        "vec_id",
+        "band",
+        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    cos = cosine("ea", "eb")
+    return (
+        cand.join(ea, F.col("ia") == F.col("vec_a"))
+        .join(eb, F.col("ib") == F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cos.alias("cosine"),
+            (cos >= EMB_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
+
+
 @register(
     "llm_dedup_embedding",
     sql=f"""

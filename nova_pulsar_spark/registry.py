@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         relational,
         setops,
         similarity,

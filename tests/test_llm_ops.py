@@ -110,3 +110,67 @@ def test_quantile_sketch_brackets_exact(spark, sf_dir):
         # allow a small relative slack for the larger sf dirs
         for approx, true in ((q25, e.q25), (q50, e.q50), (q75, e.q75)):
             assert abs(approx - true) <= 0.02 * max(abs(true), 1.0)
+
+
+def test_train_test_split_deterministic_and_balanced(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import llm_split_train_test
+
+    a = {r.doc_id: r.split for r in llm_split_train_test(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in llm_split_train_test(spark, sf_dir).collect()}
+    assert a == b  # pure function of doc_id — stable across runs
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.82 <= frac_train <= 0.96  # ~90% ± hash noise at n=500
+
+
+def test_sample_per_group_caps_and_repeats(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import SAMPLE_PER_GROUP, llm_sample_per_group
+
+    rows = llm_sample_per_group(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(s) <= SAMPLE_PER_GROUP for s in per_lang.values())
+    again = {(r.lang, r.doc_id) for r in llm_sample_per_group(spark, sf_dir).collect()}
+    assert {(r.lang, r.doc_id) for r in rows} == again
+
+
+def test_contamination_excludes_benchmark_and_flags_overlap(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import (
+        CONTAM_MIN_OVERLAP,
+        N_BENCHMARK_DOCS,
+        llm_contamination,
+    )
+
+    rows = llm_contamination(spark, sf_dir).collect()
+    assert all(r.doc_id >= N_BENCHMARK_DOCS for r in rows)
+    assert all(r.contaminated == (r.n_overlap >= CONTAM_MIN_OVERLAP) for r in rows)
+
+
+def test_pii_scrub_redacts_all_three_classes(spark):
+    from nova_pulsar_spark.operators.pipeline import _EMAIL_RE, _LONGNUM_RE, _PHONE_RE
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com call 555-123-4567 acct 123456789 done")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ),
+            _LONGNUM_RE,
+            "<ID>",
+        ).alias("clean")
+    ).first()["clean"]
+    assert out == "mail <EMAIL> call <PHONE> acct <ID> done"
+
+
+def test_embedding_lsh_prunes_candidate_space(spark, sf_dir):
+    from nova_pulsar_spark.operators.similarity import llm_dedup_embedding_lsh
+    from nova_pulsar_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    cands = llm_dedup_embedding_lsh(spark, sf_dir).collect()
+    all_pairs = n * (n - 1) / 2
+    assert len(cands) < 0.05 * all_pairs  # banded buckets, not all-pairs
+    assert all(r.is_dup == (r.cosine >= 0.40) for r in cands)
