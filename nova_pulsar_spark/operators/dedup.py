@@ -133,16 +133,32 @@ MINHASH_SQL_CTES = (
 )
 
 
-def lsh_candidates(mh: DataFrame) -> DataFrame:
+def lsh_candidates(mh: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b) from (doc_id, seed, mh)
     signatures — the bucket self-join that replaces all-pairs: only
-    documents agreeing on a full band signature ever meet."""
+    documents agreeing on a full band signature ever meet.
+
+    ``max_bucket`` is the hot-bucket cap (the LSH skew mitigation for
+    100 TB corpora): a band bucket holding n docs yields n·(n−1)/2
+    pairs, so one boilerplate bucket of 10⁵ docs alone produces 5×10⁹
+    pairs. Buckets larger than the cap are dropped from candidate
+    generation — a documented recall trade (their members are typically
+    templated boilerplate better handled by exact dedup upstream).
+    """
     bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
         F.concat(
             F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
             F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
         ).alias("sig")
     )
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "sig")
+        )
+        bands = bands.join(ok, ["band", "sig"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -628,6 +628,59 @@ def join_plan_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J4: inter-plan dependency edges via file overlap + created< (orbiter.md:57-62)",
 )
 def join_dep_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _join_dep_overlap_impl(spark, sf_dir)
+
+
+# Recursive-CTE analog: Spark has no WITH RECURSIVE, so reachability is
+# an iterative semi-naive fixpoint (the Pregel pattern) checkpointed per
+# step; the DuckDB twin IS a recursive CTE — proving the loop computes
+# exactly the SQL-standard closure.
+_CLOSURE_SQL = (
+    "WITH RECURSIVE\n  "
+    + ",\n  ".join((PLANS.values_cte(), PHASES.values_cte(), PLAN_FILES_CTE, EDGES_CTE))
+    + """,
+  closure AS (
+    SELECT dep_id AS ancestor, plan_id AS descendant FROM edges
+    UNION
+    SELECT c.ancestor, e.plan_id AS descendant
+    FROM closure c JOIN edges e ON e.dep_id = c.descendant)
+    SELECT ancestor, descendant FROM closure
+    """
+)
+
+
+@register(
+    "join_dep_closure",
+    sql=_CLOSURE_SQL,
+    doc="J4+: transitive dependency closure (circular-dep reachability, "
+    "orbiter.md:134-139) — iterative fixpoint in Spark ≡ WITH RECURSIVE oracle",
+)
+def join_dep_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (ancestor, descendant) reachability pairs over the dep DAG.
+    Semi-naive iteration: each step extends frontier paths by one edge,
+    unions+distincts, and `localCheckpoint`s to truncate lineage (the
+    same rule as `phase_rounds`). Iterations = DAG depth, each a
+    distributed self-join — no driver-side row data, only a count probe.
+    """
+    edges = S.dep_edges(PLANS.spark_df(spark), PHASES.spark_df(spark)).localCheckpoint()
+    closure = edges.select(
+        F.col("dep_id").alias("ancestor"), F.col("plan_id").alias("descendant")
+    ).localCheckpoint()
+    n = closure.count()
+    while True:
+        extended = (
+            closure.alias("c")
+            .join(edges.alias("e"), F.col("e.dep_id") == F.col("c.descendant"))
+            .select(F.col("c.ancestor").alias("ancestor"), F.col("e.plan_id").alias("descendant"))
+        )
+        closure = closure.unionByName(extended).distinct().localCheckpoint()
+        new_n = closure.count()
+        if new_n == n:
+            return closure
+        n = new_n
+
+
+def _join_dep_overlap_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.dep_edges(PLANS.spark_df(spark), PHASES.spark_df(spark))
 
 

@@ -174,3 +174,24 @@ def test_embedding_lsh_prunes_candidate_space(spark, sf_dir):
     all_pairs = n * (n - 1) / 2
     assert len(cands) < 0.05 * all_pairs  # banded buckets, not all-pairs
     assert all(r.is_dup == (r.cosine >= 0.40) for r in cands)
+
+
+def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
+    """The LSH skew mitigation: a boilerplate bucket (many identical
+    docs) explodes quadratically; the cap excises it while organic
+    buckets keep producing candidates."""
+    from nova_pulsar_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    boiler = [(i, "standard header boilerplate text repeated everywhere always") for i in range(30)]
+    organic = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+    ]
+    docs = spark.createDataFrame(boiler + organic, "doc_id long, text string")
+    mh = minhash_signatures(docs)
+    uncapped = lsh_candidates(mh).count()
+    capped = lsh_candidates(mh, max_bucket=10).collect()
+    capped_ids = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert uncapped >= 30 * 29 / 2  # boilerplate bucket exploded
+    assert (100, 101) in {(r.doc_a, r.doc_b) for r in capped}  # organic pair survives
+    assert not any(i < 30 for i in capped_ids)  # hot bucket excised
