@@ -235,7 +235,9 @@ def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     mh = minhash_signatures(d).cache()
-    cand = lsh_candidates(mh)
+    # cand feeds BOTH the semi-join keyset and the final pair join;
+    # materialize once (it is the small candidate set by construction).
+    cand = lsh_candidates(mh).localCheckpoint()
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -246,13 +248,25 @@ def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(_words(F.col("text"))).alias("words"))
     )
     a, b = ws.alias("a"), ws.alias("b")
+    # Staged projections: the array_intersect (the expensive per-pair
+    # op) is evaluated ONCE, then jaccard/is_dup derive from named
+    # columns instead of re-running the set intersection per reference.
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
-    jac = inter.cast("double") / union
     return (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(b, F.col("b.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"), (jac >= 0.8).alias("is_dup"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("ninter"),
+            (F.size(F.col("a.words")) + F.size(F.col("b.words"))).alias("nsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ninter").cast("double") / (F.col("nsum") - F.col("ninter"))).alias("jaccard"),
+        )
+        .select("doc_a", "doc_b", "jaccard", (F.col("jaccard") >= 0.8).alias("is_dup"))
     )
 
 

@@ -232,11 +232,16 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
     bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    # localCheckpoint: the 32-fold sign computation is the expensive map
+    # work; without materialization the self-join below evaluates it
+    # TWICE (no ReusedExchange — the two sides differ past the scan).
+    # The checkpointed frame is (vec_id, band, sig) — tiny vs the
+    # embeddings themselves, and exactly what both join sides need.
     bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
         "vec_id",
         "band",
         F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    )
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -248,17 +253,26 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    cos = cosine("ea", "eb")
+    # Per-VECTOR norms computed once (n rows), not per candidate PAIR
+    # (|cand| ≫ n rows): the pair-level work drops from three 64-dim
+    # folds to one. Staged projections make `cosine` a named column so
+    # `is_dup` reuses it instead of re-evaluating the whole expression.
+    norm = F.sqrt(_fold_dot("embedding", "embedding"))
+    ea = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"), norm.alias("na"))
+    eb = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"), norm.alias("nb"))
     return (
         cand.join(ea, F.col("ia") == F.col("vec_a"))
         .join(eb, F.col("ib") == F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            cos.alias("cosine"),
-            (cos >= EMB_DUP_THRESHOLD).alias("is_dup"),
+            (_fold_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (F.col("cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
     )
 
