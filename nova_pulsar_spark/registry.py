@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
         similarity,
         textstats,
         tpch_shapes,
+        tpch_suite,
         topk,
         windows,
     )

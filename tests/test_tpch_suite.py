@@ -1,0 +1,87 @@
+"""TPC-H suite: semantic pins + plan-shape regressions (the 100 TB
+contract: broadcast dims, pushed filters, TakeOrdered top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_top10_sorted_and_take_ordered(spark):
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q3
+
+    df = tpch_q3(spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)  # no global sort
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_dims_broadcast(spark):
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q5
+
+    plan = _plan(tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    rows = tpch_q5(spark, SF).collect()
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q6
+
+    qe = tpch_q6(spark, SF)._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in qe
+    assert "l_shipdate" in qe.split("PushedFilters:")[1][:400]
+
+
+def test_q4_semi_join_no_duplication(spark):
+    """EXISTS must not multiply order counts by matching lineitem count."""
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q4
+    from nova_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    total = o.count()
+    assert sum(r.order_count for r in tpch_q4(spark, SF).collect()) <= total
+
+
+def test_q15_returns_the_max_revenue_suppliers(spark):
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q15
+
+    rows = tpch_q15(spark, SF).collect()
+    assert rows, "a max always exists"
+    assert len({r.total_revenue for r in rows}) == 1  # all tied at the max
+
+
+def test_q22_dormant_customers_only(spark):
+    from nova_pulsar_spark.operators.tpch_suite import tpch_q22
+    from nova_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = tpch_q22(spark, SF).collect()
+    # every reported bucket only counts customers; totals positive
+    assert all(r.numcust > 0 and r.totacctbal > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["tpch_q8", "tpch_q14"],
+)
+def test_ratio_queries_bounded(spark, key):
+    """Market-share / promo-share are fractions of a whole."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()[key](spark, SF).collect()
+    for r in rows:
+        v = r[len(r) - 1]
+        lo, hi = (0.0, 1.0) if key == "tpch_q8" else (0.0, 100.0)
+        assert v is None or (lo <= v <= hi)
