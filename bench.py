@@ -46,6 +46,10 @@ HEADLINE = [
     "llm_contamination",
     "sched_rounds",
     "agg_pulse",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q18",
 ]
 
 

@@ -218,3 +218,75 @@ def test_stream_static_guard_join_dispatch(spark, tmp_path):
     assert len(decision_files) == 1
     rec = json.load(open(os.path.join(root, decision_files[0])))
     assert rec["plan_id"] == "plan-beta-chore" and rec["action"] == "dispatch"
+
+
+def test_lifecycle_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful lifecycle machine runs unchanged on the RocksDB
+    provider (the off-heap store large-state deployments need), and the
+    query's progress proves RocksDB actually backed the state operator."""
+    from nova_pulsar_spark.streaming.statestore import rocksdb_state_store
+
+    d = str(tmp_path / "status_topic_rocks")
+    _write_status_fixture_files(d)
+    topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+    with rocksdb_state_store(spark):
+        q = (
+            lifecycle_stream(topic.reader(spark))
+            .writeStream.format("memory")
+            .queryName("lifecycle_rocks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        q.awaitTermination(180)
+        progresses = q.recentProgress
+    stream_rows = {
+        (r.plan_id, r.phase, r.kind, r.from_status, r.to_status)
+        for r in spark.sql("SELECT * FROM lifecycle_rocks").collect()
+        if r.kind != "stalled" or r.to_status == "retrying"
+    }
+    batch_rows = {
+        (r.plan_id, r.phase, r.kind, r.from_status, r.to_status)
+        for r in lifecycle_batch(STATUS_EVENTS.spark_df(spark)).collect()
+    }
+    assert stream_rows == batch_rows
+    # the state operator reports rocksdb custom metrics only when the
+    # RocksDB provider is the one actually loaded
+    rocks_metrics = [
+        k
+        for p in progresses
+        for op in (p.get("stateOperators") or [])
+        for k in (op.get("customMetrics") or {})
+        if k.startswith("rocksdb")
+    ]
+    assert rocks_metrics, "state operator did not run on RocksDB"
+
+
+def test_max_files_per_trigger_admission_control(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch (the reference's
+    admission control / backpressure analog): 6 queued files at cap 2
+    must drain in ≥3 batches, never more than 2 files' rows per batch."""
+    d = str(tmp_path / "bp_topic")
+    topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+    for i in range(6):
+        topic.produce(
+            f"s-{i}.json",
+            {"task_id": f"t{i}", "project": "p", "plan_id": f"pl{i}", "phase": 1,
+             "thread_id": "th", "status": "running", "tool_count": i,
+             "last_tool": "Bash", "last_file": "x",
+             "updated_at": "2026-02-27T11:00:00", "started_at": "2026-02-27T10:00:00",
+             "completed_at": None},
+        )
+    q = (
+        topic.reader(spark, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName("bp_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bp_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT COUNT(*) c FROM bp_out").first().c == 6  # nothing dropped
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3 and max(batches) <= 2
