@@ -124,13 +124,148 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_decode",
-    sql=None,  # decode runs through a Pandas UDF (FakeDecoder) — rows-only check;
-    # the deterministic feature math is pinned by unit tests instead.
+    # The decode path runs through mapInPandas (the real plumbing), but
+    # FakeDecoder's feature math is pure arithmetic on the payload
+    # bytes — and the corpus is ASCII, so byte values ≡ char codes and
+    # the SAME math is expressible in SQL: a full oracle twin for a
+    # UDF-path operator. mean_intensity is one int/int division on
+    # both engines → bit-identical.
+    sql="""
+    WITH f AS (
+      SELECT doc_id, 'text/plain' AS media_type, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents)
+    SELECT doc_id, media_type,
+      CAST(16 + (n % 64) AS INT) AS width,
+      CAST(16 + ((n // 64) % 64) AS INT) AS height,
+      CASE WHEN n = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(range(1, CAST(least(n, 256) AS INT) + 1),
+                                             i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                / least(n, 256) END AS mean_intensity,
+      n AS payload_bytes
+    FROM f
+    """,
     doc="mapInPandas decode/feature-extract over Arrow batches (FakeDecoder stands in for media libs)",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = binarize_documents(spark, sf_dir)
     return b.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_TARGET = 224
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+    ]
+)
+
+
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode → resize pipeline stage in ONE mapInPandas pass (payloads
+    cross the Arrow boundary once; a real deployment calls PIL/opencv
+    here). Fit-to-box preserving aspect ratio; all doubles are single
+    mult/div ops so the SQL twin is bit-identical."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = FakeDecoder.fake_features(payload)
+            scale = float(RESIZE_TARGET) / max(w, h)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "width": w,
+                    "height": h,
+                    "out_w": int(w * scale),
+                    "out_h": int(h * scale),
+                    "scale": scale,
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("width", "height", "out_w", "out_h"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+@register(
+    "multimodal_resize",
+    sql=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(16 + (octet_length(encode(text)) % 64) AS INT) AS width,
+             CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS INT) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+      CAST(FLOOR(width * (CAST({RESIZE_TARGET} AS DOUBLE) / greatest(width, height))) AS INT) AS out_w,
+      CAST(FLOOR(height * (CAST({RESIZE_TARGET} AS DOUBLE) / greatest(width, height))) AS INT) AS out_h,
+      CAST({RESIZE_TARGET} AS DOUBLE) / greatest(width, height) AS scale
+    FROM f
+    """,
+    doc="Resize plumbing: decode→fit-to-224 in one mapInPandas stage (aspect "
+    "preserved; real deployments swap FakeDecoder for PIL/opencv)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binarize_documents(spark, sf_dir)
+    return b.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_CHUNK_BYTES = 128  # analysis window (sized to the test corpus's
+AUDIO_HOP_BYTES = 64  # ~300-byte payloads; 50% overlap either way)
+
+
+@register(
+    "multimodal_audio_chunk",
+    sql=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0)
+    SELECT f.doc_id,
+           CAST(s.i AS INT) AS chunk_no,
+           s.i * {AUDIO_HOP_BYTES} AS start_byte,
+           least(s.i * {AUDIO_HOP_BYTES} + {AUDIO_CHUNK_BYTES}, f.n) AS end_byte,
+           least(s.i * {AUDIO_HOP_BYTES} + {AUDIO_CHUNK_BYTES}, f.n) = f.n AS is_last
+    FROM f CROSS JOIN LATERAL (SELECT UNNEST(range(0, (f.n - 1) // {AUDIO_HOP_BYTES} + 1)) AS i) s
+    """,
+    doc="Audio chunking plumbing: overlapping fixed windows per payload (the "
+    "streaming-ASR seek table) — pure built-ins, no UDF, payloads never explode",
+)
+def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk offsets are derived from metadata ONLY (payload_bytes) —
+    the binary column itself is pruned from the scan; the chunk table
+    is what a downstream mapInPandas ASR stage would join against,
+    reading each payload slice once."""
+    b = binarize_documents(spark, sf_dir)
+    n = F.col("payload_bytes")
+    return (
+        b.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.floor((n - 1) / AUDIO_HOP_BYTES).cast("bigint"),
+                )
+            ).alias("pos", "i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_no"),
+            (F.col("i") * AUDIO_HOP_BYTES).alias("start_byte"),
+            F.least(F.col("i") * AUDIO_HOP_BYTES + AUDIO_CHUNK_BYTES, F.col("n")).alias(
+                "end_byte"
+            ),
+            (
+                F.least(F.col("i") * AUDIO_HOP_BYTES + AUDIO_CHUNK_BYTES, F.col("n"))
+                == F.col("n")
+            ).alias("is_last"),
+        )
+    )
 
 
 @register(

@@ -195,3 +195,43 @@ def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     assert uncapped >= 30 * 29 / 2  # boilerplate bucket exploded
     assert (100, 101) in {(r.doc_a, r.doc_b) for r in capped}  # organic pair survives
     assert not any(i < 30 for i in capped_ids)  # hot bucket excised
+
+
+def test_multimodal_resize_preserves_aspect(spark, sf_dir):
+    from nova_pulsar_spark.operators.multimodal import RESIZE_TARGET, multimodal_resize
+
+    rows = multimodal_resize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.out_w, r.out_h) <= RESIZE_TARGET
+        # the longer edge lands on the target (floor can shave 1)
+        assert max(r.out_w, r.out_h) >= RESIZE_TARGET - 1
+        # aspect ratio preserved within floor rounding (relative)
+        want = r.width / r.height
+        assert abs(r.out_w / r.out_h - want) / want < 0.05
+
+
+def test_multimodal_audio_chunks_cover_payload(spark, sf_dir):
+    from collections import defaultdict
+
+    from nova_pulsar_spark.operators.multimodal import (
+        AUDIO_CHUNK_BYTES,
+        AUDIO_HOP_BYTES,
+        multimodal_audio_chunk,
+    )
+
+    by_doc = defaultdict(list)
+    for r in multimodal_audio_chunk(spark, sf_dir).collect():
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_no)
+        assert chunks[0].start_byte == 0
+        # is_last marks EOF-reaching chunks; with 50% overlap the final
+        # one always qualifies and trailing overlaps may too
+        n = max(c.end_byte for c in chunks)
+        assert chunks[-1].is_last
+        assert all(c.is_last == (c.end_byte == n) for c in chunks)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_byte - a.start_byte == AUDIO_HOP_BYTES  # fixed hop
+            assert a.end_byte > b.start_byte or a.end_byte - a.start_byte < AUDIO_CHUNK_BYTES
