@@ -243,3 +243,171 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") - F.length(F.regexp_replace(F.col("text"), "\\s+", " ")) >= 0
         ).alias("changed_ok"),
     )
+
+
+CTX_LEN = 2048  # packing context length (tokens)
+
+
+@register(
+    "llm_pack_sequences",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tokens_before
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           tokens_before // {CTX_LEN} AS bin_no,
+           tokens_before % {CTX_LEN} AS bin_offset
+    FROM c
+    """,
+    doc="Sequence packing (concat-and-chunk): per-source running token count "
+    "assigns each doc a context-window bin + offset — the tokenizer-sharding "
+    "step before training. One window per source partition, no driver state.",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing, the streaming-friendly packing strategy
+    real pretraining pipelines use (greedy bin packing is sequential;
+    concatenation + fixed-size chunking is embarrassingly parallel):
+    docs are laid out in deterministic (source, doc_id) order and the
+    running token offset places each in its 2048-token bin. At 100 TB
+    the window partitions by source shard — no global ordering needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w).cast("bigint") - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / CTX_LEN).alias("bin_no"),
+        (F.col("tokens_before") % CTX_LEN).alias("bin_offset"),
+    )
+
+
+@register(
+    "llm_quality_repetition",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(w), 2)),
+                    i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM ws),
+    counts AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(cnt) AS BIGINT) AS total_bigrams
+      FROM counts GROUP BY doc_id)
+    SELECT ws.doc_id,
+           top.total_bigrams, top.top_bigram_n,
+           CAST(top.top_bigram_n AS DOUBLE) / top.total_bigrams AS top_bigram_frac,
+           CAST(1.0 AS DOUBLE)
+             - CAST(len(list_distinct(ws.w)) AS DOUBLE) / len(ws.w) AS dup_word_frac
+    FROM ws JOIN top ON ws.doc_id = top.doc_id
+    """,
+    doc="Gopher-style repetition quality: top-bigram fraction + duplicate-word "
+    "fraction per doc (the repetition filters of corpus curation)",
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters: docs dominated by one repeated bigram or by
+    duplicated words are boilerplate/spam candidates. dup_word_frac is
+    a row-local projection (no shuffle); the top-bigram pass shuffles
+    (doc_id, gram) pairs with map-side combine — the same shape as
+    MinHash shingling, linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(w) - 1, 1)), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("bigint").alias("top_bigram_n"),
+            F.sum("cnt").cast("bigint").alias("total_bigrams"),
+        )
+    )
+    return (
+        ws.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "total_bigrams",
+            "top_bigram_n",
+            (F.col("top_bigram_n").cast("double") / F.col("total_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            (
+                F.lit(1.0).cast("double")
+                - F.size(F.array_distinct(F.col("w"))).cast("double") / F.size(F.col("w"))
+            ).alias("dup_word_frac"),
+        )
+    )
+
+
+MIX_ALPHA_NOTE = "alpha = 0.5 via sqrt (correctly-rounded IEEE op — identical across engines)"
+
+
+@register(
+    "llm_mix_weights",
+    sql="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT list_reduce(list(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                         (a, b) -> a + b) AS z
+      FROM s)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           SQRT(CAST(s.n_tokens AS DOUBLE)) / tot.z AS weight
+    FROM s CROSS JOIN tot
+    """,
+    doc="Domain-mixing weights: per-source temperature sampling, weight ∝ "
+    "sqrt(tokens) normalized (alpha=0.5); the normalizer is a source-ordered "
+    "sequential fold so the double sum is deterministic",
+)
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled mixing (the data-scheduling step that keeps
+    small domains represented): weight_i = sqrt(tokens_i) / Σ sqrt.
+    The Σ over sources is a sequential fold in source order on BOTH
+    engines (Spark `aggregate` over a sorted collect_list ≡ DuckDB
+    `list_reduce(list(... ORDER BY source))`) — shuffle-order-proof.
+    Sources are few (a broadcastable scalar), so the fold is O(1) work.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, "
+            "sqrt(CAST(n_tokens AS DOUBLE)) AS sq))), x -> x.sq), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("z")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")).alias("weight"),
+    )

@@ -235,3 +235,49 @@ def test_multimodal_audio_chunks_cover_payload(spark, sf_dir):
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_byte - a.start_byte == AUDIO_HOP_BYTES  # fixed hop
             assert a.end_byte > b.start_byte or a.end_byte - a.start_byte < AUDIO_CHUNK_BYTES
+
+
+def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
+    from collections import defaultdict
+
+    from nova_pulsar_spark.operators.pipeline import CTX_LEN, llm_pack_sequences
+
+    rows = llm_pack_sequences(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for docs in by_src.values():
+        docs.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in docs:
+            assert r.bin_no == running // CTX_LEN
+            assert r.bin_offset == running % CTX_LEN
+            running += r.n_tokens
+
+
+def test_quality_repetition_flags_repeated_text(spark):
+    from nova_pulsar_spark.operators.pipeline import llm_quality_repetition
+    from unittest import mock
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam", "en", "s", 0),
+         (2, "the quick brown fox jumps over dogs", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch("nova_pulsar_spark.operators.pipeline.load_table", return_value=docs):
+        out = {r.doc_id: r for r in llm_quality_repetition(spark, "ignored").collect()}
+    assert out[1].top_bigram_frac == 1.0 and out[1].dup_word_frac > 0.8
+    assert out[2].top_bigram_frac < 0.2 and out[2].dup_word_frac == 0.0
+
+
+def test_mix_weights_normalized_and_monotone(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import llm_mix_weights
+
+    rows = llm_mix_weights(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+    # sqrt temperature: more tokens -> larger weight, but sub-linearly
+    rows.sort(key=lambda r: r.n_tokens)
+    for a, b in zip(rows, rows[1:]):
+        assert a.weight <= b.weight
+        if a.n_tokens > 0 and a.weight > 0:
+            assert b.weight / a.weight <= (b.n_tokens / a.n_tokens) + 1e-9
