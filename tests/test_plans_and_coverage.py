@@ -134,3 +134,20 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout by a filter column turns a lang filter
+    into directory pruning — the 100 TB corpus-layout rule (partition
+    by coarse selective keys: lang, source, date)."""
+    from nova_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    lang = d.select("lang").first().lang
+    pruned = spark.read.parquet(out).filter(F.col("lang") == lang)
+    qe = pruned._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in qe.splitlines() if "PartitionFilters" in ln]
+    assert m and "lang" in m[0]  # the filter became partition pruning
+    assert pruned.count() == d.filter(F.col("lang") == lang).count()

@@ -290,3 +290,57 @@ def test_max_files_per_trigger_admission_control(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) c FROM bp_out").first().c == 6  # nothing dropped
     batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 3 and max(batches) <= 2
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Event-time correctness under lateness: an event older than the
+    watermark arriving in a later micro-batch must NOT resurrect its
+    (already-finalized) window — the append-mode contract large-scale
+    streaming aggregation depends on."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def emit(name, *rows):
+        with open(os.path.join(src, f".tmp-{name}"), "w") as f:
+            for eid, ts, v in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "value": v}) + "\n")
+        os.replace(os.path.join(src, f".tmp-{name}"), os.path.join(src, name))
+
+    agg = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    emit("b1.json", (1, "2026-01-01T10:00:00", 1.0), (2, "2026-01-01T10:02:00", 1.0))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> 09:57
+        emit("b2.json", (3, "2026-01-01T10:20:00", 1.0))
+        q.processAllAvailable()  # watermark -> 10:15, closes the 10:00 window
+        emit("b3.json", (4, "2026-01-01T10:01:00", 1.0))  # LATE: below watermark
+        emit("b4.json", (5, "2026-01-01T10:40:00", 1.0))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start.isoformat(): r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    # the 10:00-10:05 window was finalized with exactly the 2 on-time
+    # events; the late event_id=4 was dropped, not appended
+    assert got.get("2026-01-01T10:00:00") == 2
