@@ -368,3 +368,106 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+DUP_THRESHOLD = 0.8
+
+# Undirected dup edges = the LSH→verify pipeline's is_dup pairs; the
+# recursive CTE computes per-node minimum reachable id = component id.
+_CLUSTER_SQL = (
+    "WITH RECURSIVE\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + f""",
+  ws AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+    FROM documents
+    WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
+  dup AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))
+          >= {DUP_THRESHOLD}),
+  sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM dup
+    UNION SELECT doc_b, doc_a FROM dup
+    UNION SELECT doc_a, doc_a FROM dup
+    UNION SELECT doc_b, doc_b FROM dup),
+  reach AS (
+    SELECT src, dst FROM sym
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst)
+  SELECT src AS doc_id,
+         MIN(dst) AS component_id,
+         MIN(dst) = src AS is_keeper
+  FROM reach GROUP BY src
+    """
+)
+
+
+@register(
+    "llm_dedup_clusters",
+    sql=_CLUSTER_SQL,
+    doc="Dedup clustering: connected components over LSH-verified dup pairs — "
+    "min-id label propagation; keeper = component minimum (the keep-one-per-"
+    "cluster stage that completes the generate→verify→cluster dedup DAG)",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    Pregel pattern, same loop discipline as `join_dep_closure`:
+    localCheckpoint per step, one scalar probe). Components only span
+    verified duplicate pairs, so the graph is the (small) dup subgraph,
+    not the corpus; iterations = component diameter — near-dup clusters
+    are shallow in practice. The label sum is monotonically decreasing,
+    so it doubles as the fixpoint probe without a separate join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(d).cache()
+    cand = lsh_candidates(mh).localCheckpoint()
+    needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ws = d.join(needed, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union_sz = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    dup = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .filter(inter.cast("double") / union_sz >= DUP_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    sym = (
+        dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .union(dup.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")))
+        .union(dup.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.groupBy("src").agg(F.min("dst").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    while True:
+        prop = (
+            labels.alias("l")
+            .join(sym.alias("s"), F.col("s.src") == F.col("l.src"))
+            .select(F.col("s.dst").alias("src"), F.col("l.label").alias("label"))
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("src").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("src").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("label") == F.col("src")).alias("is_keeper"),
+    )

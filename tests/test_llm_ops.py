@@ -281,3 +281,26 @@ def test_mix_weights_normalized_and_monotone(spark, sf_dir):
         assert a.weight <= b.weight
         if a.n_tokens > 0 and a.weight > 0:
             assert b.weight / a.weight <= (b.n_tokens / a.n_tokens) + 1e-9
+
+
+def test_dedup_clusters_partition_dup_graph(spark, sf_dir):
+    """Components must be consistent with the verified dup pairs: both
+    endpoints of every dup edge share a component, the keeper is the
+    component minimum, and exactly one keeper exists per component."""
+    from collections import defaultdict
+
+    from nova_pulsar_spark.operators.dedup import llm_dedup_clusters, llm_dedup_verify
+
+    comp = {r.doc_id: r for r in llm_dedup_clusters(spark, sf_dir).collect()}
+    dup_edges = [
+        (r.doc_a, r.doc_b) for r in llm_dedup_verify(spark, sf_dir).collect() if r.is_dup
+    ]
+    for a, b in dup_edges:
+        assert comp[a].component_id == comp[b].component_id
+    members = defaultdict(set)
+    for r in comp.values():
+        members[r.component_id].add(r.doc_id)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+        keepers = [d for d in docs if comp[d].is_keeper]
+        assert keepers == [cid]
