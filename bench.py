@@ -50,6 +50,9 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q9",
     "tpch_q18",
+    "llm_pack_sequences",
+    "llm_quality_repetition",
+    "llm_dedup_clusters",
 ]
 
 
