@@ -151,3 +151,37 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     m = [ln for ln in qe.splitlines() if "PartitionFilters" in ln]
     assert m and "lang" in m[0]  # the filter became partition pruning
     assert pruned.count() == d.filter(F.col("lang") == lang).count()
+
+
+def test_corrupt_json_records_are_quarantined_not_fatal(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode routes malformed lines to
+    _corrupt_record so one bad file can't kill a 100 TB backfill, and
+    DROPMALFORMED yields only the clean rows."""
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "dirty")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0.json"), "w") as f:
+        f.write('{"id": 1, "v": "ok"}\n')
+        f.write("{this is not json at all\n")
+        f.write('{"id": 3, "v": "fine"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = spark.read.schema(schema).option("mode", "PERMISSIVE").json(src).cache()
+    good = rows.filter(F.col("_corrupt_record").isNull())
+    bad = rows.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 1
+    rows.unpersist()
+    clean_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    dropped = spark.read.schema(clean_schema).option("mode", "DROPMALFORMED").json(src)
+    assert {r.id for r in dropped.collect()} == {1, 3}
