@@ -298,3 +298,40 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", cosine("ea", "eb").alias("cosine"))
         .filter(F.col("cosine") >= 0.40)
     )
+
+
+@register(
+    "llm_embedding_quantize",
+    sql=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale,
+           array_to_string(
+             list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE)
+                    * (CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END)
+                    + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q8
+    FROM m
+    """,
+    doc="Per-vector int8 quantization (symmetric, scale = 127/max|x|): the "
+    "ANN-index compression step — 4× smaller vectors, map-only, no shuffle. "
+    "floor(x*s + 0.5) rounding is identical on both engines; q8 serialized "
+    "as a csv string (driver hasher requires scalar result columns)",
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization is pure per-row map work (whole-stage codegen, zero
+    shuffle) — at corpus scale it is scan-bound and write-bound only.
+    The scale factor is kept per vector (symmetric quantization), the
+    dequantize error bound is 0.5/scale per element."""
+    e = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    scale = F.when(maxabs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / maxabs)
+    m = e.select("vec_id", "embedding", scale.alias("scale"))
+    q8 = F.expr(
+        "array_join(transform(embedding, "
+        "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT) AS STRING)), ',')"
+    )
+    return m.select("vec_id", "scale", q8.alias("q8"))

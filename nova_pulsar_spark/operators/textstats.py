@@ -203,3 +203,67 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.col("ws")))).cast("binary")).alias("bag_fp"),
         F.array_min(F.transform(bigrams, lambda b: F.md5(b.cast("binary")))).alias("min_bigram_fp"),
     )
+
+
+VOCAB_TOP_K = 50
+
+
+@register(
+    "llm_vocab_topk",
+    sql=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+    doc="Corpus vocabulary top-k: global token frequencies, deterministic "
+    "tie-break (the vocab/tokenizer-training feed; TakeOrdered, no full sort)",
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting is the canonical map-side-combinable aggregate:
+    the shuffle carries one (token, partial_count) row per distinct
+    token per partition — vocabulary-sized, not corpus-sized. The
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+NGRAM_MIN_COUNT = 5
+
+
+@register(
+    "llm_ngram_counts",
+    sql=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT UNNEST(list_transform(range(1, greatest(len(ws), 2)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY bigram
+    HAVING COUNT(*) >= {NGRAM_MIN_COUNT}
+    """,
+    doc="Corpus bigram LM counts with a min-count threshold (the KenLM-prep / "
+    "perplexity-filter feed) — count-then-filter keeps the long tail out of "
+    "the output without a second shuffle",
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("ws")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(ws[i-1], ' ', ws[i]))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= NGRAM_MIN_COUNT)
+    )

@@ -304,3 +304,36 @@ def test_dedup_clusters_partition_dup_graph(spark, sf_dir):
         assert cid == min(docs)
         keepers = [d for d in docs if comp[d].is_keeper]
         assert keepers == [cid]
+
+
+def test_vocab_topk_is_sorted_and_complete(spark, sf_dir):
+    from nova_pulsar_spark.operators.textstats import VOCAB_TOP_K, llm_vocab_topk
+
+    rows = llm_vocab_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= VOCAB_TOP_K
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert len({r.token for r in rows}) == len(rows)
+
+
+def test_ngram_counts_threshold(spark, sf_dir):
+    from nova_pulsar_spark.operators.textstats import NGRAM_MIN_COUNT, llm_ngram_counts
+
+    rows = llm_ngram_counts(spark, sf_dir).collect()
+    assert rows and all(r.n >= NGRAM_MIN_COUNT for r in rows)
+    assert all(" " in r.bigram for r in rows)
+
+
+def test_embedding_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within 0.5/scale of the original —
+    the symmetric-int8 error bound — and q values within [-127, 127]."""
+    from nova_pulsar_spark.operators.similarity import llm_embedding_quantize
+    from nova_pulsar_spark.sources.tables import load_table
+
+    orig = {r.vec_id: r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for r in llm_embedding_quantize(spark, sf_dir).collect():
+        q = [int(s) for s in r.q8.split(",")]
+        assert all(-127 <= v <= 127 for v in q)
+        if r.scale > 0:
+            for qv, xv in zip(q, orig[r.vec_id]):
+                assert abs(qv / r.scale - float(xv)) <= 0.5 / r.scale + 1e-12
