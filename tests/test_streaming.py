@@ -344,3 +344,41 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # the 10:00-10:05 window was finalized with exactly the 2 on-time
     # events; the late event_id=4 was dropped, not appended
     assert got.get("2026-01-01T10:00:00") == 2
+
+
+def test_transform_with_state_counter_matches_batch(spark, tmp_path):
+    """Spark 4 processor API (transformWithStateInPandas) on RocksDB:
+    per-plan running counts; the final update per key equals the batch
+    groupBy count. The state-server protocol needs protobuf — skipped
+    where the container lacks it (the API surface is still imported and
+    exercised up to query start elsewhere)."""
+    pytest.importorskip("google.protobuf")
+    from nova_pulsar_spark.streaming.processors import event_counter_stream
+    from nova_pulsar_spark.streaming.statestore import rocksdb_state_store
+
+    d = str(tmp_path / "tws_topic")
+    _write_status_fixture_files(d)
+    topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+    with rocksdb_state_store(spark):
+        q = (
+            event_counter_stream(topic.reader(spark))
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+    # last emitted count per plan == total events per plan
+    want = (
+        topic.read_batch(spark)
+        .groupBy("plan_id")
+        .count()
+        .collect()
+    )
+    got_rows = spark.sql("SELECT * FROM tws_out").collect()
+    final = {}
+    for r in got_rows:  # update mode: keep the max (monotone counter)
+        final[r.plan_id] = max(final.get(r.plan_id, 0), r.n_events)
+    assert final == {r.plan_id: r["count"] for r in want}
