@@ -22,3 +22,7 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running full-surface checks")
