@@ -185,3 +185,52 @@ def test_corrupt_json_records_are_quarantined_not_fatal(spark, tmp_path):
     )
     dropped = spark.read.schema(clean_schema).option("mode", "DROPMALFORMED").json(src)
     assert {r.id for r in dropped.collect()} == {1, 3}
+
+
+def test_sorted_layout_gives_disjoint_row_group_stats(spark, tmp_path):
+    """Data-layout scale rule: sorting within partitions before writing
+    gives near-disjoint parquet row-group min/max ranges on the sort
+    key, so selective scans skip whole row groups; unsorted layout
+    leaves every range overlapping (nothing skippable)."""
+    import pyarrow.parquet as pq
+
+    from nova_pulsar_spark.sources.tables import load_table
+
+    l = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+
+    def ranges(path):
+        out = []
+        import os
+
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(os.path.join(path, fname))
+            idx = f.schema_arrow.names.index("l_orderkey")
+            for g in range(f.num_row_groups):
+                st = f.metadata.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    sorted_dir = str(tmp_path / "sorted")
+    unsorted_dir = str(tmp_path / "unsorted")
+    (
+        l.repartition(1)
+        .sortWithinPartitions("l_orderkey")
+        .write.option("parquet.block.size", 256 * 1024)
+        .mode("overwrite")
+        .parquet(sorted_dir)
+    )
+    l.repartition(1).write.option("parquet.block.size", 256 * 1024).mode("overwrite").parquet(
+        unsorted_dir
+    )
+    rs, ru = ranges(sorted_dir), ranges(unsorted_dir)
+    assert len(rs) >= 4, "need multiple row groups for the comparison"
+
+    def overlap_pairs(rr):
+        return sum(1 for (a, b), (c, d) in zip(rr, rr[1:]) if b > c)
+
+    # sorted: consecutive row-group ranges are (near-)disjoint;
+    # unsorted: essentially every consecutive pair overlaps
+    assert overlap_pairs(rs) <= len(rs) // 4
+    assert overlap_pairs(ru) >= max(1, len(ru) - 1 - len(ru) // 4)
