@@ -230,3 +230,60 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal)
     ).select("s_suppkey", "s_name", "c_custkey")
+
+
+INTERVAL_DAYS = 3
+_BIN_SECONDS = INTERVAL_DAYS * 86400
+
+
+@register(
+    "join_interval_binned",
+    sql=f"""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped_in_window
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL {INTERVAL_DAYS} DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="Binned interval join: point-in-interval with NO equi key, rewritten as "
+    "an equi-join on time bins + residual filter (the scalable form of a range "
+    "join Spark lacks natively) — count of corpus-wide shipments inside each "
+    "order's 3-day window",
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A raw `ts BETWEEN start AND end` join has no equi key → Spark
+    would plan BroadcastNestedLoopJoin (OOM on big-big) or refuse.
+    The binned rewrite: bin width = interval length, so every interval
+    spans ≤2 bins and every point exactly 1; explode intervals to
+    their bins, hash-join on the bin, then apply the exact residual.
+    Join fan-out is bounded by per-bin density × 2, shuffle is
+    bin-keyed — linear, skew-managed by AQE like any hash join. The
+    DuckDB twin states the same join declaratively (its optimizer
+    runs an IEJoin — the single-node luxury Spark's distributed
+    setting replaces with binning).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e_start = F.unix_timestamp("o_orderdate")
+    b_start = F.floor(e_start / _BIN_SECONDS)
+    # end-exclusive window of exactly one bin width → last covered
+    # second is e_start + W - 1
+    b_end = F.floor((e_start + _BIN_SECONDS - 1) / _BIN_SECONDS)
+    intervals = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.array_distinct(F.array(b_start, b_end))).alias("bin"),
+    )
+    points = l.select(
+        "l_shipdate", F.floor(F.unix_timestamp("l_shipdate") / _BIN_SECONDS).alias("bin")
+    )
+    return (
+        intervals.join(points, "bin")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr(f"INTERVAL {INTERVAL_DAYS} DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shipped_in_window"))
+    )

@@ -85,3 +85,24 @@ def test_ratio_queries_bounded(spark, key):
         v = r[len(r) - 1]
         lo, hi = (0.0, 1.0) if key == "tpch_q8" else (0.0, 100.0)
         assert v is None or (lo <= v <= hi)
+
+
+def test_interval_binned_join_is_hash_not_nested_loop(spark):
+    """The binned rewrite must plan as an equi hash/merge join on the
+    bin — never a nested-loop over the cross product — and agree with
+    a directly-computed per-order window count."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.joins import INTERVAL_DAYS, join_interval_binned
+    from nova_pulsar_spark.sources.tables import load_table
+
+    df = join_interval_binned(spark, SF)
+    assert "NestedLoop" not in _plan(df)
+    got = {r.o_orderkey: r.n_shipped_in_window for r in df.collect()}
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate").limit(5).collect()
+    l = [r.l_shipdate for r in load_table(spark, SF, "lineitem").select("l_shipdate").collect()]
+    from datetime import timedelta
+
+    for r in o:
+        want = sum(1 for s in l if r.o_orderdate <= s < r.o_orderdate + timedelta(days=INTERVAL_DAYS))
+        assert got.get(r.o_orderkey, 0) == want
