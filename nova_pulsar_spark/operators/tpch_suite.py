@@ -666,3 +666,61 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_cents(F.col("c_acctbal"), 100).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q21",
+    sql="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 suppliers-who-kept-orders-waiting, full form (adapted: late = "
+    "shipped >60d after order on finished orders): the sole-late-supplier "
+    "EXISTS/NOT-EXISTS pair over the same derived fact",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_multi_exists key pins the EXISTS+NOT EXISTS shape; this is
+    the complete Q21: both subqueries correlate on the ORDER while
+    comparing SUPPLIERS, so the plan is a semi join + anti join against
+    the same localCheckpoint-free derived `late` fact — Catalyst reuses
+    the exchange for both sides."""
+    l, o, s = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    other_supp = l.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late.alias("l3")
+    return (
+        l1.join(
+            other_supp,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )

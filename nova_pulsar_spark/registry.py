@@ -86,6 +86,12 @@ ALIASES = {
     "fn_map": "fn_map_lookup",
     "fn_string": "fn_string_ops",
     "state_phase": "state_lifecycle",  # Q3 — phase status stream transitions
+    # TPC-H namespace completeness: Q1/Q2/Q13/Q17 predate the tpch_q*
+    # suite under these names; alias them so tpch_q1..q22 all resolve.
+    "tpch_q1": "pricing_summary",
+    "tpch_q2": "q_min_cost_supplier",
+    "tpch_q13": "q_cust_order_histogram",
+    "tpch_q17": "q_avg_quantity_outliers",
 }
 
 
