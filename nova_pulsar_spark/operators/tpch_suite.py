@@ -720,7 +720,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(load_table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
