@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nova_pulsar_spark.registry import all_queries
 from nova_pulsar_spark.session import get_spark
 
-RUNS = 2
+RUNS = 3  # best-of-3: local-mode timings jitter up to 2x under load
 
 # Headline set: the flagship aggregation plus one representative from
 # each heavyweight operator family (join, window, dedup, similarity).
