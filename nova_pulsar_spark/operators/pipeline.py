@@ -362,6 +362,59 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32  # chunk window (tokens)
+CHUNK_STRIDE = 24  # stride between chunk starts (overlap = 32 - 24 = 8)
+
+
+@register(
+    "llm_chunk_overlap",
+    sql=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    st AS (
+      SELECT doc_id, w, n,
+             UNNEST(generate_series(0, n - 1, {CHUNK_STRIDE})) AS start
+      FROM ws)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(start AS BIGINT) AS start_token,
+           array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, n - start) AS BIGINT) AS n_tokens
+    FROM st
+    """,
+    doc=f"Sliding-window document chunking: {CHUNK_TOKENS}-token chunks every "
+    f"{CHUNK_STRIDE} tokens ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) — the "
+    "context-window chunking step for retrieval / embedding pipelines",
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking is a row-local explode — split once (lambda-CSE: the
+    token array is materialized a single time per doc), generate the
+    stride-spaced start offsets, slice. No shuffle at all: output
+    chunks stay on the partition that read the document, which is
+    exactly what a 100 TB embed/chunk pipeline wants (chunking feeds
+    straight into the embedding UDF map-side).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n")
+    )
+    st = ws.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.expr(f"sequence(0, n - 1, {CHUNK_STRIDE})")).alias("start"),
+    )
+    return st.select(
+        "doc_id",
+        F.floor(F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_no"),
+        F.col("start").cast("bigint").alias("start_token"),
+        F.concat_ws(" ", F.expr(f"slice(w, start + 1, {CHUNK_TOKENS})")).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start")).cast("bigint").alias("n_tokens"),
+    )
+
+
 MIX_ALPHA_NOTE = "alpha = 0.5 via sqrt (correctly-rounded IEEE op — identical across engines)"
 
 

@@ -1,0 +1,229 @@
+"""Time-series operators over the `events` stream-at-rest table:
+spine gap-fill with forward-fill, ordered funnel analysis, rolling
+window distinct counts.
+
+Reference parity: the reference's temporal logic is freshness/stall
+windows (`agents/orbiter.md:176-181`) and heartbeat-age predicates
+(`scripts/starry-daemon.sh:77-85`) — the generalized forms here are
+the missing-observation (gap-fill), ordered-sequence (funnel), and
+sliding-activity (rolling distinct) analytics any event pipeline
+needs (SURVEY.md §2.6 extensions).
+
+Scale notes:
+- gap-fill generates the time spine FROM the per-key bounds (one row
+  per key), so spine size is Σ key-spans — never a cartesian of
+  keys × global calendar; the forward-fill window partitions by key;
+- the funnel does one filtered aggregation per stage — each stage
+  shuffles only that stage's event rows reduced to one row per user
+  before the next stage's (broadcastable) join;
+- rolling distinct avoids a range join entirely: each (user, day)
+  pair explodes to its 7 covering window-days and a single
+  count-distinct shuffle does the rest — linear in events, the plan
+  that survives 100× (a day-range theta join does not).
+
+All double sums use the long-cents idiom (`functions/exact.py`) so
+results are bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.functions.exact import sql_sum_cents, sum_cents
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+
+@register(
+    "ts_gapfill",
+    sql=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             {sql_sum_cents("value", 100)} AS day_value,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds)
+    SELECT s.user_id, s.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           LAST_VALUE(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           d.day_value IS NOT NULL AS observed
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Time-spine gap fill with forward fill (LOCF): per-user daily spine "
+    "from the user's own bounds; missing days carry the last observed value",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill = spine generation + left join + last-non-null window.
+    The spine is derived per key from that key's own [min, max] day
+    span (one `sequence()` per key row — no key × calendar blowup),
+    and the LOCF window partitions by the same key, so the whole plan
+    is one shuffle on user_id. Day sums use long-cents for exact
+    cross-engine parity.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        sum_cents(F.col("value"), 100).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNotNull().alias("observed"),
+        )
+    )
+
+
+# Ordered funnel stages (each must happen strictly after the previous).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "ts_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    doc="Ordered conversion funnel (view → click → purchase, strictly "
+    "increasing timestamps): per-user stage times + reached depth",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a filtered min-aggregation: stage N's events are
+    filtered by type BEFORE the shuffle, reduced to one row per user,
+    then stage N+1 joins against that (small, broadcastable) frame.
+    The corpus is never shuffled whole — per stage it ships only that
+    stage's event rows, and the per-user frames stay tiny at any
+    scale (≤ one row per user).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    depth = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            depth.cast("bigint").alias("funnel_depth"),
+        )
+    )
+
+
+ROLL_DAYS = 7
+
+
+@register(
+    "ts_rolling_active",
+    sql=f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    b AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pairs),
+    exp AS (
+      SELECT user_id,
+             UNNEST(generate_series(day, day + INTERVAL {ROLL_DAYS - 1} DAY,
+                                    INTERVAL 1 DAY)) AS wday
+      FROM pairs),
+    roll AS (
+      SELECT wday AS day, COUNT(DISTINCT user_id) AS active_7d
+      FROM exp, b WHERE wday BETWEEN b.d0 AND b.d1 GROUP BY 1),
+    daily AS (
+      SELECT day, COUNT(DISTINCT user_id) AS active_1d FROM pairs GROUP BY 1)
+    SELECT r.day,
+           CAST(COALESCE(d.active_1d, 0) AS BIGINT) AS active_1d,
+           CAST(r.active_7d AS BIGINT) AS active_7d
+    FROM roll r LEFT JOIN daily d ON d.day = r.day
+    """,
+    doc=f"Rolling {ROLL_DAYS}-day distinct active users per day (explode-to-"
+    "window-days rewrite — linear shuffle, no day-range theta join)",
+)
+def ts_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT) without a range join: each
+    (user, day) observation is charged to the 7 window-days it
+    covers, then one groupBy(day) count-distinct finishes the job.
+    Work is 7× the distinct (user, day) pairs — linear in input and
+    embarrassingly parallel, where the naive `day BETWEEN d-6 AND d`
+    join is quadratic pressure on a single range dimension at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    bounds = pairs.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    expanded = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, day + interval {ROLL_DAYS - 1} day, interval 1 day)")
+        ).alias("wday"),
+    )
+    roll = (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+    daily = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("active_1d"))
+    return roll.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("active_1d"), F.lit(0)).cast("bigint").alias("active_1d"),
+        F.col("active_7d").cast("bigint").alias("active_7d"),
+    )

@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
         setops,
         similarity,
         textstats,
+        timeseries,
         tpch_shapes,
         tpch_suite,
         topk,

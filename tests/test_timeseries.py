@@ -1,0 +1,103 @@
+"""Behavioral tests for the time-series operators (gap-fill, funnel,
+rolling distinct) and the chunking curation op."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.operators.pipeline import CHUNK_STRIDE, CHUNK_TOKENS, llm_chunk_overlap
+from nova_pulsar_spark.operators.timeseries import ts_funnel, ts_gapfill, ts_rolling_active
+from nova_pulsar_spark.sources.tables import load_table
+
+
+def test_gapfill_spine_is_contiguous_per_user(spark, sf_dir):
+    rows = ts_gapfill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user, "gapfill returned no rows"
+    for user, urows in by_user.items():
+        days = sorted(r.day for r in urows)
+        # contiguous daily spine between the user's own bounds
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span, f"user {user}: {len(days)} rows for a {span}-day span"
+        # first spine day is observed by construction (bounds come from data)
+        first = min(urows, key=lambda r: r.day)
+        assert first.observed and first.filled_value is not None
+
+
+def test_gapfill_locf_carries_last_value(spark, sf_dir):
+    rows = ts_gapfill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for urows in by_user.values():
+        last_seen = None
+        for r in sorted(urows, key=lambda r: r.day):
+            if r.observed:
+                assert r.n_events > 0
+                last_seen = r.filled_value
+            else:
+                assert r.n_events == 0
+                assert r.filled_value == last_seen  # forward-filled
+_STAGE_COLS = ("t_view", "t_click", "t_purchase")
+
+
+def test_funnel_stage_times_strictly_ordered(spark, sf_dir):
+    rows = ts_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        times = [getattr(r, c) for c in _STAGE_COLS]
+        # depth == number of leading non-nulls; no gaps
+        n_lead = 0
+        for t in times:
+            if t is None:
+                break
+            n_lead += 1
+        assert r.funnel_depth == n_lead
+        assert all(t is None for t in times[n_lead:])
+        for a, b in zip(times, times[1:]):
+            if a is not None and b is not None:
+                assert a < b
+
+
+def test_funnel_covers_every_user(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert ts_funnel(spark, sf_dir).count() == n_users
+
+
+def test_rolling_active_bounds(spark, sf_dir):
+    rows = ts_rolling_active(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.active_1d <= r.active_7d
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    chunks = llm_chunk_overlap(spark, sf_dir)
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, crows in by_doc.items():
+        crows.sort(key=lambda r: r.chunk_no)
+        words = docs[doc_id].split(" ")
+        # stride-spaced starts, last chunk may be short
+        for r in crows:
+            assert r.start_token == r.chunk_no * CHUNK_STRIDE
+            expect = words[r.start_token : r.start_token + CHUNK_TOKENS]
+            assert r.chunk_text == " ".join(expect)
+            assert r.n_tokens == len(expect)
+        # non-overlapping prefixes of consecutive chunks rebuild the doc
+        rebuilt: list[str] = []
+        for r in crows[:-1]:
+            rebuilt.extend(r.chunk_text.split(" ")[:CHUNK_STRIDE])
+        rebuilt.extend(crows[-1].chunk_text.split(" "))
+        assert rebuilt == words
