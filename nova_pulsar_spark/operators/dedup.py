@@ -425,7 +425,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     mh = minhash_signatures(d).cache()
-    cand = lsh_candidates(mh).localCheckpoint()
+    cand = lsh_candidates(mh).localCheckpoint(eager=False)
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -449,9 +449,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(dup.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")))
         .union(dup.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = sym.groupBy("src").agg(F.min("dst").alias("label")).localCheckpoint()
+    # Lazy checkpoints: the scalar probe right after materializes the
+    # checkpoint in the SAME job, so each iteration costs one action
+    # (not checkpoint-job + probe-job) — halves the fixpoint job count.
+    labels = sym.groupBy("src").agg(F.min("dst").alias("label")).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         prop = (
@@ -460,7 +463,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("s.dst").alias("src"), F.col("l.label").alias("label"))
         )
         labels = (
-            labels.unionByName(prop).groupBy("src").agg(F.min("label").alias("label")).localCheckpoint()
+            labels.unionByName(prop)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:

@@ -662,10 +662,14 @@ def join_dep_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rule as `phase_rounds`). Iterations = DAG depth, each a
     distributed self-join — no driver-side row data, only a count probe.
     """
-    edges = S.dep_edges(PLANS.spark_df(spark), PHASES.spark_df(spark)).localCheckpoint()
+    # Lazy checkpoints: the count probe right after materializes each
+    # checkpoint in the same job — one action per iteration.
+    edges = S.dep_edges(PLANS.spark_df(spark), PHASES.spark_df(spark)).localCheckpoint(
+        eager=False
+    )
     closure = edges.select(
         F.col("dep_id").alias("ancestor"), F.col("plan_id").alias("descendant")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n = closure.count()
     while True:
         extended = (
@@ -673,7 +677,7 @@ def join_dep_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(edges.alias("e"), F.col("e.dep_id") == F.col("c.descendant"))
             .select(F.col("c.ancestor").alias("ancestor"), F.col("e.plan_id").alias("descendant"))
         )
-        closure = closure.unionByName(extended).distinct().localCheckpoint()
+        closure = closure.unionByName(extended).distinct().localCheckpoint(eager=False)
         new_n = closure.count()
         if new_n == n:
             return closure

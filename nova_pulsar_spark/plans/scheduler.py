@@ -159,8 +159,13 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
     # localCheckpoint truncates lineage each step — without it every
     # iteration re-plans (and the fixpoint probe re-executes) the whole
     # join chain so far, and the plan grows superlinearly with depth.
+    # Lazy checkpoints throughout the loop: the fixpoint probe right
+    # after each checkpoint materializes it in the same job (one action
+    # per iteration instead of checkpoint-job + probe-job).
     rounds = (
-        phases.select("plan_id", "phase").withColumn("round", F.lit(1)).localCheckpoint()
+        phases.select("plan_id", "phase")
+        .withColumn("round", F.lit(1))
+        .localCheckpoint(eager=False)
     )
     prev_max = 1
     for _ in range(max_iters):
@@ -180,7 +185,7 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
             rounds.unionByName(bumped)
             .groupBy("plan_id", "phase")
             .agg(F.max("round").alias("round"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Fixpoint when the frontier stopped deepening (ONE scalar probe
         # per step; the previous depth is remembered driver-side).
