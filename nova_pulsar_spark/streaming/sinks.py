@@ -52,6 +52,72 @@ class JsonDirSink:
         atomic_write_json(self.directory, os.path.basename(self._seal_path(batch_id)), {"batch_id": batch_id})
 
 
+class ParquetMergeSink:
+    """foreachBatch MERGE/upsert: maintains a keyed parquet snapshot —
+    the incremental-view-maintenance pattern (a streaming aggregation in
+    update mode feeds per-key deltas; the sink merges them into the
+    materialized table).
+
+    MERGE = anti-join out the updated keys, union in the new rows, write
+    a NEW snapshot version, then atomically swap a `_LATEST` pointer
+    (tmp+rename — the reference's publish idiom). Readers following the
+    pointer never see a partial table; a crash before the swap leaves
+    the previous version live. Replays are no-ops via the recorded
+    batch_id (batch ids are monotonic per checkpoint).
+
+    On a lakehouse this whole class is `MERGE INTO` on Delta/Iceberg;
+    the versioned-dir + pointer layout is the same copy-on-write MVCC
+    those formats implement, expressed over plain parquet. The merge
+    itself is distributed (DataFrame anti-join + union — no driver-side
+    row data); the batch side is small per trigger, so Spark broadcasts
+    it against the snapshot scan.
+    """
+
+    def __init__(self, root: str, key_cols: list[str]):
+        self.root = root
+        self.key_cols = key_cols
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_LATEST")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:06d}")
+
+    def read_snapshot(self, spark) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            return None
+        return spark.read.parquet(self.snapshot_path(cur["version"]))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        cur = self.current()
+        if cur is not None and batch_id <= cur["batch_id"]:
+            return  # checkpoint replay — this batch is already merged
+        updates = batch_df  # update-mode aggregation: one row per key
+        if cur is None:
+            merged, version = updates, 0
+        else:
+            spark = batch_df.sparkSession
+            snap = spark.read.parquet(self.snapshot_path(cur["version"]))
+            merged = snap.join(
+                updates.select(*self.key_cols).distinct(), self.key_cols, "left_anti"
+            ).unionByName(updates)
+            version = cur["version"] + 1
+        merged.write.mode("overwrite").parquet(self.snapshot_path(version))
+        # publish AFTER the snapshot is fully written (atomic pointer swap)
+        atomic_write_json(
+            self.root, os.path.basename(self._pointer_path()), {"version": version, "batch_id": batch_id}
+        )
+
+
 class AppendLogSink:
     """S9 append-log sink: `{ts} - {msg}` lines, one write per batch.
 

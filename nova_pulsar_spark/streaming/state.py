@@ -218,3 +218,90 @@ def lifecycle_stream(status_stream: DataFrame, stall_minutes: int = STALL_MINUTE
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def lifecycle_stream_event_time(
+    status_stream: DataFrame, stall_minutes: float = STALL_MINUTES
+) -> DataFrame:
+    """Event-time rendition of the silence kill: the stall clock is the
+    WATERMARK, not the wall clock (`agents/orbiter.md:176-196` measures
+    stalls in event minutes, which processing time only approximates).
+
+    The input stream must carry ``withWatermark("updated_at", ...)``.
+    Each group arms ``setTimeoutTimestamp(last_event + stall)``; when
+    the watermark passes it, the timeout fires deterministically —
+    the emitted `at` is the armed instant (last event + k·stall), a
+    pure function of the data, so replays and re-runs produce byte-
+    identical incidents (unlike the processing-time variant, whose
+    `at` is wall-clock). Retries re-arm one stall window later until
+    the cap, then the phase is killed and its state dropped.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stall_s = int(stall_minutes * 60)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (status, tool_count, owner, retries, last_epoch) = state.get
+            capped = int(retries or 0) >= RETRY_CAP
+            fired_at = int(last_epoch) + stall_s * (int(retries or 0) + 1)
+            yield pd.DataFrame(
+                [
+                    {
+                        "plan_id": key[0],
+                        "phase": key[1],
+                        "kind": "killed" if capped else "stalled",
+                        "from_status": status,
+                        "to_status": "killed" if capped else "retrying",
+                        "tool_count": tool_count,
+                        "at": pd.Timestamp(fired_at, unit="s"),
+                    }
+                ]
+            )
+            if capped:
+                state.remove()
+            else:
+                state.update((status, tool_count, owner, int(retries or 0) + 1, last_epoch))
+                nxt_ms = (int(last_epoch) + stall_s * (int(retries or 0) + 2)) * 1000
+                # the armed instant must sit above the current watermark
+                state.setTimeoutTimestamp(max(nxt_ms, state.getCurrentWatermarkMs() + 1))
+            return
+        st: dict[str, Any] = {}
+        if state.exists:
+            (status, tool_count, owner, retries, last_epoch) = state.get
+            st = {
+                "status": status,
+                "tool_count": tool_count,
+                "owner_thread": owner,
+                "retries": retries,
+                "last_update_epoch": last_epoch,
+            }
+        rows: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["updated_at", "tool_count"])
+            for ev in pdf.to_dict("records"):
+                rows.extend(_step(st, ev, stall_minutes))
+        state.update(
+            (
+                st.get("status"),
+                int(st.get("tool_count") or 0),
+                st.get("owner_thread"),
+                int(st.get("retries") or 0),
+                int(st.get("last_update_epoch") or 0),
+            )
+        )
+        nxt_ms = (int(st.get("last_update_epoch") or 0) + stall_s) * 1000
+        state.setTimeoutTimestamp(max(nxt_ms, state.getCurrentWatermarkMs() + 1))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return (
+        status_stream.groupBy(F.col("plan_id"), F.col("phase"))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -382,3 +382,135 @@ def test_transform_with_state_counter_matches_batch(spark, tmp_path):
     for r in got_rows:  # update mode: keep the max (monotone counter)
         final[r.plan_id] = max(final.get(r.plan_id, 0), r.n_events)
     assert final == {r.plan_id: r["count"] for r in want}
+
+
+def test_event_time_timeout_deterministic_stall_then_kill(spark, tmp_path):
+    """EventTimeTimeout variant: the stall clock is the WATERMARK, so
+    incidents fire at data-determined instants (last_event + k·stall) —
+    byte-identical across replays, unlike wall-clock timeouts. Other
+    plans' events advance the watermark; the silent plan p1 is stalled
+    twice (retry cap) and then killed, at exactly +10/+20/+30 min."""
+    import datetime as dt
+    import time
+
+    from nova_pulsar_spark.streaming.state import lifecycle_stream_event_time
+
+    d = str(tmp_path / "et_topic")
+    base = {
+        "task_id": "phase-1", "project": "alpha", "phase": 1,
+        "thread_id": "th", "last_tool": "Edit", "last_file": "x.py",
+        "started_at": "2026-03-01T09:00:00", "completed_at": None,
+        "status": "running",
+    }
+    atomic_write_json(d, "e1.json", {**base, "plan_id": "p1", "tool_count": 1,
+                                     "updated_at": "2026-03-01T09:00:10"})
+    stream = (
+        Topic(base_dir=d, schema=STATUS_SCHEMA)
+        .reader(spark)
+        .withWatermark("updated_at", "1 minute")
+    )
+    q = (
+        lifecycle_stream_event_time(stream, stall_minutes=10)
+        .writeStream.format("memory")
+        .queryName("lc_et")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+
+    def p1_rows():
+        return sorted(
+            (
+                (r.kind, r.at)
+                for r in spark.sql("SELECT kind, at FROM lc_et WHERE plan_id = 'p1'").collect()
+            ),
+            key=lambda t: (t[1] is None, t[1]),
+        )
+
+    def wait_for(n_rows, feed_name=None, feed_at=None):
+        if feed_name:
+            atomic_write_json(d, feed_name, {**base, "plan_id": "p2", "tool_count": 1,
+                                             "updated_at": feed_at})
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = p1_rows()
+            if len(rows) >= n_rows:
+                return rows
+            time.sleep(0.5)
+        return p1_rows()
+
+    try:
+        assert wait_for(1)[0][0] == "transition"
+        # each later event advances the watermark past p1's armed timeout
+        rows = wait_for(2, "e2.json", "2026-03-01T10:00:00")
+        rows = wait_for(3, "e3.json", "2026-03-01T11:00:00")
+        rows = wait_for(4, "e4.json", "2026-03-01T12:00:00")
+    finally:
+        q.stop()
+    assert [k for k, _ in rows] == ["transition", "stalled", "stalled", "killed"]
+    # fire instants are pure functions of the data: last_event + k*stall
+    t0 = dt.datetime(2026, 3, 1, 9, 0, 10)
+    assert [at for _, at in rows[1:]] == [
+        t0 + dt.timedelta(minutes=10),
+        t0 + dt.timedelta(minutes=20),
+        t0 + dt.timedelta(minutes=30),
+    ]
+
+
+def test_parquet_merge_sink_upserts_across_restarts(spark, tmp_path):
+    """foreachBatch MERGE: an update-mode aggregation feeds per-key
+    deltas; the sink merges them into a versioned parquet snapshot with
+    an atomic pointer swap. A second run on the same checkpoint picks
+    up only the new file and upserts — existing keys survive, updated
+    keys move — and replaying an applied batch_id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.streaming.sinks import ParquetMergeSink
+
+    d = str(tmp_path / "merge_topic")
+    base = {
+        "task_id": "t", "project": "alpha", "phase": 1, "thread_id": "th",
+        "status": "running", "last_tool": "Edit", "last_file": "x.py",
+        "started_at": "2026-03-01T09:00:00", "completed_at": None,
+    }
+    atomic_write_json(d, "e1.json", {**base, "plan_id": "p1", "tool_count": 1,
+                                     "updated_at": "2026-03-01T09:00:10"})
+    atomic_write_json(d, "e2.json", {**base, "plan_id": "p2", "tool_count": 5,
+                                     "updated_at": "2026-03-01T09:01:10"})
+    sink = ParquetMergeSink(str(tmp_path / "merge_table"), ["plan_id"])
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def run_once():
+        agg = (
+            Topic(base_dir=d, schema=STATUS_SCHEMA)
+            .reader(spark)
+            .groupBy("plan_id")
+            .agg(F.max("tool_count").alias("max_tools"), F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    snap = {r.plan_id: (r.max_tools, r.n_events) for r in sink.read_snapshot(spark).collect()}
+    assert snap == {"p1": (1, 1), "p2": (5, 1)}
+
+    # restart with a new event for p1 only: p2's row must survive the merge
+    atomic_write_json(d, "e3.json", {**base, "plan_id": "p1", "tool_count": 7,
+                                     "updated_at": "2026-03-01T09:02:10"})
+    run_once()
+    snap = {r.plan_id: (r.max_tools, r.n_events) for r in sink.read_snapshot(spark).collect()}
+    assert snap == {"p1": (7, 2), "p2": (5, 1)}
+
+    # replaying an already-applied batch_id is a no-op
+    before = sink.current()
+    sink(spark.createDataFrame([("poison", 99, 99)], "plan_id string, max_tools int, n_events long"),
+         before["batch_id"])
+    assert sink.current() == before
+    assert "poison" not in {r.plan_id for r in sink.read_snapshot(spark).collect()}
