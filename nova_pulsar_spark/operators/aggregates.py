@@ -22,7 +22,7 @@ makes re-runs at 1000 executors byte-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
@@ -296,4 +296,93 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "agg_corr_exact",
+    sql="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0)) * CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           ((n * sxy) - (sx * sy))
+             / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_qty_price
+    FROM s
+    """,
+    doc="Exact Pearson correlation (quantity vs price) from decimal-exact "
+    "moment sums — order-insensitive, byte-stable across partitionings",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.corr` streams double moments whose value depends on partition
+    order — useless for cross-engine (or cross-run) parity. This
+    rendition accumulates the five moment sums EXACTLY (integer cents
+    in DECIMAL(38,0) accumulators — no overflow at any realistic
+    scale, unlike bigint for Σy² at petabyte row counts) and converts
+    once at the end; the closed-form corr is then a fixed IEEE
+    expression tree over identical inputs on every engine. Still one
+    map-side-combined hash aggregate — exactness costs nothing in
+    shuffle shape.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = F.sqrt((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
+        (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", (num / den).alias("corr_qty_price"))
+
+
+@register(
+    "agg_mode_deterministic",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id, event_type AS mode_event_type, CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    doc="Deterministic mode (most frequent value per key, ties broken by "
+    "value order) — built-in mode() is tie-nondeterministic across engines",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.mode`/DuckDB `mode()` pick an arbitrary winner on tied counts
+    — fine interactively, fatal for reproducible pipelines. The
+    count + rank rendition pins the tie-break (count desc, value asc):
+    two shuffles on (key, value) then (key), both with map-side
+    combine, and the rank window partitions by key — no global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
     )

@@ -116,3 +116,68 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
     )
+
+
+def _spread8_sql(expr: str) -> str:
+    """Interleave-ready bit spread of an 8-bit value (x -> x with a zero
+    between every bit), via the standard magic-number doubling steps —
+    identical integer ops on both engines."""
+    s = f"(({expr}) & 255)"
+    s = f"(({s} | ({s} << 4)) & 3855)"   # 0x0F0F
+    s = f"(({s} | ({s} << 2)) & 13107)"  # 0x3333
+    s = f"(({s} | ({s} << 1)) & 21845)"  # 0x5555
+    return s
+
+
+_ZGRID = 256  # per-dimension quantization grid (8 bits)
+_PQ = f"(((l_partkey - pmin) * {_ZGRID}) // (pmax - pmin + 1))"
+_SQ = f"(((l_suppkey - smin) * {_ZGRID}) // (smax - smin + 1))"
+
+
+@register(
+    "fn_zorder",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_spread8_sql(_PQ)} | ({_spread8_sql(_SQ)} << 1) AS BIGINT) AS zval
+    FROM lineitem CROSS JOIN (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem) b
+    """,
+    doc="Z-order (Morton) curve value over (partkey, suppkey) — the "
+    "multi-dimensional clustering key for data layout: sort-by-zval makes "
+    "row-group min/max stats selective on BOTH dimensions at once",
+)
+def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave with per-dimension min-max quantization onto an
+    equal-width 256-cell grid — without the normalization, a dimension
+    with more value bits dominates the curve's high bits and the other
+    dimension degenerates (the standard ZORDER pitfall). The quantized
+    cells interleave via magic-number bit spreading (integer ops only,
+    no UDF — stays in whole-stage codegen; the min/max frame is a
+    broadcast scalar). Writing 100 TB sorted by zval gives every
+    parquet row group a tight bounding box in (partkey, suppkey)
+    space, so predicates on EITHER key skip most row groups — the
+    layout trick lakehouse OPTIMIZE ZORDER applies, here expressed as
+    one projection + sortWithinPartitions at write time.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    bounds = l.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+
+    def spread(qexpr: str) -> F.Column:
+        s = F.expr(f"({qexpr}) & 255")
+        for shift, mask in ((4, 0x0F0F), (2, 0x3333), (1, 0x5555)):
+            s = s.bitwiseOR(F.shiftleft(s, shift)).bitwiseAND(F.lit(mask))
+        return s
+
+    pq = f"((l_partkey - pmin) * {_ZGRID}) div (pmax - pmin + 1)"
+    sq = f"((l_suppkey - smin) * {_ZGRID}) div (smax - smin + 1)"
+    z = spread(pq).bitwiseOR(F.shiftleft(spread(sq), 1))
+    return l.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.cast("bigint").alias("zval")
+    )

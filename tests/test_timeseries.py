@@ -101,3 +101,50 @@ def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
             rebuilt.extend(r.chunk_text.split(" ")[:CHUNK_STRIDE])
         rebuilt.extend(crows[-1].chunk_text.split(" "))
         assert rebuilt == words
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Z-value sorting makes row-group min/max stats selective on BOTH
+    dimensions: a point predicate on either key scans only a fraction
+    of the row groups, where a single-key sort leaves the other
+    dimension unselective (every row group matches)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nova_pulsar_spark.operators.extras import fn_zorder
+
+    z = fn_zorder(spark, "/root/testdata/sf0.01")
+
+    def scan_fraction(path, col):
+        """Avg fraction of row groups a point predicate on `col` scans."""
+        ranges = []
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(os.path.join(path, fname))
+            idx = f.schema_arrow.names.index(col)
+            for g in range(f.num_row_groups):
+                st = f.metadata.row_group(g).column(idx).statistics
+                ranges.append((st.min, st.max))
+        assert len(ranges) >= 4, "need multiple row groups for the comparison"
+        lo = min(a for a, _ in ranges)
+        hi = max(b for _, b in ranges)
+        probes = range(lo, hi + 1, max(1, (hi - lo) // 50))
+        hits = [sum(1 for a, b in ranges if a <= v <= b) / len(ranges) for v in probes]
+        return sum(hits) / len(hits)
+
+    zdir, kdir = str(tmp_path / "zsorted"), str(tmp_path / "ksorted")
+    opts = {"parquet.block.size": 128 * 1024}
+    z.repartition(1).sortWithinPartitions("zval").write.options(**opts).mode(
+        "overwrite"
+    ).parquet(zdir)
+    z.repartition(1).sortWithinPartitions("l_partkey").write.options(**opts).mode(
+        "overwrite"
+    ).parquet(kdir)
+    # partkey-sorted: partkey is very selective but suppkey matches
+    # (nearly) every row group — no skipping on the second dimension
+    assert scan_fraction(kdir, "l_suppkey") > 0.9
+    # z-sorted: BOTH dimensions skip a material share of row groups
+    assert scan_fraction(zdir, "l_partkey") < 0.6
+    assert scan_fraction(zdir, "l_suppkey") < 0.6
