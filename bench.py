@@ -53,6 +53,11 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_quality_repetition",
     "llm_dedup_clusters",
+    "ts_gapfill",
+    "ts_rolling_active",
+    "llm_chunk_overlap",
+    "fn_zorder",
+    "agg_corr_exact",
 ]
 
 
