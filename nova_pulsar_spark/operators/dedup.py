@@ -236,8 +236,9 @@ def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mh = minhash_signatures(d).cache()
     # cand feeds BOTH the semi-join keyset and the final pair join;
-    # materialize once (it is the small candidate set by construction).
-    cand = lsh_candidates(mh).localCheckpoint()
+    # checkpoint so it computes once (lazy: the query's own action
+    # materializes it — no separate checkpoint job).
+    cand = lsh_candidates(mh).localCheckpoint(eager=False)
     needed = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))

@@ -287,3 +287,45 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shipped_in_window"))
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    sql="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    """,
+    doc="Skew-salted join — provably identical to the plain equi-join "
+    "(oracle = unsalted): fact side salted, dim side replicated per salt",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-join rescue when AQE's runtime splitting isn't enough
+    (or the engine predates it): a hot join key floods one reducer;
+    salting appends `hash(row) % N` to the fact side's key and
+    replicates the dimension side N× (one copy per salt), so the hot
+    key's rows spread over N reducers. The oracle is the PLAIN join —
+    the rewrite must be (and is) result-identical; only the shuffle
+    distribution changes. Replication cost = N × |dim|, which is why
+    the technique pairs with a small/broadcastable dim or with
+    targeted salting of only the detected-hot keys.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    salts = spark.range(N_SALTS).select(F.col("id").cast("int").alias("salt"))
+    # fact: deterministic per-row salt (any uniform function works; the
+    # row id keeps it stable across retries)
+    lf = l.withColumn(
+        "salt", F.pmod(F.hash(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(N_SALTS))
+    )
+    # dim: one replica per salt value
+    sr = s.crossJoin(salts)
+    return (
+        lf.join(
+            sr.hint("shuffle_hash"),
+            (F.col("s_suppkey") == F.col("l_suppkey")) & (lf["salt"] == sr["salt"]),
+        )
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+    )

@@ -241,7 +241,7 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "band",
         F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -11,7 +11,7 @@ shuffles anything but final aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
@@ -266,4 +266,162 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") >= NGRAM_MIN_COUNT)
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "llm_tfidf_topterms",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tfc AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfc AS (
+      SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+    n AS (
+      SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             CAST((t.tf * n.n_docs) AS DOUBLE) / d.df AS score
+      FROM tfc t JOIN dfc d ON d.token = t.token CROSS JOIN n),
+    r AS (
+      SELECT doc_id, token, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS term_rank
+      FROM scored)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(term_rank AS BIGINT) AS term_rank
+    FROM r WHERE term_rank <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF top terms per document (linear idf = N/df — no log, so the "
+    "score is a single exactly-reproducible IEEE division; ties by token)",
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: tf from one (doc, token) aggregation, df from
+    one token aggregation over it (both map-side combined, linear in
+    corpus), a token-keyed join to attach df — the df frame is
+    vocabulary-sized, far smaller than the corpus — and a per-doc rank
+    window. idf is the LINEAR N/df variant: `log()` is not a
+    correctly-rounded IEEE op, so log-idf can differ in the last ulp
+    across engines/libms; integer-product-then-one-division is exact
+    and preserves the same per-doc ranking for fixed N.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tfc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+            F.col("term_rank").cast("bigint").alias("term_rank"),
+        )
+    )
+
+
+CMS_ROWS = 2
+CMS_WIDTH = 64
+CMS_TOPK = 10
+
+
+def _cms_bucket_sql(row_expr: str, token_expr: str) -> str:
+    from nova_pulsar_spark.operators.pipeline import _hash16_sql
+
+    salted = f"'r' || CAST({row_expr} AS VARCHAR) || ':' || {token_expr}"
+    return f"({_hash16_sql(salted)} % {CMS_WIDTH})"
+
+
+@register(
+    "llm_heavy_hitters_cms",
+    sql=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    pairs AS (
+      SELECT r.r AS row_no, {_cms_bucket_sql("r.r", "token")} AS bucket
+      FROM tok CROSS JOIN (VALUES (0), (1)) r(r)),
+    sketch AS (
+      SELECT row_no, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1),
+    cand AS (
+      SELECT token, exact_n FROM exact
+      ORDER BY exact_n DESC, token LIMIT {CMS_TOPK}),
+    est AS (
+      SELECT c.token, c.exact_n, MIN(s.cnt) AS est_n
+      FROM cand c JOIN sketch s
+        ON s.bucket = {_cms_bucket_sql("s.row_no", "c.token")}
+      GROUP BY 1, 2)
+    SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           est_n >= exact_n AS admissible
+    FROM est
+    """,
+    doc="Count-min-sketch heavy hitters: deterministic md5-row hashes make "
+    "the sketch oracle-exact; est = min over rows, always >= the true count",
+)
+def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS shuffle is the point: after map-side partial aggregation
+    the wire carries at most rows×width (= 128) counter cells per map
+    partition, REGARDLESS of corpus size — the sketch is the fixed-size
+    summary a 100 TB frequency pass ships to one reducer. Estimation
+    joins candidates against the (broadcastable) sketch; the min over
+    rows is the classic admissible overestimate, asserted per row.
+    Hashes are the md5-nibble idiom, so both engines build the
+    bit-identical sketch.
+    """
+    from nova_pulsar_spark.operators.pipeline import _hash16_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def bucket(row_col: F.Column, token_col: F.Column) -> F.Column:
+        return _hash16_spark(
+            F.concat(F.lit("r"), row_col.cast("string"), F.lit(":"), token_col)
+        ) % CMS_WIDTH
+
+    pairs = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row_no"), bucket(F.lit(r), F.col("token")).alias("bucket"))
+                for r in range(CMS_ROWS)
+            ])
+        ).alias("p")
+    ).select("p.row_no", "p.bucket")
+    sketch = pairs.groupBy("row_no", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.orderBy(F.col("exact_n").desc(), "token").limit(CMS_TOPK)
+    est = (
+        cand.join(
+            F.broadcast(sketch),
+            F.col("bucket") == bucket(F.col("row_no"), F.col("token")),
+        )
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") >= F.col("exact_n")).alias("admissible"),
     )

@@ -227,3 +227,64 @@ def ts_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("active_1d"), F.lit(0)).cast("bigint").alias("active_1d"),
         F.col("active_7d").cast("bigint").alias("active_7d"),
     )
+
+
+PATTERN_WINDOW_MIN = 5  # adjacency window for the two-step pattern
+
+
+@register(
+    "ts_event_pattern",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(event_id)  OVER w AS next_event_id,
+             LEAD(ts)        OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, next_event_id, ts AS purchase_ts,
+           next_ts AS error_ts,
+           CAST((EPOCH_US(next_ts) - EPOCH_US(ts)) // 1000000 AS BIGINT) AS gap_seconds
+    FROM seq
+    WHERE event_type = 'purchase' AND next_type = 'error'
+      AND EPOCH_US(next_ts) - EPOCH_US(ts) <= {PATTERN_WINDOW_MIN} * 60 * 1000000
+    """,
+    doc="Event-sequence pattern match (MATCH_RECOGNIZE shape): purchase "
+    "IMMEDIATELY followed by error within 5 min, per user — the adjacency "
+    "pattern is one LEAD window, no self-join",
+)
+def ts_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair pattern detection compiles to a single LEAD window
+    partitioned by the entity key — one shuffle, no self-join, no
+    per-row Python. Longer patterns chain more LEADs (fixed length) or
+    fall back to the sessionize-then-aggregate shape; both keep the
+    per-key ordering local to one partition, which is what makes
+    MATCH_RECOGNIZE-style queries tractable at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    gap_us = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("next_type") == "error")
+            & (gap_us <= PATTERN_WINDOW_MIN * 60 * 1_000_000)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "next_event_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("next_ts").alias("error_ts"),
+            F.floor(gap_us / 1_000_000).cast("bigint").alias("gap_seconds"),
+        )
+    )
