@@ -425,3 +425,50 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("bigint").alias("est_n"),
         (F.col("est_n") >= F.col("exact_n")).alias("admissible"),
     )
+
+
+@register(
+    "llm_source_diversity_gini",
+    sql="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY 1)
+    SELECT source, n_langs, total,
+           CAST(1.0 AS DOUBLE)
+             - CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             AS gini_diversity
+    FROM t
+    """,
+    doc="Per-source language diversity as Gini impurity (1 - Σp²) — the "
+    "log-free diversity measure (entropy needs log(), which is not "
+    "correctly-rounded across engines)",
+)
+def llm_source_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix monitoring: how language-diverse is each source?
+    Gini impurity 1 - Σ(cntᵢ/total)² is the reproducibility-safe
+    choice — it is a rational function of integer counts (one double
+    division per term pair), where Shannon entropy's log() can differ
+    in the last ulp between libms. Two tiny hash aggregates; nothing
+    scales with document size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sumsq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return t.select(
+        "source",
+        "n_langs",
+        "total",
+        (
+            F.lit(1.0).cast("double")
+            - F.col("sumsq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("gini_diversity"),
+    )

@@ -288,3 +288,45 @@ def ts_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(gap_us / 1_000_000).cast("bigint").alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "ts_streaks",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    grp AS (
+      SELECT user_id, day,
+             day - INTERVAL (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)) DAY
+               AS island
+      FROM days)
+    SELECT user_id,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grp
+    GROUP BY user_id, island
+    """,
+    doc="Gaps-and-islands: consecutive-active-day streaks per user — the "
+    "day-minus-row_number island trick, one window + one aggregation",
+)
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streak detection without self-joins or loops: subtracting the
+    per-key row number (in days) from each active day maps every run
+    of consecutive days to one constant 'island' value; a groupBy on
+    it yields the streaks. One shuffle for the window, one for the
+    aggregate — both partitioned by the entity key, nothing global.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.make_interval(days=F.row_number().over(w))).alias("island"),
+    )
+    return grp.groupBy("user_id", "island").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    ).drop("island")

@@ -148,3 +148,54 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     # z-sorted: BOTH dimensions skip a material share of row groups
     assert scan_fraction(zdir, "l_partkey") < 0.6
     assert scan_fraction(zdir, "l_suppkey") < 0.6
+
+
+def test_cms_estimates_are_admissible_overestimates(spark, sf_dir):
+    from nova_pulsar_spark.operators.textstats import llm_heavy_hitters_cms
+
+    rows = llm_heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.exact_n  # CMS never underestimates
+        assert r.admissible
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from nova_pulsar_spark.operators.joins import join_salted_skew
+    from nova_pulsar_spark.sources.tables import load_table
+
+    salted = join_salted_skew(spark, sf_dir)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    plain = l.join(s, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_streaks_are_maximal_consecutive_runs(spark, sf_dir):
+    from nova_pulsar_spark.operators.timeseries import ts_streaks
+    from nova_pulsar_spark.sources.tables import load_table
+
+    streaks = ts_streaks(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    active = {
+        (r.user_id, r.day)
+        for r in e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .collect()
+    }
+    covered = set()
+    for r in streaks:
+        span = (r.streak_end - r.streak_start).days + 1
+        assert span == r.streak_days  # streaks are contiguous
+        for i in range(span):
+            d = r.streak_start + __import__("datetime").timedelta(days=i)
+            assert (r.user_id, d) in active  # every streak day was active
+            covered.add((r.user_id, d))
+        # maximality: the days adjacent to the streak are NOT active
+        one = __import__("datetime").timedelta(days=1)
+        assert (r.user_id, r.streak_start - one) not in active
+        assert (r.user_id, r.streak_end + one) not in active
+    assert covered == active  # streaks partition the active days
