@@ -386,3 +386,93 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("mode_count"),
         )
     )
+
+
+# Stable bit position per event type (alphabetical).
+_EVENT_BITS = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+_BIT_CASE_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN {1 << v}" for k, v in sorted(_EVENT_BITS.items())
+) + " ELSE 0 END"
+
+
+@register(
+    "agg_bitmap_flags",
+    sql=f"""
+    SELECT user_id,
+           CAST(bit_or({_BIT_CASE_SQL}) AS BIGINT) AS seen_mask,
+           CAST(bit_count(CAST(bit_or({_BIT_CASE_SQL}) AS BIGINT)) AS BIGINT)
+             AS n_event_types,
+           CAST(bit_or({_BIT_CASE_SQL}) AS BIGINT) & 4 = 4 AS has_purchased
+    FROM events GROUP BY user_id
+    """,
+    doc="Bitmap set aggregation: per-user seen-event-type bitmask via bit_or "
+    "— the compact set-membership rollup (one long per key, not a collect_set)",
+)
+def agg_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership profiles as bitmaps: `bit_or` of per-row flag
+    bits gives 'which event types has this user produced' in ONE long
+    per key — associative, map-side combinable, and 64× denser than
+    `collect_set`. The same pattern backs feature flags, segment
+    membership, and bitmap indexes at 100 TB (billions of keys × one
+    long, vs arrays of strings).
+    """
+    e = load_table(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "click", 1)
+    for k, v in _EVENT_BITS.items():
+        if k != "click":
+            flag = flag.when(F.col("event_type") == k, 1 << v)
+    flag = flag.otherwise(0)
+    mask = F.bit_or(flag).cast("bigint")
+    return e.groupBy("user_id").agg(
+        mask.alias("seen_mask"),
+        F.bit_count(mask).cast("bigint").alias("n_event_types"),
+        (mask.bitwiseAND(F.lit(4)) == 4).alias("has_purchased"),
+    )
+
+
+HIST_BINS = 10
+
+
+@register(
+    "agg_histogram_fixed",
+    sql=f"""
+    WITH b AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((value - b.vmin) * {HIST_BINS} / (b.vmax - b.vmin))
+                        AS BIGINT), {HIST_BINS - 1}) AS bin,
+             b.vmin + (b.vmax - b.vmin) / {HIST_BINS}
+               * LEAST(CAST(FLOOR((value - b.vmin) * {HIST_BINS} / (b.vmax - b.vmin))
+                            AS BIGINT), {HIST_BINS - 1}) AS bin_lo
+      FROM events, b)
+    SELECT bin, bin_lo, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, bin_lo
+    """,
+    doc=f"Fixed-width {HIST_BINS}-bin value histogram from global min/max — "
+    "the data-profiling distribution sketch (two scans, no sort)",
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: one tiny min/max aggregate (broadcast as a
+    scalar frame), then binning is a row-local projection and the
+    counts shuffle only `HIST_BINS` groups. The float bin arithmetic
+    is the same parse tree on both engines, so bin edges are
+    bit-identical — no sort, no percentile pass, scales as two scans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    raw_bin = F.floor(
+        (F.col("value") - F.col("vmin")) * HIST_BINS / (F.col("vmax") - F.col("vmin"))
+    ).cast("bigint")
+    bin_ = F.least(raw_bin, F.lit(HIST_BINS - 1))
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            bin_.alias("bin"),
+            (
+                F.col("vmin")
+                + (F.col("vmax") - F.col("vmin")) / HIST_BINS * bin_
+            ).alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
