@@ -514,3 +514,98 @@ def test_parquet_merge_sink_upserts_across_restarts(spark, tmp_path):
          before["batch_id"])
     assert sink.current() == before
     assert "poison" not in {r.plan_id for r in sink.read_snapshot(spark).collect()}
+
+
+def test_event_time_timeout_recovery_is_value_deterministic(spark, tmp_path):
+    """Kill the event-time lifecycle query mid-stream and restart it from
+    the same checkpoint: recovered state picks up where it left off, and
+    because incident times are data-determined (last_event + k·stall),
+    any at-least-once replay re-emits VALUE-IDENTICAL rows — the union
+    of both runs dedupes to exactly the canonical incident sequence."""
+    import datetime as dt
+    import time
+
+    from nova_pulsar_spark.streaming.state import lifecycle_stream_event_time
+
+    d = str(tmp_path / "rec_topic")
+    ckpt = str(tmp_path / "ckpt_rec")
+    base = {
+        "task_id": "phase-1", "project": "alpha", "phase": 1,
+        "thread_id": "th", "last_tool": "Edit", "last_file": "x.py",
+        "started_at": "2026-03-01T09:00:00", "completed_at": None,
+        "status": "running",
+    }
+
+    def start(sink_rows):
+        # foreachBatch (not the memory sink): it is the sink that
+        # SUPPORTS checkpoint recovery, which is the point of the test
+        def collect(batch_df, batch_id):
+            sink_rows.extend(
+                (r.kind, r.at) for r in batch_df.collect() if r.plan_id == "p1"
+            )
+
+        stream = (
+            Topic(base_dir=d, schema=STATUS_SCHEMA)
+            .reader(spark)
+            .withWatermark("updated_at", "1 minute")
+        )
+        return (
+            lifecycle_stream_event_time(stream, stall_minutes=10)
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def wait_until(sink_rows, pred, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred(set(sink_rows)):
+                break
+            time.sleep(0.5)
+        return set(sink_rows)
+
+    # run 1: transition, then first stall (watermark pushed by p2)
+    atomic_write_json(d, "e1.json", {**base, "plan_id": "p1", "tool_count": 1,
+                                     "updated_at": "2026-03-01T09:00:10"})
+    rows1: list = []
+    q1 = start(rows1)
+    try:
+        wait_until(rows1, lambda rows: any(k == "transition" for k, _ in rows))
+        atomic_write_json(d, "e2.json", {**base, "plan_id": "p2", "tool_count": 1,
+                                         "updated_at": "2026-03-01T10:00:00"})
+        run1 = wait_until(rows1, lambda rows: any(k == "stalled" for k, _ in rows))
+    finally:
+        q1.stop()
+
+    # run 2: SAME checkpoint, more watermark-advancing data → the
+    # recovered state continues to the second stall and the kill
+    # (staggered feeds: each timeout re-arms just above the current
+    # watermark, so it needs the NEXT watermark advance to fire)
+    atomic_write_json(d, "e3.json", {**base, "plan_id": "p2", "tool_count": 2,
+                                     "updated_at": "2026-03-01T11:00:00"})
+    rows2: list = []
+    q2 = start(rows2)
+    try:
+        wait_until(rows2, lambda rows: any(k == "stalled" for k, _ in rows))
+        atomic_write_json(d, "e4.json", {**base, "plan_id": "p2", "tool_count": 3,
+                                         "updated_at": "2026-03-01T12:00:00"})
+        run2 = wait_until(rows2, lambda rows: any(k == "killed" for k, _ in rows))
+    finally:
+        q2.stop()
+
+    t0 = dt.datetime(2026, 3, 1, 9, 0, 10)
+    canonical = {
+        ("transition", None),
+        ("stalled", t0 + dt.timedelta(minutes=10)),
+        ("stalled", t0 + dt.timedelta(minutes=20)),
+        ("killed", t0 + dt.timedelta(minutes=30)),
+    }
+    got = {(k, at if k != "transition" else None) for k, at in (run1 | run2)}
+    # at-least-once across the restart, but value-identical rows: the
+    # union dedupes to exactly the canonical sequence
+    assert got == canonical
+    # and the restarted run did NOT re-emit the already-committed
+    # transition (state recovery, not reprocessing from scratch)
+    assert all(k != "transition" for k, _ in run2)
