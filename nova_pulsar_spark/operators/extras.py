@@ -181,3 +181,45 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.crossJoin(F.broadcast(bounds)).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.cast("bigint").alias("zval")
     )
+
+
+@register(
+    "fn_props_parse",
+    sql="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM p GROUP BY event_type
+    """,
+    doc="Semi-structured column parse: JSON props field extracted typed "
+    "(get_json_object ≡ json_extract) then aggregated — the raw-event "
+    "payload-mining shape",
+)
+def fn_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload mining on the raw `props` JSON column: extraction happens
+    IN the scan projection (whole-stage codegen JSON path evaluation,
+    no UDF), so only the extracted long survives to the aggregate —
+    at 100 TB the JSON blobs never reach the shuffle. For hot paths a
+    real pipeline promotes the field to a typed column at ingest; the
+    expression here is the probe that justifies the promotion.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
