@@ -80,6 +80,7 @@ def main() -> None:
         per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
+    _regression_guard(per_query)
     print(
         json.dumps(
             {
@@ -91,6 +92,37 @@ def main() -> None:
             }
         )
     )
+
+
+def _regression_guard(per_query: dict[str, float], factor: float = 1.5) -> None:
+    """Diff against the most recent BENCH_r*.json and warn loudly (on
+    stderr — stdout stays one JSON line) for any query slower than
+    ``factor``× its prior best. Makes regressions visible at build
+    time instead of judge time."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return
+    try:
+        prev = json.load(open(benches[-1])).get("queries", {})
+    except Exception:
+        return
+    slower = {
+        n: (prev[n], t)
+        for n, t in per_query.items()
+        if n in prev and prev[n] > 0.05 and t > factor * prev[n]
+    }
+    for n, (old, new) in sorted(slower.items()):
+        print(
+            f"BENCH REGRESSION: {n} {old:.3f}s -> {new:.3f}s "
+            f"(>{factor}x, vs {os.path.basename(benches[-1])})",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -390,35 +390,37 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dedup_ngram_jaccard",
-    sql="""
-    WITH ws AS (
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + """,
+    ws AS (
       SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS words
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+      FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand))
+    SELECT c.doc_a, c.doc_b, a.lang,
            CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
              / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard
-    FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+    WHERE a.lang = b.lang
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
              / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
     """,
-    doc="Blocked n-gram Jaccard verify (lang-blocked pairs; the exact-verify stage after LSH)",
+    doc="n-gram Jaccard verify over LSH candidate pairs (lang as a secondary "
+    "residual filter, never the blocking key — candidate-driven, not all-pairs)",
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", "lang", F.array_distinct(_words(F.col("text"))).alias("words"))
-    a, b = ws.alias("a"), ws.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
-    jac = inter.cast("double") / union
+    """Exact word-set Jaccard at the 0.5 report threshold, evaluated
+    ONLY on banded-LSH candidate pairs from the shared cached
+    ``dedup_candidates`` stage — the lang equality is a residual
+    filter on candidates, not a blocking key, so no O(n²)-per-block
+    self-join exists anywhere in the registered plan."""
+    _, cand, ws = dedup_candidates(spark, sf_dir)
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+        _pair_jaccard(cand, ws)
+        .filter((F.col("lang_a") == F.col("lang_b")) & (F.col("jaccard") >= 0.5))
+        .select("doc_a", "doc_b", F.col("lang_a").alias("lang"), "jaccard")
     )
 
 
@@ -475,24 +477,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are shallow in practice. The label sum is monotonically decreasing,
     so it doubles as the fixpoint probe without a separate join.
     """
-    d = load_table(spark, sf_dir, "documents")
-    mh = minhash_signatures(d).cache()
-    cand = lsh_candidates(mh).localCheckpoint(eager=False)
-    needed = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    ws = d.join(needed, "doc_id", "left_semi").select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
-    )
-    a, b = ws.alias("a"), ws.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union_sz = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    _, cand, ws = dedup_candidates(spark, sf_dir)
     dup = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, F.col("b.doc_id") == F.col("doc_b"))
-        .filter(inter.cast("double") / union_sz >= DUP_THRESHOLD)
+        _pair_jaccard(cand, ws)
+        .filter(F.col("jaccard") >= DUP_THRESHOLD)
         .select("doc_a", "doc_b")
     )
     sym = (

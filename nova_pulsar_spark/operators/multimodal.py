@@ -67,22 +67,48 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil_image_module():
+    """Pillow's Image module when importable, else None — the importlib
+    gate that selects the real decode path per worker environment."""
+    import importlib
+
+    try:
+        return importlib.import_module("PIL.Image")
+    except ImportError:
+        return None
+
+
 class FakeDecoder:
     """Deterministic stand-in for an image/audio decoder.
 
     A real deployment implements ``decode(payload) -> features`` with
     libjpeg/ffmpeg; this fake derives stable pseudo-features from the
     payload bytes so the distributed plumbing is fully testable. The
-    real-library entry point raises NotImplementedError by design.
+    real-library entry point uses Pillow when importable (importlib
+    gate — no hard dependency) and raises NotImplementedError where no
+    media libs exist, keeping this container's oracle path unchanged.
     """
 
     @staticmethod
-    def decode_real(payload: bytes):  # pragma: no cover - documented stub
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; FakeDecoder provides the deterministic "
-            "test path behind the same interface"
-        )
+    def decode_real(payload: bytes) -> tuple[int, int, float]:
+        """(width, height, mean_gray_intensity) via Pillow when the
+        library is present; same contract as ``fake_features``."""
+        Image = _pil_image_module()
+        if Image is None:  # pragma: no cover - env-bound branch
+            raise NotImplementedError(
+                "real media decoding requires Pillow (or equivalent), not "
+                "present in this environment; FakeDecoder.fake_features "
+                "provides the deterministic test path behind the same "
+                "interface"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            width, height = gray.size
+            data = list(gray.getdata())
+            mean = (sum(data) / len(data)) if data else 0.0
+            return width, height, mean
 
     @staticmethod
     def fake_features(payload: bytes) -> tuple[int, int, float]:

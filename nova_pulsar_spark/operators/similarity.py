@@ -20,8 +20,9 @@ Scale notes (100 TB / billions of vectors):
   the quantizer), probe the top-2 cells, scan only those. At scale
   the corpus is written partitioned by centroid id so probing
   becomes parquet partition pruning;
-- near-dup: label-blocked pair joins — the post-LSH verify stage;
-  never all-pairs across blocks.
+- near-dup: sign-LSH banded candidates, exact cosine only on the
+  candidate pairs; label equality is a residual filter, never the
+  blocking key — no all-pairs join anywhere.
 """
 
 from __future__ import annotations
@@ -84,6 +85,45 @@ def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, cemb) coarse-quantizer centroids, computed ONCE per
+    (session, sf_dir) and cached — the "index build" of the IVF
+    pattern. Per-query probing reads the cached frame instead of
+    re-running the 64× posexplode aggregation; at cluster scale the
+    same frame is a persisted table rebuilt on corpus refresh.
+
+    Per-(label, dim) mean uses a vec_id-ordered sequential fold so the
+    result is deterministic under any partitioning.
+    """
+    key = (id(spark), sf_dir)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "embeddings")
+    centdim = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
+        .select("vec_id", "label", (F.col("i") + 1).alias("i"), F.col("val").cast("double").alias("v"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cent = centdim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cemb")
+    ).cache()
+    _CENTROID_CACHE[key] = cent
+    return cent
+
+
 @register(
     "llm_simsearch_ivf",
     sql=f"""
@@ -112,25 +152,7 @@ def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
-    # Centroids: per-(label, dim) mean with a vec_id-ordered sequential
-    # fold so the result is deterministic under any partitioning.
-    centdim = (
-        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
-        .select("vec_id", "label", (F.col("i") + 1).alias("i"), F.col("val").cast("double").alias("v"))
-        .groupBy("label", "i")
-        .agg(
-            (
-                F.expr(
-                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
-                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-    )
-    cent = centdim.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cemb")
-    )
+    cent = ivf_centroids(spark, sf_dir)
     probes = (
         cent.crossJoin(F.broadcast(q))
         .orderBy(cosine("cemb", "qe").desc(), "label")
@@ -157,6 +179,9 @@ N_PLANES = 32  # 4 bands × 8 sign bits per band
 N_BANDS = 4
 BAND_BITS = N_PLANES // N_BANDS
 EMB_DUP_THRESHOLD = 0.40
+# Rerank report threshold for the label-filtered verify query — lower
+# than the dup cut so the oracle compares a non-vacuous result set.
+EMB_RERANK_THRESHOLD = 0.25
 
 
 def _hp_weight(j: int, d: int) -> float:
@@ -193,11 +218,9 @@ _SIGNS_SQL = " || ".join(
     for j in range(N_PLANES)
 )
 
-
-@register(
-    "llm_dedup_embedding_lsh",
-    sql=f"""
-    WITH sigs AS (
+# Shared sign-LSH candidate CTEs (DuckDB side) — used by both the
+# candidate-generation query and the label-filtered rerank query.
+_EMB_CAND_CTES = f"""sigs AS (
       SELECT vec_id, embedding, {_SIGNS_SQL} AS signs FROM embeddings),
     bands AS (
       SELECT vec_id, embedding, b.b AS band,
@@ -206,7 +229,42 @@ _SIGNS_SQL = " || ".join(
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)"""
+
+
+def _sign_lsh_candidates(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_a, vec_b) sign-LSH banded candidate pairs — the shared
+    candidate-generation stage of the embedding dedup DAG (Spark side
+    of ``_EMB_CAND_CTES``)."""
+    sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
+    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    # localCheckpoint: the 32-fold sign computation is the expensive map
+    # work; without materialization the self-join below evaluates it
+    # TWICE (no ReusedExchange — the two sides differ past the scan).
+    # The checkpointed frame is (vec_id, band, sig) — tiny vs the
+    # embeddings themselves, and exactly what both join sides need.
+    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+        "vec_id",
+        "band",
+        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
+    ).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+@register(
+    "llm_dedup_embedding_lsh",
+    sql=f"""
+    WITH {_EMB_CAND_CTES}
     SELECT c.vec_a, c.vec_b,
            {_sql_cos("ea.embedding", "eb.embedding")} AS cosine,
            {_sql_cos("ea.embedding", "eb.embedding")} >= {EMB_DUP_THRESHOLD} AS is_dup
@@ -230,29 +288,7 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pipeline oracle-checkable.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
-    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    # localCheckpoint: the 32-fold sign computation is the expensive map
-    # work; without materialization the self-join below evaluates it
-    # TWICE (no ReusedExchange — the two sides differ past the scan).
-    # The checkpointed frame is (vec_id, band, sig) — tiny vs the
-    # embeddings themselves, and exactly what both join sides need.
-    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
-        "vec_id",
-        "band",
-        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    ).localCheckpoint(eager=False)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = _sign_lsh_candidates(spark, e)
     # Per-VECTOR norms computed once (n rows), not per candidate PAIR
     # (|cand| ≫ n rows): the pair-level work drops from three 64-dim
     # folds to one. Staged projections make `cosine` a named column so
@@ -280,23 +316,34 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_embedding",
     sql=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    WITH {_EMB_CAND_CTES}
+    SELECT c.vec_a, c.vec_b, a.label,
            {_sql_cos("a.embedding", "b.embedding")} AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.40
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+    WHERE a.label = b.label
+      AND {_sql_cos("a.embedding", "b.embedding")} >= {EMB_RERANK_THRESHOLD}
     """,
-    doc="Embedding-cosine near-dup pairs, label-blocked (the post-LSH/IVF verify stage at scale)",
+    doc="Embedding-cosine near-dup rerank over sign-LSH candidate pairs "
+    "(label as a residual filter, never the blocking key — candidate-driven, "
+    "not all-pairs)",
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine rerank of sign-LSH candidates that share a label —
+    the verify stage of the embedding dedup DAG. The label equality is
+    a residual predicate on |candidates| pairs; no label-blocked
+    self-join (O(n²) per label at corpus scale) remains in the plan."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    cand = _sign_lsh_candidates(spark, e)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label", cosine("ea", "eb").alias("cosine"))
-        .filter(F.col("cosine") >= 0.40)
+        cand.join(a, F.col("ia") == F.col("vec_a"))
+        .join(b, F.col("ib") == F.col("vec_b"))
+        .filter(F.col("la") == F.col("lb"))
+        .select("vec_a", "vec_b", F.col("la").alias("label"), cosine("ea", "eb").alias("cosine"))
+        .filter(F.col("cosine") >= EMB_RERANK_THRESHOLD)
     )
 
 

@@ -64,7 +64,7 @@ def _read_plans(spark: SparkSession, root: str, state_glob: str, status: str):
     path = os.path.join(root, "*", state_glob)
     try:
         df = spark.read.schema(PLAN_SCHEMA).option("pathGlobFilter", "*.json").json(path)
-        if df.rdd.isEmpty():
+        if not df.take(1):  # stays in the DataFrame/codegen path (no RDD conversion)
             return None
         return df.withColumn("status", F.lit(status))
     except Exception:
@@ -86,9 +86,16 @@ def scan_namespaces(spark: SparkSession, root: str):
     return out
 
 
-def dispatch_once(spark: SparkSession, root: str, now: datetime | None = None) -> dict:
+def dispatch_once(
+    spark: SparkSession, root: str, now: datetime | None = None, scorer=None
+) -> dict:
     """One daemon cycle. Returns a decision record (also appended to
-    the root log, reference `log()` S9)."""
+    the root log, reference `log()` S9).
+
+    ``scorer`` (S11/L1): optional external-LLM plan scorer passed to
+    `scheduler.select_plan` — validated `project:plan_id` reply with
+    fallback to the deterministic O1 ordering (the reference daemon's
+    `claude -p` seam, `scripts/starry-daemon.sh:136-151`)."""
     now = now or datetime.utcnow()
     plans = scan_namespaces(spark, root)
     decision: dict = {"at": now.isoformat(), "action": "idle"}
@@ -111,7 +118,7 @@ def dispatch_once(spark: SparkSession, root: str, now: datetime | None = None) -
         phases = plans.select(F.col("id").alias("plan_id"), F.explode("phases").alias("ph")).select(
             "plan_id", F.col("ph.phase").alias("phase"), F.col("ph.files").alias("files")
         )
-        best = S.best_plan(plan_meta, phases).collect()
+        best = S.select_plan(plan_meta, phases, scorer=scorer).collect()
         if not best:
             decision["action"] = "blocked"  # queued but all dependency-blocked
         else:
@@ -130,7 +137,11 @@ def dispatch_once(spark: SparkSession, root: str, now: datetime | None = None) -
 
 
 def dispatch_stream(
-    spark: SparkSession, root: str, checkpoint_dir: str, now: datetime | None = None
+    spark: SparkSession,
+    root: str,
+    checkpoint_dir: str,
+    now: datetime | None = None,
+    scorer=None,
 ) -> list[tuple[str, str]]:
     """J7 stream-static guard join (`scripts/starry-daemon.sh:175-195`)
     in true streaming form: the queued-plan stream is LEFT-ANTI joined
@@ -166,7 +177,7 @@ def dispatch_stream(
         phases = batch_df.select(
             F.col("id").alias("plan_id"), F.explode("phases").alias("ph")
         ).select("plan_id", F.col("ph.phase").alias("phase"), F.col("ph.files").alias("files"))
-        best = S.best_plan(plan_meta, phases).collect()
+        best = S.select_plan(plan_meta, phases, scorer=scorer).collect()
         if best:
             chosen = best[0]
             atomic_write_json(
@@ -200,7 +211,7 @@ def monitor_once(
     status_glob = os.path.join(root, "*", "status", "*.json")
     try:
         se = spark.read.schema(STATUS_SCHEMA).json(status_glob)
-        empty = se.rdd.isEmpty()
+        empty = not se.take(1)
     except Exception:
         empty = True
     if empty:

@@ -17,6 +17,8 @@ priority selection is an aggregate, not a global sort.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -127,6 +129,83 @@ def best_plan(plans: DataFrame, phases: DataFrame) -> DataFrame:
     eligible = dep_satisfied(plans, phases).select("id")
     scored = priority_scores(plans, phases).join(eligible, "id")
     return scored.orderBy("priority", "created_at", "id").limit(1)
+
+
+# --- S11/L1: the external-LLM scorer seam --------------------------------
+# The reference's signature operator delegates the dispatch choice to an
+# external LLM process (`scripts/starry-daemon.sh:136-151`: `claude -p
+# ... --model haiku --max-turns 5`), validates the reply against a
+# `project:plan_id` pattern, checks the named plan actually exists in
+# the queue, and falls back to the deterministic priority ordering when
+# anything is off (`agents/orbiter.md:25-33`). `select_plan` reproduces
+# that contract with the scorer injectable (any callable — subprocess,
+# HTTP, in-process model); no external binary is assumed.
+
+DISPATCH_RE = re.compile(r"^([A-Za-z0-9_.\-]+):([A-Za-z0-9_.\-]+)$")
+
+# Candidates shown to the scorer: the top-N by the deterministic
+# ordering. Bounds the prompt/driver footprint no matter the queue size
+# (the distributed ordering does the heavy lifting; the scorer picks
+# among finalists, same shape as the reference's truncated queue list).
+SCORER_CANDIDATES = 16
+
+
+def select_plan(plans: DataFrame, phases: DataFrame, scorer=None) -> DataFrame:
+    """Dispatch selection with the external-scorer seam (S11/L1).
+
+    ``scorer``: ``Callable[[list[dict]], str] | None`` — receives the
+    top-``SCORER_CANDIDATES`` eligible plans (as dicts with id/project/
+    type/priority/created_at) and returns ``"project:plan_id"``. The
+    reply is validated exactly as the reference daemon validates the
+    LLM's: pattern match, then membership in the eligible candidate
+    set; a scorer exception, malformed reply, or unknown plan falls
+    back to the deterministic O1 top-1 (the md-spec's own algorithm).
+    With ``scorer=None`` this IS ``best_plan``.
+    """
+    if scorer is None:
+        return best_plan(plans, phases)
+    eligible = dep_satisfied(plans, phases).select("id")
+    scored = priority_scores(plans, phases).join(eligible, "id")
+    finalists = scored.orderBy("priority", "created_at", "id").limit(SCORER_CANDIDATES)
+    candidates = [
+        {k: (v.isoformat() if hasattr(v, "isoformat") else v) for k, v in r.asDict().items()}
+        for r in finalists.collect()
+    ]
+    if not candidates:
+        return best_plan(plans, phases)
+    try:
+        reply = scorer(candidates)
+    except Exception:
+        return best_plan(plans, phases)  # scorer crash → deterministic
+    m = DISPATCH_RE.match((reply or "").strip())
+    if m is None:
+        return best_plan(plans, phases)  # malformed reply → deterministic
+    project, plan_id = m.group(1), m.group(2)
+    if not any(c["project"] == project and c["id"] == plan_id for c in candidates):
+        return best_plan(plans, phases)  # nonexistent plan → deterministic
+    return scored.filter((F.col("project") == project) & (F.col("id") == plan_id)).limit(1)
+
+
+def subprocess_scorer(argv: list[str], timeout: float = 30.0):
+    """Adapter running the scorer as an external process — the exact
+    shape of the reference's `claude -p` invocation: candidates are
+    written to stdin as JSON lines, the first stdout line is the
+    reply. Returns a callable for ``select_plan(..., scorer=...)``."""
+    import json as _json
+    import subprocess as _subprocess
+
+    def _score(candidates: list[dict]) -> str:
+        out = _subprocess.run(
+            argv,
+            input=_json.dumps(candidates),
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=True,
+        )
+        return out.stdout.strip().splitlines()[0] if out.stdout.strip() else ""
+
+    return _score
 
 
 def phase_conflicts(phases: DataFrame) -> DataFrame:

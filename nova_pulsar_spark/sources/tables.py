@@ -59,11 +59,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
-        # nanos. The data is micro-precision, so `div 1000` is lossless
-        # and matches DuckDB's ns→us read of the same column.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Older driver testdata: parquet TIMESTAMP(NANOS); with
+            # spark.sql.legacy.parquet.nanosAsLong it arrives as a long
+            # of nanos. The data is micro-precision, so `div 1000` is
+            # lossless and matches DuckDB's ns→us read of the column.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamp[us] columns arrive as TIMESTAMP_NTZ in
+    # Spark 4. Normalize to session-TZ TIMESTAMP (session is pinned to
+    # UTC above) so wall-clock values are bit-identical to DuckDB's
+    # naive read and to the engine's historical column types.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

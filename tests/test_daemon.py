@@ -113,3 +113,65 @@ def test_monitor_writes_pulse_and_incidents(spark, tmp_path):
     assert pulse["incidents"][0]["stalled_for_minutes"] == 20
     # pulse.json atomically published
     assert json.load(open(os.path.join(root, "pulse.json")))["incidents"]
+
+
+# --- S11/L1: the external-scorer seam ------------------------------------
+
+
+def test_dispatch_with_external_scorer_overrides_deterministic(spark, tmp_path):
+    """An injected scorer (the `claude -p` seam) picks a DIFFERENT
+    eligible plan than the O1 ordering — its validated choice wins."""
+    root = str(tmp_path / "comms_llm")
+    _setup_queues(root)
+    seen = {}
+
+    def scorer(candidates):
+        seen["candidates"] = candidates
+        # deterministically pick the NON-top choice to prove the seam
+        return "alpha:plan-20260228-1000"
+
+    d = dispatch_once(spark, root, NOW, scorer=scorer)
+    assert d["action"] == "dispatch"
+    assert (d["project"], d["plan_id"]) == ("alpha", "plan-20260228-1000")
+    assert os.path.exists(os.path.join(root, "alpha", "active", "plan-20260228-1000.json"))
+    # the scorer saw both eligible finalists with their scores
+    ids = {c["id"] for c in seen["candidates"]}
+    assert ids == {"plan-20260226-0900", "plan-20260228-1000"}
+    assert all("priority" in c and "project" in c for c in seen["candidates"])
+
+
+def test_dispatch_scorer_invalid_output_falls_back_to_o1(spark, tmp_path):
+    """Malformed reply, nonexistent plan, or scorer crash → the
+    deterministic O1 choice (the reference daemon's fallback branch)."""
+    for i, bad_scorer in enumerate(
+        [
+            lambda c: "not a valid dispatch line",     # fails the regex
+            lambda c: "ghost:plan-99999999-0000",      # existence check fails
+            lambda c: (_ for _ in ()).throw(RuntimeError("llm down")),  # crash
+        ]
+    ):
+        root = str(tmp_path / f"comms_fb{i}")
+        _setup_queues(root)
+        d = dispatch_once(spark, root, NOW, scorer=bad_scorer)
+        assert d["action"] == "dispatch"
+        # O1 deterministic pick: beta's oldest bug plan
+        assert (d["project"], d["plan_id"]) == ("beta", "plan-20260226-0900")
+
+
+def test_dispatch_subprocess_scorer_end_to_end(spark, tmp_path):
+    """The scorer as a real external process (stdin JSON → stdout
+    reply), matching the reference's subprocess invocation shape."""
+    import sys
+
+    from nova_pulsar_spark.plans.scheduler import subprocess_scorer
+
+    root = str(tmp_path / "comms_proc")
+    _setup_queues(root)
+    # echo back the LAST candidate project:id (≠ the deterministic top)
+    prog = (
+        "import json, sys; c = json.load(sys.stdin); "
+        "print(c[-1]['project'] + ':' + c[-1]['id'])"
+    )
+    d = dispatch_once(spark, root, NOW, scorer=subprocess_scorer([sys.executable, "-c", prog]))
+    assert d["action"] == "dispatch"
+    assert (d["project"], d["plan_id"]) == ("alpha", "plan-20260228-1000")

@@ -58,6 +58,29 @@ def test_fake_decoder_deterministic():
     assert w1 >= 16 and h1 >= 16
 
 
+def test_real_decoder_importlib_gate():
+    """decode_real uses Pillow when importable (and then must honor the
+    same (w, h, mean) contract on a real 1-px PNG); without media libs
+    it raises the documented NotImplementedError."""
+    from nova_pulsar_spark.operators.multimodal import _pil_image_module
+
+    if _pil_image_module() is None:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            FakeDecoder.decode_real(b"\x89PNG fake")
+    else:  # pragma: no cover - runs where Pillow exists
+        import base64
+
+        # 1x1 gray PNG (pixel value 128)
+        png = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGOYBgAAuQC1"
+            "fNdIvgAAAABJRU5ErkJggg=="
+        )
+        w, h, m = FakeDecoder.decode_real(png)
+        assert (w, h) == (1, 1) and 0.0 <= m <= 255.0
+
+
 def test_multimodal_decode_schema_and_rows(spark, sf_dir):
     out = multimodal_decode(spark, sf_dir)
     rows = out.collect()

@@ -29,6 +29,22 @@ def test_every_query_has_an_oracle_twin():
     assert not missing, f"rows-only queries (no oracle SQL): {missing}"
 
 
+def test_no_rdd_access_in_engine_source():
+    """`.rdd` on a DataFrame forces a full conversion out of the
+    Tungsten/codegen path (and `rdd.isEmpty()` schedules an RDD job
+    where `take(1)` stays columnar). Ban it engine-wide."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "nova_pulsar_spark"
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line) and not line.lstrip().startswith("#"):
+                hits.append(f"{py.name}:{i}: {line.strip()}")
+    assert not hits, f".rdd access in engine source: {hits}"
+
+
 @pytest.mark.slow
 def test_no_query_plans_a_scale_antipattern(spark):
     flagged = {}

@@ -349,16 +349,30 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
 def test_transform_with_state_counter_matches_batch(spark, tmp_path):
     """Spark 4 processor API (transformWithStateInPandas) on RocksDB:
     per-plan running counts; the final update per key equals the batch
-    groupBy count. The state-server protocol needs protobuf — skipped
-    where the container lacks it (the API surface is still imported and
-    exercised up to query start elsewhere)."""
-    pytest.importorskip("google.protobuf")
+    groupBy count. The Python state-server protocol needs protobuf;
+    where the container lacks it the test degrades to a plan-level
+    assertion (the streaming frame analyzes with the right schema and
+    unresolved state operator) instead of skipping — the live path
+    runs wherever protobuf exists."""
     from nova_pulsar_spark.streaming.processors import event_counter_stream
     from nova_pulsar_spark.streaming.statestore import rocksdb_state_store
 
     d = str(tmp_path / "tws_topic")
     _write_status_fixture_files(d)
     topic = Topic(base_dir=d, schema=STATUS_SCHEMA)
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        # Plan-only degradation: transformWithStateInPandas builds and
+        # analyzes the streaming plan JVM-side (schema + operator) —
+        # only query START needs the protobuf state-server protocol.
+        out = event_counter_stream(topic.reader(spark))
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == ["plan_id", "n_events"]
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "TransformWithStateInPySpark" in plan or "transformWithState" in plan.lower()
+        return
     with rocksdb_state_store(spark):
         q = (
             event_counter_stream(topic.reader(spark))
