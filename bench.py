@@ -109,7 +109,9 @@ def _regression_guard(per_query: dict[str, float], factor: float = 1.5) -> None:
     if not benches:
         return
     try:
-        prev = json.load(open(benches[-1])).get("queries", {})
+        doc = json.load(open(benches[-1]))
+        # the driver wraps the bench line under "parsed"
+        prev = (doc.get("parsed") or doc).get("queries", {})
     except Exception:
         return
     slower = {

@@ -439,10 +439,12 @@ HIST_BINS = 10
     WITH b AS (
       SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
     binned AS (
-      SELECT LEAST(CAST(FLOOR((value - b.vmin) * {HIST_BINS} / (b.vmax - b.vmin))
+      SELECT LEAST(CAST(FLOOR(COALESCE((value - b.vmin) * {HIST_BINS}
+                                       / NULLIF(b.vmax - b.vmin, 0), 0))
                         AS BIGINT), {HIST_BINS - 1}) AS bin,
              b.vmin + (b.vmax - b.vmin) / {HIST_BINS}
-               * LEAST(CAST(FLOOR((value - b.vmin) * {HIST_BINS} / (b.vmax - b.vmin))
+               * LEAST(CAST(FLOOR(COALESCE((value - b.vmin) * {HIST_BINS}
+                                           / NULLIF(b.vmax - b.vmin, 0), 0))
                             AS BIGINT), {HIST_BINS - 1}) AS bin_lo
       FROM events, b)
     SELECT bin, bin_lo, CAST(COUNT(*) AS BIGINT) AS n
@@ -460,8 +462,16 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     b = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    # Degenerate-range guard (constant column): NULLIF + COALESCE put
+    # every row in bin 0 identically on both engines, instead of
+    # Spark's non-ANSI NULL vs DuckDB's IEEE inf/FLOOR error.
     raw_bin = F.floor(
-        (F.col("value") - F.col("vmin")) * HIST_BINS / (F.col("vmax") - F.col("vmin"))
+        F.coalesce(
+            (F.col("value") - F.col("vmin"))
+            * HIST_BINS
+            / F.expr("nullif(vmax - vmin, 0)"),
+            F.lit(0),
+        )
     ).cast("bigint")
     bin_ = F.least(raw_bin, F.lit(HIST_BINS - 1))
     return (

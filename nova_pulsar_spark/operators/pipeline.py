@@ -115,21 +115,26 @@ def llm_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BENCHMARK_DOCS = 3
 CONTAM_MIN_OVERLAP = 5
 
+# 3-gram shingles, guarded identically on both engines: docs with
+# fewer than 3 words emit NO shingles. Without the guard the engines
+# diverge on short docs (Spark's concat_ws skips missing slice
+# elements → phantom 1/2-grams; DuckDB's `||` NULL-propagates).
+_SHINGLES_SQL = (
+    "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+    "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2]) ELSE [] END"
+)
+
 
 @register(
     "llm_contamination",
     sql=f"""
     WITH bench AS (
-      SELECT DISTINCT UNNEST(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
-               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-                    || ' ' || string_split(text, ' ')[i+2])) AS shingle
+      SELECT DISTINCT UNNEST({_SHINGLES_SQL}) AS shingle
       FROM documents WHERE doc_id < {N_BENCHMARK_DOCS}),
     doc_shingles AS (
-      SELECT doc_id, UNNEST(list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
-               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-                    || ' ' || string_split(text, ' ')[i+2]))) AS shingle
+      SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS shingle
       FROM documents WHERE doc_id >= {N_BENCHMARK_DOCS})
     SELECT d.doc_id,
            COUNT(*) AS n_overlap,
@@ -148,10 +153,14 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles ship with the tasks; a bloom filter fronts the join.
     """
     d = load_table(spark, sf_dir, "documents")
+    # Same <3-word guard as _SHINGLES_SQL: short docs emit no shingles
+    # (concat_ws would otherwise fabricate 1/2-gram phantoms here while
+    # the SQL twin NULL-propagates — engine divergence on short docs).
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, greatest(size(ws) - 2, 1)), "
-            "i -> concat_ws(' ', slice(ws, i, 3)))"
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))) "
+            "ELSE array() END"
         )
     )
     with_ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))

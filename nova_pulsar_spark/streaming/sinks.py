@@ -40,7 +40,11 @@ class JsonDirSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.already_applied(batch_id):
-            return  # checkpoint replay — the batch's effects are on disk
+            # Replay: effects are on disk. Drain the batch (noop write)
+            # so a stateful upstream still commits its state stores —
+            # Spark fails the batch if foreachBatch skips partitions.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         rows = batch_df.collect()  # sink-side: batches are small rollups
         for r in rows:
             d = r.asDict(recursive=True)
@@ -71,12 +75,42 @@ class ParquetMergeSink:
     itself is distributed (DataFrame anti-join + union — no driver-side
     row data); the batch side is small per trigger, so Spark broadcasts
     it against the snapshot scan.
+
+    Batch ids are monotonic only per CHECKPOINT LINEAGE: if the query's
+    checkpoint dir is recreated while the sink root persists, ids
+    restart at 0 and a bare ``batch_id <= current`` guard would
+    silently skip every new merge forever. The `_LATEST` pointer
+    therefore records the streaming query id (persisted in the
+    checkpoint metadata, read via the active session at merge time); a
+    different id means a new lineage, and the replay guard is bypassed instead of serving a
+    stale snapshot as current.
     """
 
     def __init__(self, root: str, key_cols: list[str]):
         self.root = root
         self.key_cols = key_cols
         os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def _lineage_id(batch_df: DataFrame) -> str | None:
+        """The streaming query id this batch belongs to — persisted in
+        the checkpoint, so it is stable across restarts of the same
+        lineage and FRESH when the checkpoint dir is recreated.
+        StreamExecution pins it as the ``sql.streaming.queryId`` local
+        property on the micro-batch thread, which identifies THIS query
+        even with several streams active; falls back to the single
+        active stream, else None (outside a foreachBatch context)."""
+        try:
+            qid = batch_df.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")
+            if qid:
+                return str(qid)
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            streams = active.streams.active if active is not None else []
+            return str(streams[0].id) if len(streams) == 1 else None
+        except Exception:
+            return None
 
     def _pointer_path(self) -> str:
         return os.path.join(self.root, "_LATEST")
@@ -99,8 +133,19 @@ class ParquetMergeSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         cur = self.current()
+        lineage = self._lineage_id(batch_df)
         if cur is not None and batch_id <= cur["batch_id"]:
-            return  # checkpoint replay — this batch is already merged
+            known = lineage is not None and cur.get("lineage") is not None
+            if not (known and cur["lineage"] != lineage):
+                # Checkpoint replay — this batch is already merged. Still
+                # drain the batch through a noop write: a stateful
+                # upstream commits its state stores during this pass, and
+                # Spark validates that foreachBatch processed every
+                # partition (early return would fail the commit check).
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
+            # else: NEW lineage (checkpoint recreated, ids restarted at
+            # 0) — fall through and merge instead of serving stale data
         updates = batch_df  # update-mode aggregation: one row per key
         if cur is None:
             merged, version = updates, 0
@@ -114,7 +159,9 @@ class ParquetMergeSink:
         merged.write.mode("overwrite").parquet(self.snapshot_path(version))
         # publish AFTER the snapshot is fully written (atomic pointer swap)
         atomic_write_json(
-            self.root, os.path.basename(self._pointer_path()), {"version": version, "batch_id": batch_id}
+            self.root,
+            os.path.basename(self._pointer_path()),
+            {"version": version, "batch_id": batch_id, "lineage": lineage},
         )
 
 
@@ -138,7 +185,10 @@ class AppendLogSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._seal_path(batch_id)):
-            return  # checkpoint replay — lines already appended
+            # Replay: drain the batch (state-store commit validation —
+            # see JsonDirSink) without re-appending.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         lines = [json.dumps(r.asDict(recursive=True), default=str) for r in batch_df.collect()]
         if lines:
             with open(self.path, "a") as f:

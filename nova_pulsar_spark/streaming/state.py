@@ -93,7 +93,14 @@ def _step(state: dict[str, Any], ev: dict[str, Any], stall_minutes: int) -> list
 
     prev_status = state.get("status")
     prev_epoch = state.get("last_update_epoch")
-    ev_epoch = int(ev["updated_at"].timestamp())
+    # Naive-as-UTC epoch, explicitly: Arrow hands the worker naive
+    # timestamps rendered in the session TZ (pinned to UTC,
+    # session.py:46), and pd.Timestamp(...).value is ns-since-epoch
+    # under that same naive-as-UTC reading on ANY host TZ — unlike
+    # datetime.timestamp(), which would re-interpret naive values in
+    # the host's local zone. Keeps stored epochs, emitted `at`s, and
+    # the event-time watermark on one clock.
+    ev_epoch = int(pd.Timestamp(ev["updated_at"]).value // 1_000_000_000)
 
     # P3 guard: terminal states are sticky.
     if prev_status in _TERMINAL:

@@ -360,3 +360,64 @@ def test_embedding_quantize_roundtrip_error_bound(spark, sf_dir):
         if r.scale > 0:
             for qv, xv in zip(q, orig[r.vec_id]):
                 assert abs(qv / r.scale - float(xv)) <= 0.5 / r.scale + 1e-12
+
+
+def test_contamination_shingles_skip_short_docs(spark):
+    """Docs with <3 words emit NO shingles on either engine (the
+    concat_ws-phantom / NULL-propagation divergence guard)."""
+    import duckdb
+
+    from nova_pulsar_spark.operators.pipeline import _SHINGLES_SQL
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    shingles = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))) "
+            "ELSE array() END"
+        )
+    )
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", shingles.alias("sh"))
+        .collect()
+    }
+    assert got[1] == got[2] == got[3] == []
+    assert got[4] == ["alpha beta gamma", "beta gamma delta"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, 'one two' AS text "
+                "UNION ALL SELECT 4, 'alpha beta gamma delta'")
+    oracle = {
+        r[0]: sorted(r[1])
+        for r in con.execute(f"SELECT doc_id, {_SHINGLES_SQL} FROM documents").fetchall()
+    }
+    assert oracle[1] == [] and oracle[4] == got[4]
+
+
+def test_histogram_degenerate_range_single_bin(spark):
+    """All-equal values (constant column profiling) land in bin 0 with
+    the full count — no NULL bins, no division blow-up."""
+    from nova_pulsar_spark.operators.aggregates import HIST_BINS  # noqa: F401
+
+    df = spark.createDataFrame([(i, 7.5) for i in range(100)], "event_id long, value double")
+    b = df.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    raw_bin = F.floor(
+        F.coalesce(
+            (F.col("value") - F.col("vmin")) * HIST_BINS / F.expr("nullif(vmax - vmin, 0)"),
+            F.lit(0),
+        )
+    ).cast("bigint")
+    bin_ = F.least(raw_bin, F.lit(HIST_BINS - 1))
+    rows = (
+        df.crossJoin(F.broadcast(b))
+        .select(bin_.alias("bin"), (F.col("vmin") + (F.col("vmax") - F.col("vmin")) / HIST_BINS * bin_).alias("bin_lo"))
+        .groupBy("bin", "bin_lo")
+        .count()
+        .collect()
+    )
+    assert len(rows) == 1
+    assert (rows[0]["bin"], rows[0]["bin_lo"], rows[0]["count"]) == (0, 7.5, 100)

@@ -529,6 +529,20 @@ def test_parquet_merge_sink_upserts_across_restarts(spark, tmp_path):
     assert sink.current() == before
     assert "poison" not in {r.plan_id for r in sink.read_snapshot(spark).collect()}
 
+    # checkpoint recreated while the sink root persists: batch ids
+    # restart at 0 — the recorded lineage id must detect the fresh
+    # lineage and MERGE instead of silently serving the stale snapshot
+    import shutil
+
+    shutil.rmtree(ckpt)
+    atomic_write_json(d, "e4.json", {**base, "plan_id": "p3", "tool_count": 9,
+                                     "updated_at": "2026-03-01T09:03:10"})
+    run_once()
+    snap = {r.plan_id: (r.max_tools, r.n_events) for r in sink.read_snapshot(spark).collect()}
+    # fresh checkpoint re-reads ALL files (e1..e4): the batch-0 merge
+    # applied despite batch_id 0 <= recorded 1 — new p3 is present
+    assert snap == {"p1": (7, 2), "p2": (5, 1), "p3": (9, 1)}
+
 
 def test_event_time_timeout_recovery_is_value_deterministic(spark, tmp_path):
     """Kill the event-time lifecycle query mid-stream and restart it from

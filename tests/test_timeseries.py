@@ -199,3 +199,60 @@ def test_streaks_are_maximal_consecutive_runs(spark, sf_dir):
         assert (r.user_id, r.streak_start - one) not in active
         assert (r.user_id, r.streak_end + one) not in active
     assert covered == active  # streaks partition the active days
+
+
+def test_event_pattern_adjacency_and_gap_semantics(spark):
+    """purchase→error matches ONLY when the error is the IMMEDIATELY
+    next event for that user and within the 5-min window: an
+    intervening event breaks adjacency, a 5-min+1s gap is too late,
+    and pairs never cross users."""
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.timeseries import PATTERN_WINDOW_MIN
+
+    t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: purchase then error 90s later, adjacent -> MATCH (gap 90)
+        (1, t0, 10, "purchase"),
+        (2, t0 + 90 * s, 10, "error"),
+        # u2: purchase, CLICK, error -> adjacency broken, no match
+        (3, t0, 20, "purchase"),
+        (4, t0 + 30 * s, 20, "click"),
+        (5, t0 + 60 * s, 20, "error"),
+        # u3: purchase then error at window+1s -> too late, no match
+        (6, t0, 30, "purchase"),
+        (7, t0 + dt.timedelta(minutes=PATTERN_WINDOW_MIN, seconds=1), 30, "error"),
+        # u4/u5: purchase and error on DIFFERENT users -> no match
+        (8, t0, 40, "purchase"),
+        (9, t0 + 10 * s, 50, "error"),
+        # u6: error at exactly the window bound -> inclusive MATCH
+        (10, t0, 60, "purchase"),
+        (11, t0 + dt.timedelta(minutes=PATTERN_WINDOW_MIN), 60, "error"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    gap_us = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    got = (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("next_type") == "error")
+            & (gap_us <= PATTERN_WINDOW_MIN * 60 * 1_000_000)
+        )
+        .select("user_id", "event_id", "next_event_id",
+                F.floor(gap_us / 1_000_000).cast("bigint").alias("gap_seconds"))
+        .collect()
+    )
+    matches = {(r.user_id, r.event_id, r.next_event_id, r.gap_seconds) for r in got}
+    assert matches == {(10, 1, 2, 90), (60, 10, 11, PATTERN_WINDOW_MIN * 60)}
