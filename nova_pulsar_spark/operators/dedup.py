@@ -436,7 +436,7 @@ DUP_THRESHOLD = 0.8
 
 # Undirected dup edges = the LSH→verify pipeline's is_dup pairs; the
 # recursive CTE computes per-node minimum reachable id = component id.
-_CLUSTER_SQL = (
+_CLUSTER_CTES = (
     "WITH RECURSIVE\n  "
     + ",\n  ".join(MINHASH_SQL_CTES)
     + f""",
@@ -460,11 +460,39 @@ _CLUSTER_SQL = (
   reach AS (
     SELECT src, dst FROM sym
     UNION
-    SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst)
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst)"""
+)
+
+_CLUSTER_SQL = (
+    _CLUSTER_CTES
+    + """
   SELECT src AS doc_id,
          MIN(dst) AS component_id,
          MIN(dst) = src AS is_keeper
   FROM reach GROUP BY src
+    """
+)
+
+# Quality-aware keeper selection: same 0-3 score as llm_text_quality.
+_KEEP_BEST_SQL = (
+    _CLUSTER_CTES
+    + """,
+  comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+  q AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars < 0.1
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.1 THEN 1 ELSE 0 END
+           AS quality_score
+    FROM documents)
+  SELECT c.doc_id, c.component_id,
+         CAST(q.quality_score AS INT) AS quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id) = 1 AS keep
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
     """
 )
 
@@ -540,3 +568,35 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _CLUSTER_CACHE[key] = out
     return out
+
+
+@register(
+    "llm_dedup_keep_best",
+    sql=_KEEP_BEST_SQL,
+    doc="Quality-aware keeper selection: per near-dup component, keep the "
+    "highest-quality doc (quality desc, doc_id tiebreak) — the last stage "
+    "of the dedup DAG as production pipelines run it (keep best, not min-id)",
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the cached cluster labels with the 0-3 quality score
+    (`llm_text_quality`): one window rank per component picks the
+    keeper. The join touches only docs that appear in a dup component
+    (the labels frame), so the quality scan is semi-join-pruned at
+    scale; ranking partitions by component_id — components are tiny,
+    so the window shuffle carries the dup subgraph only."""
+    from pyspark.sql import Window as W
+
+    from nova_pulsar_spark.operators.textstats import llm_text_quality
+
+    comp = llm_dedup_clusters(spark, sf_dir).select("doc_id", "component_id")
+    q = llm_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    w = W.partitionBy("component_id").orderBy(F.col("quality_score").desc(), "doc_id")
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("quality_score").cast("int").alias("quality_score"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )

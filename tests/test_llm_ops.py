@@ -421,3 +421,21 @@ def test_histogram_degenerate_range_single_bin(spark):
     )
     assert len(rows) == 1
     assert (rows[0]["bin"], rows[0]["bin_lo"], rows[0]["count"]) == (0, 7.5, 100)
+
+
+def test_keep_best_prefers_quality_over_min_id(spark, sf_dir):
+    """Exactly one keeper per component; the keeper has the component's
+    max quality score (doc_id breaks ties), which is NOT always the
+    min-id doc the plain clusters query would keep."""
+    from nova_pulsar_spark.operators.dedup import llm_dedup_keep_best
+
+    rows = llm_dedup_keep_best(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
+        assert keepers[0].quality_score == max(r.quality_score for r in members)
