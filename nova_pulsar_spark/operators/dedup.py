@@ -600,3 +600,63 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).alias("keep"),
         )
     )
+
+
+@register(
+    "llm_dedup_cluster_stats",
+    sql=_CLUSTER_CTES
+    + """,
+  comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+  sizes AS (
+    SELECT component_id, COUNT(*) AS csize FROM comp GROUP BY component_id)
+  SELECT CAST(csize AS BIGINT) AS cluster_size,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(csize) - COUNT(*) AS BIGINT) AS docs_removed
+  FROM sizes GROUP BY csize
+    """,
+    doc="Dup-cluster size distribution: clusters per size and docs removed "
+    "by keep-one — the dedup-yield report every corpus run ships with",
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tiny rollups over the cached component labels (dup subgraph
+    only — the corpus never shuffles): per-component size, then the
+    size histogram with `docs_removed = Σ(size−1)` per bucket, the
+    number dedup deletes under keep-one-per-cluster."""
+    comp = llm_dedup_clusters(spark, sf_dir).select("doc_id", "component_id")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.sum("csize") - F.count(F.lit(1))).cast("bigint").alias("docs_removed"),
+        )
+        .select(F.col("csize").cast("bigint").alias("cluster_size"), "n_clusters", "docs_removed")
+    )
+
+
+@register(
+    "llm_dedup_rate_by_source",
+    sql="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents GROUP BY source
+    """,
+    doc="Exact-dup rate per source: docs vs distinct text hashes — the "
+    "crawl-quality signal that drives per-source mixing/exclusion calls",
+)
+def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile as one hash-groupBy: the shuffle
+    carries (source, md5) pairs — 16-byte keys, not documents. The
+    count-distinct is exact (expand-then-count under one aggregate);
+    sources with outsized dup rates are the first exclusion candidates
+    in corpus curation."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(h).cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).cast("bigint").alias("n_dups"),
+    )

@@ -473,3 +473,55 @@ def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")).alias("weight"),
     )
+
+
+LEN_BUCKET = 64  # sequence-length histogram bucket width (tokens)
+
+
+@register(
+    "llm_length_bucket_stats",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT n_tokens // {LEN_BUCKET} AS bucket,
+           CAST(n_tokens // {LEN_BUCKET} * {LEN_BUCKET} AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * ((n_tokens // {LEN_BUCKET} + 1) * {LEN_BUCKET}) - SUM(n_tokens)
+                AS BIGINT) AS pad_waste_tokens
+    FROM t GROUP BY n_tokens // {LEN_BUCKET}
+    """,
+    doc=f"Sequence-length histogram ({LEN_BUCKET}-token buckets) with padding "
+    "waste per bucket — the profile that sizes packing bins and batch shapes",
+)
+def llm_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length profiling for batch-shape planning: bucketed token-count
+    histogram plus `pad_waste = Σ(bucket_ceiling − n_tokens)`, the
+    tokens burned if every doc padded to its bucket ceiling (what
+    length-bucketed batching would cost vs. packing). One map-side
+    bucket projection, one {LEN_BUCKET}-ary groupBy — scan-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bucket = (n_tokens / LEN_BUCKET).cast("bigint")
+    # per-row pad-to-bucket-ceiling, then one sum per bucket
+    t = d.select(
+        bucket.alias("bucket"),
+        n_tokens.alias("n_tokens"),
+        ((bucket + 1) * LEN_BUCKET - n_tokens).alias("pad"),
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("pad").cast("bigint").alias("pad_waste_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * LEN_BUCKET).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+            "pad_waste_tokens",
+        )
+    )

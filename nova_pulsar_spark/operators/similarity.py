@@ -399,3 +399,51 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT) AS STRING)), ',')"
     )
     return m.select("vec_id", "scale", q8.alias("q8"))
+
+
+N_BATCH_QUERIES = 5  # batched ANN: query vectors vec_id 0..4
+
+
+@register(
+    "llm_simsearch_batch",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_BATCH_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             {_sql_cos("e.embedding", "q.qe")} AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, label, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+    doc="Batched ANN: top-k per query for a broadcast batch of query vectors "
+    "— one corpus scan serves the whole batch (queries ship with the tasks)",
+)
+def llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval amortizes the corpus scan: the K query vectors
+    broadcast to every task, each corpus row computes K fused-fold
+    cosines map-side, and one per-query window rank keeps top-k. At
+    100 TB this is THE serving shape — per-query scans don't scale,
+    one scan per query *batch* does; the rank shuffle carries
+    (batch × corpus-survivors) rows, bounded by TakeOrdered semantics.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cosine("embedding", "qe").alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )

@@ -439,3 +439,56 @@ def test_keep_best_prefers_quality_over_min_id(spark, sf_dir):
         best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
         assert keepers[0].doc_id == best.doc_id
         assert keepers[0].quality_score == max(r.quality_score for r in members)
+
+
+def test_simsearch_batch_matches_single_query(spark, sf_dir):
+    """The batch result for query 0 equals the single-query top-k
+    (same scores, same ranking)."""
+    from nova_pulsar_spark.operators.similarity import llm_simsearch_batch
+
+    single = [(r.vec_id, r.cosine) for r in llm_simsearch_topk(spark, sf_dir).collect()]
+    batch = llm_simsearch_batch(spark, sf_dir)
+    q0 = sorted(
+        ((r.vec_id, r.cosine) for r in batch.filter(F.col("query_id") == 0).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert q0 == single
+    # every query in the batch returns exactly top-k rows
+    from nova_pulsar_spark.operators.similarity import N_BATCH_QUERIES, TOP_K
+
+    counts = {r.query_id: r["count"] for r in batch.groupBy("query_id").count().collect()}
+    assert counts == {q: TOP_K for q in range(N_BATCH_QUERIES)}
+
+
+def test_cluster_stats_consistent_with_labels(spark, sf_dir):
+    """Σ(cluster_size × n_clusters) = labeled docs; docs_removed =
+    Σ((size-1) × n_clusters)."""
+    from nova_pulsar_spark.operators.dedup import llm_dedup_cluster_stats, llm_dedup_clusters
+
+    n_docs = llm_dedup_clusters(spark, sf_dir).count()
+    rows = llm_dedup_cluster_stats(spark, sf_dir).collect()
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n_docs
+    assert all(r.docs_removed == (r.cluster_size - 1) * r.n_clusters for r in rows)
+
+
+def test_dedup_rate_by_source_totals(spark, sf_dir):
+    from nova_pulsar_spark.operators.dedup import llm_dedup_exact, llm_dedup_rate_by_source
+    from nova_pulsar_spark.sources.tables import load_table
+
+    rows = llm_dedup_rate_by_source(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.n_dups == r.n_docs - r.n_unique and r.n_dups >= 0 for r in rows)
+
+
+def test_length_buckets_cover_corpus_and_waste_bounds(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import LEN_BUCKET, llm_length_bucket_stats
+    from nova_pulsar_spark.sources.tables import load_table
+
+    rows = llm_length_bucket_stats(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        # pad waste per doc is in [1, LEN_BUCKET] (ceiling is exclusive)
+        assert r.n_docs * 1 <= r.pad_waste_tokens <= r.n_docs * LEN_BUCKET
+        assert r.bucket_lo == r.bucket * LEN_BUCKET
