@@ -525,3 +525,44 @@ def llm_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_waste_tokens",
         )
     )
+
+
+@register(
+    "llm_normalize_repeats",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS collapsed
+      FROM w)
+    SELECT doc_id,
+           array_to_string(collapsed, ' ') AS clean_text,
+           CAST(len(ws) AS BIGINT) AS n_before,
+           CAST(len(collapsed) AS BIGINT) AS n_after,
+           CAST(len(ws) - len(collapsed) AS BIGINT) AS n_collapsed
+    FROM c
+    """,
+    doc="Intra-document repetition collapse: consecutive duplicate tokens "
+    "fold to one (stutter/boilerplate cleanup) — map-only, no shuffle",
+)
+def llm_normalize_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length token collapse as one lambda filter per row: token i
+    survives iff it differs from token i−1. Spark's filter lambda index
+    is 0-based while element_at is 1-based, so `element_at(ws, i)` IS
+    the previous token; DuckDB's list lambdas are 1-based with direct
+    indexing — both engines produce byte-identical cleaned text. Pure
+    map work inside whole-stage codegen: at 100 TB this is scan-bound,
+    the cheapest possible cleanup pass."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    collapsed = F.expr("filter(ws, (x, i) -> i = 0 OR x != element_at(ws, i))")
+    return (
+        w.select("doc_id", "ws", collapsed.alias("collapsed"))
+        .select(
+            "doc_id",
+            F.array_join(F.col("collapsed"), " ").alias("clean_text"),
+            F.size("ws").cast("bigint").alias("n_before"),
+            F.size("collapsed").cast("bigint").alias("n_after"),
+            (F.size("ws") - F.size("collapsed")).cast("bigint").alias("n_collapsed"),
+        )
+    )

@@ -492,3 +492,17 @@ def test_length_buckets_cover_corpus_and_waste_bounds(spark, sf_dir):
         # pad waste per doc is in [1, LEN_BUCKET] (ceiling is exclusive)
         assert r.n_docs * 1 <= r.pad_waste_tokens <= r.n_docs * LEN_BUCKET
         assert r.bucket_lo == r.bucket * LEN_BUCKET
+
+
+def test_normalize_repeats_collapses_runs_only(spark):
+    from nova_pulsar_spark.operators.pipeline import llm_normalize_repeats  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "a a a b a"), (2, "x y z"), (3, "t t")],
+        "doc_id long, text string",
+    )
+    w = df.select("doc_id", F.split("text", " ").alias("ws"))
+    collapsed = F.expr("filter(ws, (x, i) -> i = 0 OR x != element_at(ws, i))")
+    got = {r.doc_id: r.c for r in w.select("doc_id", F.array_join(collapsed, " ").alias("c")).collect()}
+    # runs collapse; non-adjacent repeats survive (a...a stays)
+    assert got == {1: "a b a", 2: "x y z", 3: "t"}

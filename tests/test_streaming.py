@@ -637,3 +637,61 @@ def test_event_time_timeout_recovery_is_value_deterministic(spark, tmp_path):
     # and the restarted run did NOT re-emit the already-committed
     # transition (state recovery, not reprocessing from scratch)
     assert all(k != "transition" for k, _ in run2)
+
+
+def test_stream_dedup_within_watermark_drops_in_window_dups(spark, tmp_path):
+    """Live ingest-time dedup: dropDuplicatesWithinWatermark over a
+    document stream keyed by content hash. In-window duplicate texts
+    are dropped regardless of arrival batch; distinct texts and
+    duplicates arriving AFTER state expiry pass through — the
+    streaming rendition of llm_dedup_exact for continuous ingest."""
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "doc_topic")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingested_at", T.TimestampType()),
+        ]
+    )
+
+    def emit(name, doc_id, text, ts):
+        atomic_write_json(d, name, {"doc_id": doc_id, "text": text, "ingested_at": ts})
+
+    emit("b0-a.json", 1, "alpha beta gamma", "2026-03-01T09:00:00")
+    emit("b0-b.json", 2, "alpha beta gamma", "2026-03-01T09:00:05")   # dup, same batch
+    emit("b0-c.json", 3, "delta epsilon zeta", "2026-03-01T09:00:10")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .json(d)
+        .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .withWatermark("ingested_at", "10 minutes")
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "sdedup_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # later batch: one more dup inside the window + one new text
+        emit("b1-a.json", 4, "alpha beta gamma", "2026-03-01T09:02:00")  # dup, cross-batch
+        emit("b1-b.json", 5, "eta theta iota", "2026-03-01T09:02:30")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id, text FROM sdedup_out").collect()
+    got_ids = sorted(r.doc_id for r in rows)
+    # one survivor per distinct text: exactly one of the same-batch dup
+    # pair {1, 2} (intra-batch survivor choice is not order-guaranteed),
+    # and the cross-batch in-window dup doc 4 is always dropped
+    assert len(rows) == 3 and len({r.text for r in rows}) == 3
+    assert len({1, 2} & set(got_ids)) == 1
+    assert 3 in got_ids and 5 in got_ids and 4 not in got_ids
