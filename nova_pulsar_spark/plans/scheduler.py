@@ -234,7 +234,10 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
     analog of Spark's own stage scheduling. The loop is driver-side but
     each step is a distributed join; depth ≤ max phase count bounds it.
     """
-    conflicts = phase_conflicts(phases)
+    # The conflict edge set is loop-invariant: checkpoint it ONCE so the
+    # explode + self-join behind phase_conflicts runs one time, not once
+    # per depth level inside every iteration's join plan.
+    conflicts = phase_conflicts(phases).localCheckpoint(eager=False)
     # localCheckpoint truncates lineage each step — without it every
     # iteration re-plans (and the fixpoint probe re-executes) the whole
     # join chain so far, and the plan grows superlinearly with depth.
