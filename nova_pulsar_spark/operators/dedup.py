@@ -660,3 +660,71 @@ def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(h).cast("bigint").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct(h)).cast("bigint").alias("n_dups"),
     )
+
+
+QUALITY_FLOOR = 2  # keep docs scoring >= 2 of 3
+
+
+@register(
+    "llm_corpus_curate",
+    sql=_CLUSTER_CTES
+    + f""",
+  comp AS (
+    SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
+  q AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars < 0.1
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.1 THEN 1 ELSE 0 END
+           AS quality_score
+    FROM documents),
+  exact_keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+  near_removed AS (
+    SELECT doc_id FROM (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rnk
+      FROM comp c JOIN q ON q.doc_id = c.doc_id) t
+    WHERE rnk > 1)
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(q.quality_score AS INT) AS quality_score
+  FROM documents d
+  JOIN exact_keep ek ON ek.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_removed)
+    AND q.quality_score >= {QUALITY_FLOOR}
+    """,
+    doc="End-to-end corpus curation: exact-dup keepers ∩ near-dup keep-best "
+    "survivors ∩ quality floor — the one-query funnel from raw crawl to "
+    "training corpus",
+)
+def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel composed from the engine's own stages:
+    (1) exact dedup keeps min-id per text hash (16-byte-key shuffle);
+    (2) near-dup clusters keep their best-quality member (cached
+    candidate stage + labels — the corpus never re-shuffles for this);
+    (3) a quality floor (>= {floor} of 3) drops the tail. Each step is
+    a semi/anti join against a SMALL frame (keepers, removed ids), so
+    the funnel costs one corpus scan plus tiny-side joins at 100 TB —
+    the exact shape a production curation DAG materializes nightly.
+    """
+    from nova_pulsar_spark.operators.textstats import llm_text_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    exact_keep = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    near_removed = (
+        llm_dedup_keep_best(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    )
+    q = llm_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        d.join(exact_keep, "doc_id", "left_semi")
+        .join(near_removed, "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_FLOOR)
+        .select("doc_id", "source", "lang", F.col("quality_score").cast("int").alias("quality_score"))
+    )

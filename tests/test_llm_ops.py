@@ -506,3 +506,27 @@ def test_normalize_repeats_collapses_runs_only(spark):
     got = {r.doc_id: r.c for r in w.select("doc_id", F.array_join(collapsed, " ").alias("c")).collect()}
     # runs collapse; non-adjacent repeats survive (a...a stays)
     assert got == {1: "a b a", 2: "x y z", 3: "t"}
+
+
+def test_corpus_curate_funnel_monotone(spark, sf_dir):
+    """Survivors pass every individual gate: they are exact keepers,
+    not near-dup removals, and at/above the quality floor; the funnel
+    is a subset of the corpus with all three filters honored."""
+    from nova_pulsar_spark.operators.dedup import (
+        QUALITY_FLOOR,
+        llm_corpus_curate,
+        llm_dedup_exact,
+        llm_dedup_keep_best,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    out = llm_corpus_curate(spark, sf_dir)
+    rows = out.collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) <= total
+    assert all(r.quality_score >= QUALITY_FLOOR for r in rows)
+    ids = {r.doc_id for r in rows}
+    keepers = {r.keeper_id for r in llm_dedup_exact(spark, sf_dir).collect()}
+    assert ids <= keepers
+    removed = {r.doc_id for r in llm_dedup_keep_best(spark, sf_dir).collect() if not r.keep}
+    assert not (ids & removed)
