@@ -486,3 +486,78 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", "bin_lo")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "diag_key_skew",
+    sql=f"""
+    WITH c AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    m AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean_cnt FROM c)
+    SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(c.cnt AS DOUBLE) / m.mean_cnt AS ratio_to_mean
+    FROM c, m
+    ORDER BY c.cnt DESC, c.key LIMIT {SKEW_TOP_N}
+    """,
+    doc="Hot-key skew diagnostic: top-N heaviest join/agg keys with their "
+    "ratio to the mean key weight — the report that decides salting/AQE-skew "
+    "settings BEFORE a 100 TB shuffle, not after it spills",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-weight profiling as two tiny aggregates: per-key counts (one
+    map-side-combined shuffle on the key), then the scalar mean crossed
+    back in (broadcast, 1 row). `ratio_to_mean` >> 1 on the top keys is
+    the signal that a plain hash shuffle will stragger — the input to
+    choosing a salt factor or trusting AQE skew-join splitting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg((F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("mean_cnt")).alias("ratio_to_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(SKEW_TOP_N)
+    )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "agg_histogram_equidepth",
+    sql=f"""
+    WITH b AS (
+      SELECT value, NTILE({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+      FROM events)
+    SELECT bucket, MIN(value) AS lo, MAX(value) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+    doc=f"Equi-depth histogram ({EQUIDEPTH_BUCKETS} equal-count buckets via "
+    "NTILE over a total order) — the quantile-boundary profile optimizers "
+    "and range-partitioners actually want (fixed-width lies under skew)",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count buckets need a rank, so this costs one total-order
+    sort (range-partitioned at scale — Spark's sort is distributed,
+    not single-node) versus the fixed-width histogram's two scans.
+    The (value, event_id) ordering is total, so bucket assignment is
+    deterministic and cross-engine identical. Bucket boundaries from
+    this profile are what a range partitioner or a bucketed layout
+    writer consumes."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -530,3 +530,28 @@ def test_corpus_curate_funnel_monotone(spark, sf_dir):
     assert ids <= keepers
     removed = {r.doc_id for r in llm_dedup_keep_best(spark, sf_dir).collect() if not r.keep}
     assert not (ids & removed)
+
+
+def test_equidepth_buckets_are_equal_count_and_ordered(spark, sf_dir):
+    from nova_pulsar_spark.operators.aggregates import EQUIDEPTH_BUCKETS, agg_histogram_equidepth
+
+    rows = sorted(agg_histogram_equidepth(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, EQUIDEPTH_BUCKETS + 1))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1  # NTILE splits as evenly as possible
+    # bucket value ranges are non-overlapping and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_key_skew_report_ranked_and_consistent(spark, sf_dir):
+    from nova_pulsar_spark.operators.aggregates import SKEW_TOP_N, diag_key_skew
+
+    rows = diag_key_skew(spark, sf_dir).collect()
+    assert len(rows) == SKEW_TOP_N
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # the heaviest key is at/above the mean by construction (at small SF
+    # the report may cover every key, so the tail can sit below mean)
+    assert rows[0].ratio_to_mean >= 1.0
+    assert all(r.ratio_to_mean > 0 for r in rows)
