@@ -330,3 +330,123 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
         F.count(F.lit(1)).cast("bigint").alias("streak_days"),
     ).drop("island")
+
+
+@register(
+    "ts_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) // 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id)
+    SELECT cohort_day, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_day, week_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day, activity counted "
+    "per week offset — the (cohort × age) retention matrix",
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix in three shuffles, none carrying events
+    whole: first-seen day per user (map-side-combined min), a join
+    back on user_id (at scale the firsts frame is small per-user
+    metadata — broadcast or co-partitioned), and the distinct+count on
+    (cohort, offset). Week offset is integer day-diff // 7, identical
+    arithmetic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(day, F.col("cohort_day")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    )
+
+
+ANOMALY_Z = 2.0
+ANOMALY_TRAILING = 7  # trailing days in the baseline window
+
+
+@register(
+    "ts_anomaly_zscore",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, day, cnt,
+             SUM(cnt) OVER w AS s, SUM(cnt * cnt) OVER w AS ss, COUNT(*) OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ANOMALY_TRAILING} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           CASE WHEN CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) > 0
+                THEN (cnt - CAST(s AS DOUBLE) / k)
+                     / SQRT(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))
+                ELSE NULL END AS zscore
+    FROM stats
+    WHERE k >= {ANOMALY_TRAILING} AND (
+      (CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) > 0
+       AND ABS((cnt - CAST(s AS DOUBLE) / k)
+           / SQRT(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)))
+           >= {ANOMALY_Z})
+      OR (CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) = 0
+          AND cnt <> CAST(s AS DOUBLE) / k))
+    """,
+    doc=f"Volume anomaly detection: daily counts z-scored against the "
+    f"trailing {ANOMALY_TRAILING}-day baseline (population moments from exact "
+    f"integer sums) — days with |z| >= {ANOMALY_Z}",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline moments come from INTEGER sums (Σcnt, Σcnt²) over a
+    bounded ROWS frame — exact regardless of accumulation order — and
+    the z expression is one fixed IEEE tree over them, so both engines
+    emit bit-identical scores. A zero-variance baseline with a
+    deviating count is flagged with a NULL z (unbounded anomaly). The frame excludes the current day
+    (PRECEDING..1 PRECEDING): today's spike must not inflate its own
+    baseline. One shuffle on event_type for the window; daily counts
+    upstream are map-side combined."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_TRAILING, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    # Degenerate baseline (constant trailing counts → var = 0): any
+    # deviation is an anomaly of unbounded z — flag it with NULL zscore
+    # on BOTH engines (emitting ±Inf/NaN would hit divergent NaN
+    # comparison semantics between Spark and DuckDB).
+    flagged = ((var > 0) & (F.abs(z) >= ANOMALY_Z)) | ((var == 0) & (F.col("cnt") != mean))
+    return (
+        stats.filter((F.col("k") >= ANOMALY_TRAILING) & flagged)
+        .select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.when(var > 0, z).alias("zscore"),
+        )
+    )

@@ -256,3 +256,64 @@ def test_event_pattern_adjacency_and_gap_semantics(spark):
     )
     matches = {(r.user_id, r.event_id, r.next_event_id, r.gap_seconds) for r in got}
     assert matches == {(10, 1, 2, 90), (60, 10, 11, PATTERN_WINDOW_MIN * 60)}
+
+
+def test_retention_cohort_week0_covers_every_user(spark, sf_dir):
+    """Every user is active in their own cohort's week 0, so
+    Σ(week_offset=0 cells) = distinct users; offsets are non-negative."""
+    from nova_pulsar_spark.operators.timeseries import ts_retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    rows = ts_retention_cohorts(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = sum(r.n_active_users for r in rows if r.week_offset == 0)
+    assert week0 == n_users
+    # retention never exceeds the cohort's week-0 size
+    w0 = {r.cohort_day: r.n_active_users for r in rows if r.week_offset == 0}
+    assert all(r.n_active_users <= w0[r.cohort_day] for r in rows)
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """A flat series with one 10x spike: exactly that day is flagged,
+    with a positive z-score; the current day never inflates its own
+    baseline (trailing frame excludes it)."""
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.timeseries import ANOMALY_TRAILING, ANOMALY_Z
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        n = 50 if day == 12 else 5  # spike on day 12
+        for i in range(n):
+            eid += 1
+            rows.append((eid, f"2026-01-{day:02d} 10:{i % 60:02d}:00", 1, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from pyspark.sql import Window as W
+
+    daily = df.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-ANOMALY_TRAILING, -1)
+    stats = daily.select(
+        "day", "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    flagged = ((var > 0) & (F.abs(z) >= ANOMALY_Z)) | ((var == 0) & (F.col("cnt") != mean))
+    got = (
+        stats.filter((F.col("k") >= ANOMALY_TRAILING) & flagged)
+        .select("day", F.when(var > 0, z).alias("z"))
+        .collect()
+    )
+    # the spike day sits on a CONSTANT baseline -> zero-variance branch:
+    # flagged with NULL z (unbounded anomaly); no other day fires
+    assert len(got) == 1
+    assert got[0].day.day == 12 and got[0].z is None
