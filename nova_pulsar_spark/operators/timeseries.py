@@ -450,3 +450,41 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(var > 0, z).alias("zscore"),
         )
     )
+
+
+@register(
+    "ts_cumulative_users",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily_new
+    """,
+    doc="Cumulative distinct users per day via first-seen flags + running "
+    "sum — running COUNT(DISTINCT) without re-counting any prefix",
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count done right: each user contributes once at
+    their first-seen day (one min-aggregate), daily new-user counts
+    roll up map-side, and the cumulative series is a running sum over
+    the (tiny) day spine. The naive per-day COUNT(DISTINCT user_id
+    WHERE ts <= day) re-scans a growing prefix per day — quadratic in
+    history; this shape is one scan + two small shuffles at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -317,3 +317,14 @@ def test_anomaly_zscore_flags_planted_spike(spark):
     # flagged with NULL z (unbounded anomaly); no other day fires
     assert len(got) == 1
     assert got[0].day.day == 12 and got[0].z is None
+
+
+def test_cumulative_users_monotone_and_totals(spark, sf_dir):
+    from nova_pulsar_spark.operators.timeseries import ts_cumulative_users
+
+    rows = sorted(ts_cumulative_users(spark, sf_dir).collect(), key=lambda r: r.day)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[-1].cumulative_users == n_users
+    assert sum(r.new_users for r in rows) == n_users
+    cums = [r.cumulative_users for r in rows]
+    assert cums == sorted(cums)  # monotone non-decreasing
