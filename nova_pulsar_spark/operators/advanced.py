@@ -285,3 +285,51 @@ def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_hash(F.col("doc_id")).alias("doc_hash"),
         synth_score(F.col("n_chars"), F.col("doc_id")).alias("synth_score"),
     )
+
+
+ASOF_TOLERANCE_H = 96  # as-of match window (hours)
+
+
+@register(
+    "join_asof_tolerance",
+    sql=f"""
+    WITH checkpoints AS (SELECT * FROM (VALUES {_CP_VALUES}) AS t(cts, cname))
+    SELECT e.event_id, e.ts,
+           CASE WHEN date_diff('second', c.cts, e.ts) <= {ASOF_TOLERANCE_H} * 3600
+                THEN c.cname END AS checkpoint,
+           CASE WHEN date_diff('second', c.cts, e.ts) <= {ASOF_TOLERANCE_H} * 3600
+                THEN c.cts END AS checkpoint_ts
+    FROM events e
+    ASOF LEFT JOIN checkpoints c ON e.ts >= c.cts
+    """,
+    doc=f"As-of join with tolerance: latest checkpoint <= event time, but only "
+    f"within {ASOF_TOLERANCE_H} h — stale matches become NULL (pandas "
+    "merge_asof(tolerance=...) semantics)",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the backward match is discarded when
+    older than the tolerance window — the semantics sensor/trade
+    pipelines need (a quote from last week must not price today's
+    trade). Same broadcast + per-event argmax shape as `join_asof`;
+    the tolerance is a post-argmax projection, not a join-condition
+    change, so the match choice is identical and only its validity
+    flips — matching merge_asof's definition exactly."""
+    e = load_table(spark, sf_dir, "events")
+    cps = spark.createDataFrame(
+        [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
+    ).select(F.to_timestamp("cts_s").alias("cts"), "cname")
+    joined = e.join(F.broadcast(cps), e.ts >= cps.cts, "left")
+    best = joined.groupBy("event_id", "ts").agg(
+        F.max_by("cname", "cts").alias("cp_raw"),
+        F.max("cts").alias("cts_raw"),
+    )
+    fresh = (
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("cts_raw"))
+        <= ASOF_TOLERANCE_H * 3600
+    )
+    return best.select(
+        "event_id",
+        "ts",
+        F.when(fresh, F.col("cp_raw")).alias("checkpoint"),
+        F.when(fresh, F.col("cts_raw")).alias("checkpoint_ts"),
+    )

@@ -472,3 +472,47 @@ def llm_source_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("gini_diversity"),
     )
+
+
+@register(
+    "llm_langid_confusion",
+    sql=f"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+        {_sw_count_sql("en")} AS s_en,
+        {_sw_count_sql("es")} AS s_es,
+        {_sw_count_sql("de")} AS s_de,
+        {_sw_count_sql("fr")} AS s_fr
+      FROM w),
+    pred AS (
+      SELECT lang AS labeled_lang,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END AS predicted_lang
+      FROM scores)
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           labeled_lang = predicted_lang AS correct
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix: labeled vs predicted counts — "
+    "in-engine classifier evaluation (precision/recall derive from it)",
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as one extra groupBy on top of the langid
+    projection: the (labeled, predicted) count matrix from which
+    per-class precision/recall/accuracy all derive. The eval costs one
+    tiny shuffle on a (lang × lang) key space — model-quality
+    monitoring belongs IN the corpus engine, not in a notebook after
+    an export."""
+    pred = llm_text_langid(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    return pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("correct"),
+    )

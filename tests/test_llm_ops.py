@@ -555,3 +555,37 @@ def test_key_skew_report_ranked_and_consistent(spark, sf_dir):
     # the report may cover every key, so the tail can sit below mean)
     assert rows[0].ratio_to_mean >= 1.0
     assert all(r.ratio_to_mean > 0 for r in rows)
+
+
+def test_langid_confusion_totals_and_consistency(spark, sf_dir):
+    from nova_pulsar_spark.operators.textstats import llm_langid_confusion, llm_text_langid
+    from nova_pulsar_spark.sources.tables import load_table
+
+    rows = llm_langid_confusion(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == total
+    # diagonal agreement matches the per-doc projection exactly
+    n_correct = sum(r.n for r in rows if r.correct)
+    per_doc = llm_text_langid(spark, sf_dir).collect()
+    assert n_correct == sum(1 for r in per_doc if r.labeled_lang == r.predicted_lang)
+
+
+def test_asof_tolerance_nulls_stale_matches_only(spark, sf_dir):
+    from nova_pulsar_spark.operators.advanced import (
+        ASOF_TOLERANCE_H,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    base = {r.event_id: r for r in join_asof(spark, sf_dir).collect()}
+    tol = join_asof_tolerance(spark, sf_dir).collect()
+    assert len(tol) == len(base)
+    for r in tol:
+        b = base[r.event_id]
+        if r.checkpoint is not None:
+            # fresh match: identical to the unbounded as-of choice
+            assert (r.checkpoint, r.checkpoint_ts) == (b.checkpoint, b.checkpoint_ts)
+            assert (r.ts - r.checkpoint_ts).total_seconds() <= ASOF_TOLERANCE_H * 3600
+        elif b.checkpoint_ts is not None:
+            # nulled: the match existed but was stale
+            assert (r.ts - b.checkpoint_ts).total_seconds() > ASOF_TOLERANCE_H * 3600
