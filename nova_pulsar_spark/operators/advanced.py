@@ -333,3 +333,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("cp_raw")).alias("checkpoint"),
         F.when(fresh, F.col("cts_raw")).alias("checkpoint_ts"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    sql=f"""
+    WITH checkpoints AS (SELECT * FROM (VALUES {_CP_VALUES}) AS t(cts, cname)),
+    scored AS (
+      SELECT e.event_id, e.ts, c.cname, c.cts,
+             ABS(date_diff('second', c.cts, e.ts)) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY ABS(date_diff('second', c.cts, e.ts)), c.cts) AS rnk
+      FROM events e CROSS JOIN checkpoints c)
+    SELECT event_id, ts, cname AS checkpoint, cts AS checkpoint_ts,
+           CAST(dist AS BIGINT) AS dist_seconds
+    FROM scored WHERE rnk = 1
+    """,
+    doc="Nearest-match as-of join: closest checkpoint in EITHER direction "
+    "(|time delta| argmin, earlier wins ties) — merge_asof direction='nearest'",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third as-of flavor: argmin of |event − checkpoint| over the
+    broadcast reference side, ties to the earlier checkpoint. Same
+    cost shape as the backward as-of (broadcast + per-event argmin —
+    the corpus never shuffles); at big-big scale the same bucketed
+    merge_asof path applies. min_by on a (dist, cts, name) struct
+    gives the argmin + tiebreak in ONE aggregate, no window."""
+    e = load_table(spark, sf_dir, "events")
+    cps = spark.createDataFrame(
+        [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
+    ).select(F.to_timestamp("cts_s").alias("cts"), "cname")
+    dist = F.abs(F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("cts")))
+    scored = e.crossJoin(F.broadcast(cps)).select(
+        "event_id", "ts", "cname", "cts", dist.alias("dist")
+    )
+    best = F.min_by(F.struct("cname", "cts", "dist"), F.struct("dist", "cts"))
+    return (
+        scored.groupBy("event_id", "ts")
+        .agg(best.alias("b"))
+        .select(
+            "event_id",
+            "ts",
+            F.col("b.cname").alias("checkpoint"),
+            F.col("b.cts").alias("checkpoint_ts"),
+            F.col("b.dist").cast("bigint").alias("dist_seconds"),
+        )
+    )

@@ -589,3 +589,21 @@ def test_asof_tolerance_nulls_stale_matches_only(spark, sf_dir):
         elif b.checkpoint_ts is not None:
             # nulled: the match existed but was stale
             assert (r.ts - b.checkpoint_ts).total_seconds() > ASOF_TOLERANCE_H * 3600
+
+
+def test_asof_nearest_picks_closer_side(spark, sf_dir):
+    """Nearest differs from backward exactly when the NEXT checkpoint is
+    closer than the previous one; dist is |event - chosen|, minimal."""
+    from nova_pulsar_spark.operators.advanced import CHECKPOINTS, join_asof_nearest
+
+    import datetime as dt
+
+    cps = [dt.datetime.fromisoformat(t) for t, _ in CHECKPOINTS]
+    rows = join_asof_nearest(spark, sf_dir).collect()
+    assert len({r.event_id for r in rows}) == len(rows)
+    for r in rows[:200]:
+        # the operator compares whole-second epochs (unix_timestamp
+        # floors sub-second precision) — mirror that here
+        t = r.ts.replace(microsecond=0)
+        best = min(abs(int((t - c).total_seconds())) for c in cps)
+        assert r.dist_seconds == best
