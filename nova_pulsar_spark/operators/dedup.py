@@ -728,3 +728,145 @@ def llm_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= QUALITY_FLOOR)
         .select("doc_id", "source", "lang", F.col("quality_score").cast("int").alias("quality_score"))
     )
+
+
+# --- 60-bit banded SimHash: the documented scale path made real -----------
+# 15 md5 nibbles -> 60-bit fingerprint (fits signed BIGINT with headroom),
+# 4 bands x 15 bits; candidates = pairs agreeing on >= 1 band, verify =
+# Hamming distance over the full signature. Same integer-only idiom as
+# the 16-bit SimHash, so both engines agree bit-for-bit.
+SIMHASH64_BITS = 60
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS  # 15
+SIMHASH64_HAMMING_T = 12
+
+_SH64_NIB_SQL = " + ".join(
+    f"(strpos('{_HEX}', substr(md5(token), {i}, 1)) - 1) * {16 ** (15 - i)}"
+    for i in range(1, 16)
+)
+_SH64_BITSUMS_SQL = ",\n             ".join(
+    f"CAST(SUM(2 * ((hv >> {b}) & 1) - 1) AS BIGINT) AS s{b}" for b in range(SIMHASH64_BITS)
+)
+_SH64_RECOMBINE_SQL = "\n             + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH64_BITS)
+)
+_SH64_BAND_SELECTS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, sig, {k} AS band_idx, "
+    f"(sig // {1 << (k * SIMHASH64_BAND_BITS)}) % {1 << SIMHASH64_BAND_BITS} AS band_val FROM sigs"
+    for k in range(SIMHASH64_BANDS)
+)
+
+
+@register(
+    "llm_dedup_simhash_banded",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    tv AS (
+      SELECT doc_id, {_SH64_NIB_SQL} AS hv FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {_SH64_BITSUMS_SQL}
+      FROM tv GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id, CAST({_SH64_RECOMBINE_SQL} AS BIGINT) AS sig FROM bits),
+    bands AS (
+      {_SH64_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id <> b.doc_id),
+    scored AS (
+      SELECT doc_a AS doc_id, doc_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY doc_a
+                                ORDER BY bit_count(xor(sig_a, sig_b)), doc_b) AS rnk
+      FROM cand)
+    SELECT doc_id, doc_b AS nn_doc, hamming,
+           hamming <= {SIMHASH64_HAMMING_T} AS is_dup
+    FROM scored WHERE rnk = 1
+    """,
+    doc=f"Banded {SIMHASH64_BITS}-bit SimHash nearest neighbor: 4x{SIMHASH64_BAND_BITS}-bit "
+    "band blocking generates candidates (agree on >= 1 band), full-signature "
+    "Hamming argmin per doc — the SimHash scale path, never all-pairs, O(n) output",
+)
+def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-bit SimHash's documented scale extension, implemented: a
+    60-bit fingerprint (60 bit-sums in ONE groupBy pass — the shuffle
+    carries one row per doc), 15-bit band equality as the blocking key
+    (a Hamming-space pigeonhole: any pair within distance 3 shares a
+    band; wider radii trade recall exactly like MinHash banding), and
+    popcount-of-XOR verify ONLY on banded candidates. All integer
+    shift/and/xor — bit-identical across engines. The band self-join
+    shuffles (band_idx, 15-bit value) keys; hot bands would take the
+    same `max_bucket` cap as the MinHash path."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
+    h = F.md5(F.col("token").cast("binary"))
+
+    def nib(i: int):
+        return (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1).cast("long")
+
+    hv = sum(nib(i) * (16 ** (15 - i)) for i in range(1, 16)).alias("hv")
+    bitsrc = tok.select("doc_id", hv)
+    sums = bitsrc.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
+            .cast("bigint")
+            .alias(f"s{b}")
+            for b in range(SIMHASH64_BITS)
+        ]
+    )
+    recombine = None
+    for b in range(SIMHASH64_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        recombine = term if recombine is None else recombine + term
+    sigs = sums.select("doc_id", recombine.cast("bigint").alias("sig"))
+    band_rows = []
+    for k in range(SIMHASH64_BANDS):
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                "sig",
+                F.lit(k).alias("band_idx"),
+                F.shiftright(F.col("sig"), k * SIMHASH64_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH64_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # nearest neighbor per doc: argmin (hamming, doc_b) in ONE aggregate
+    best = F.min_by(F.struct(ham.alias("h"), F.col("doc_b")), F.struct(ham.alias("h"), F.col("doc_b")))
+    return (
+        cand.groupBy("doc_id")
+        .agg(best.alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.doc_b").alias("nn_doc"),
+            F.col("b.h").cast("bigint").alias("hamming"),
+            (F.col("b.h") <= SIMHASH64_HAMMING_T).alias("is_dup"),
+        )
+    )

@@ -607,3 +607,26 @@ def test_asof_nearest_picks_closer_side(spark, sf_dir):
         t = r.ts.replace(microsecond=0)
         best = min(abs(int((t - c).total_seconds())) for c in cps)
         assert r.dist_seconds == best
+
+
+def test_simhash_banded_nn_identical_docs_are_zero_distance(spark):
+    """Two identical docs must be each other's nearest neighbor at
+    Hamming 0; a vocabulary-disjoint doc never reaches distance 0."""
+    # the registered Spark fn loads parquet, so the planted corpus is
+    # exercised through the (hash-identical) DuckDB twin instead
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 1 AS doc_id, "
+        "'alpha beta gamma delta epsilon zeta eta theta iota kappa' AS text "
+        "UNION ALL SELECT 2, 'alpha beta gamma delta epsilon zeta eta theta iota kappa' "
+        "UNION ALL SELECT 3, 'completely different vocabulary nothing shared whatsoever here now'"
+    )
+    from nova_pulsar_spark.registry import all_queries
+
+    rows = {r[0]: r for r in con.execute(all_queries()["llm_dedup_simhash_banded"].sql).fetchall()}
+    assert rows[1][1] == 2 and rows[1][2] == 0 and rows[1][3]  # nn=2, hamming 0, dup
+    assert rows[2][1] == 1 and rows[2][2] == 0
+    if 3 in rows:  # doc 3 only appears if it shares a band by chance
+        assert rows[3][2] > 0
