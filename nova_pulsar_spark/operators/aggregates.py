@@ -561,3 +561,33 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
              F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "agg_weighted_avg_exact",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / 100 / SUM(CAST(l_quantity AS BIGINT)) AS wavg_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted average price with exact integer accumulation "
+    "(cents x quantity in BIGINT; one double division at the end) — "
+    "order-insensitive, cross-engine bit-exact",
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean done exactly: Σ(price_cents·qty) and Σqty
+    accumulate as integers (associative, partition-order-insensitive,
+    map-side combinable), and the ONLY floating-point op is the final
+    division — one IEEE tree over identical inputs on both engines.
+    The naive Σ(price·qty)/Σqty over doubles drifts with shuffle
+    order; this shape never does, at identical shuffle cost."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(cents * qty).cast("double") / 100 / F.sum(qty)).alias("wavg_price"),
+        F.sum(qty).cast("bigint").alias("total_weight"),
+    )
