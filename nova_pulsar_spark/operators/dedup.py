@@ -870,3 +870,204 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.h") <= SIMHASH64_HAMMING_T).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (duplicated token spans across documents)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # span length in tokens; ~50 in production (Lee et al. 2022 shape)
+
+
+def substring_span_stats(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Per-doc duplicated K-token-span counts over any (doc_id, text) frame."""
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    grams = ws.filter(F.expr(f"size(ws) >= {k}")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k} + 1), "
+                    f"i -> md5(CAST(concat_ws(' ', slice(ws, i, {k})) AS BINARY)))"
+                )
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") * 5 >= F.col("n_spans")).alias("mostly_dup"),
+        )
+    )
+
+
+@register(
+    "llm_dedup_substring",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, len(ws) - {SUBSTR_K} + 2),
+          i -> md5(array_to_string(list_slice(ws, i, i + {SUBSTR_K} - 1), ' '))))) AS g
+      FROM toks WHERE len(ws) >= {SUBSTR_K}),
+    counts AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 5 >= COUNT(*) AS mostly_dup
+    FROM grams JOIN counts USING (g)
+    GROUP BY doc_id
+    """,
+    doc=f"Substring-level dedup: {SUBSTR_K}-token spans appearing in >1 document, "
+    "per-doc duplicated-span counts (inverted span-hash index, never all-pairs)",
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection, the scalable alternative to
+    a suffix array (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every K-token window is hashed, and the
+    inverted index (one groupBy on the 16-byte span hash) marks spans
+    occurring in more than one document. Per-doc rollup = how much of
+    each document is boilerplate copied elsewhere.
+
+    100 TB shape: the shuffle carries (span_hash, doc_id) — 24-byte
+    rows, map-side distinct — and the span-count join re-uses the same
+    hash partitioning (AQE co-locates both sides; no second shuffle of
+    the corpus). Nothing is ever compared pairwise: a span duplicated
+    across n docs costs n index rows, not n² pairs. Memory per task is
+    one document's token array. Reference parity: the dedup family in
+    BASELINE.json; span length 50 in production, 8 at test SF so the
+    fixture's near-duplicate docs overlap."""
+    return substring_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin family) — exact Jaccard >= t
+# ---------------------------------------------------------------------------
+
+SETSIM_NUM = 3  # Jaccard threshold t = 3/5 = 0.6, kept rational for
+SETSIM_DEN = 5  # integer-exact filtering on both engines
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame, t_num: int = SETSIM_NUM, t_den: int = SETSIM_DEN
+) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den shingle-set pairs via prefix filtering."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(_shingles_expr()).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok")))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("sz") - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}") + 1
+    ).select("doc_id", "tok", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a_id"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    inter = (
+        cand.join(ta, "a_id")
+        .join(tb, ["b_id", "tok"])
+        .groupBy("a_id", "b_id", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    return (
+        inter.filter(F.col("n_inter") * t_den >= n_union * t_num)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            n_union.cast("bigint").alias("n_union"),
+            (F.col("n_inter").cast("double") / n_union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "llm_setsim_prefix",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({SHINGLES_SQL}) AS tok
+      FROM documents),
+    freq AS (
+      SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rk,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+      FROM toks t JOIN freq f ON t.tok = f.tok),
+    prefix AS (
+      SELECT doc_id, tok, sz FROM ranked
+      WHERE rk <= sz - (sz * {SETSIM_NUM} + {SETSIM_DEN - 1}) // {SETSIM_DEN} + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, c.sz_a, c.sz_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.a_id
+      JOIN toks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+      GROUP BY c.a_id, c.b_id, c.sz_a, c.sz_b)
+    SELECT a_id, b_id,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sz_a + sz_b - n_inter AS BIGINT) AS n_union,
+           CAST(n_inter AS DOUBLE) / CAST(sz_a + sz_b - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE n_inter * {SETSIM_DEN} >= (sz_a + sz_b - n_inter) * {SETSIM_NUM}
+    """,
+    doc=f"Prefix-filtered set-similarity self-join (PPJoin family) over 3-gram "
+    f"shingle sets: exact Jaccard >= {SETSIM_NUM}/{SETSIM_DEN} pairs, candidates "
+    "only where rare-shingle prefixes collide — exact-threshold complement to MinHash LSH",
+)
+def llm_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity join via prefix filtering
+    (SSJoin/PPJoin, Chaudhuri et al. 2006 / Xiao et al. 2008): order
+    each document's 3-gram shingle set by ascending global document
+    frequency; two sets with Jaccard >= t MUST share an element within
+    their first |T| - ceil(t|T|) + 1 elements, so candidate pairs are
+    generated only from collisions on those *rarest* shingles (unigram
+    tokens are too coarse a universe — over a small vocabulary every
+    doc pair collides; shingles make prefixes selective). Unlike MinHash LSH this
+    is lossless — recall is exactly 1.0 at the threshold — at the cost
+    of an extra global token-frequency pass.
+
+    100 TB shape: boilerplate (high-df) tokens can never enter a
+    prefix, so the candidate join's bucket sizes are bounded by the
+    df of RARE tokens — the skew profile is the inverse of the naive
+    token join, which is what makes it feasible. Three shuffles total:
+    token df (map-combinable), the prefix self-join keyed by token,
+    and the candidate verify keyed by doc pair; the verify stage
+    touches only candidate docs via semi-join pruning. Integer ceil
+    ((sz*3+4) DIV 5) keeps the prefix boundary bit-identical across
+    engines."""
+    return setsim_prefix_pairs(load_table(spark, sf_dir, "documents"))

@@ -630,3 +630,63 @@ def test_simhash_banded_nn_identical_docs_are_zero_distance(spark):
     assert rows[2][1] == 1 and rows[2][2] == 0
     if 3 in rows:  # doc 3 only appears if it shares a band by chance
         assert rows[3][2] > 0
+
+
+def test_substring_dedup_flags_copied_span(spark):
+    from nova_pulsar_spark.operators.dedup import substring_span_stats
+
+    shared = "one two three four five six seven eight"  # exactly K=8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail alpha beta gamma delta epsilon zeta eta"),
+            (2, "head words differ here completely " + shared),
+            (3, "nothing in common with anything else at all whatsoever today"),
+            (4, "short doc"),  # < K tokens: contributes no spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_span_stats(docs).collect()}
+    assert 4 not in rows  # too short to have any span
+    assert rows[1].n_dup_spans >= 1 and rows[2].n_dup_spans >= 1
+    assert rows[3].n_dup_spans == 0 and not rows[3].mostly_dup
+    # doc 2 ends with the shared span; only that one span is duplicated
+    assert rows[2].n_dup_spans == 1
+
+
+def test_setsim_prefix_matches_bruteforce_jaccard(spark):
+    from nova_pulsar_spark.operators.dedup import setsim_prefix_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup: jaccard 1.0
+            (3, base + " lambda"),  # near dup: high shingle overlap
+            (4, "totally different words that share nothing with the base document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a_id, r.b_id): r for r in setsim_prefix_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)].jaccard == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)].jaccard >= 0.6
+    assert all(4 not in k for k in pairs)
+    # lossless at the threshold: brute-force shingle jaccard agrees
+    from nova_pulsar_spark.operators.dedup import _shingles_expr
+
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("ws")
+        ).select("doc_id", _shingles_expr().alias("sh")).collect()
+    }
+    for (a, b), r in pairs.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert r.n_inter == inter and r.n_union == union
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and len(sh[a] & sh[b]) * 5 >= len(sh[a] | sh[b]) * 3
+    }
+    assert set(pairs) == brute
