@@ -1,0 +1,101 @@
+"""Change-data-capture shapes: change compression and SCD2 intervals.
+
+The events table is treated as a change stream keyed by ``user_id``
+and ordered by ``(ts, event_id)`` — the shape of any CDC feed
+(Debezium-style row images, table snapshots diffs, metric updates).
+Two batch operators here; the incremental counterpart is the
+``ParquetMergeSink`` foreachBatch MERGE in streaming/sinks.py.
+
+Scale notes (the 100 TB story): both operators are ONE shuffle on the
+change key with window functions inside the partition — the same plan
+at any scale, since a key's history lands in one task. Skewed keys
+(one entity with millions of updates) would sessionize the window by
+time range first; the fixture has no such key, but the note is the
+production mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+
+def change_compress(changes: DataFrame) -> DataFrame:
+    """Drop consecutive updates whose ``value`` did not change."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select("user_id", "event_id", "ts", "value", F.lag("value").over(w).alias("prev_value"))
+        .filter(~F.col("value").eqNullSafe(F.col("prev_value")))
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "cdc_change_compress",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events)
+    SELECT user_id, event_id, ts, value
+    FROM seq WHERE value IS DISTINCT FROM prev_value
+    """,
+    doc="CDC change compression: drop consecutive per-key updates with an "
+    "unchanged value (one shuffle on the change key, LAG inside the partition)",
+)
+def cdc_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change compression is the first stage of any CDC pipeline: a
+    source that re-emits full row images on every touch (or a
+    snapshot-diff job that re-reads unchanged rows) multiplies
+    downstream cost for nothing; dropping no-op updates is a LAG
+    against the previous image per key. One shuffle on ``user_id``,
+    null-safe comparison (`eqNullSafe` / `IS DISTINCT FROM`) so NULL
+    transitions are kept.
+    """
+    return change_compress(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_scd2_intervals",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events),
+    changes AS (
+      SELECT user_id, event_id, ts, value FROM seq
+      WHERE value IS DISTINCT FROM prev_value)
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="SCD type-2 validity intervals from a change stream: each compressed "
+    "change holds [valid_from, valid_to) with NULL/current for the latest image",
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the compressed change
+    stream: every surviving change opens an interval closed by the
+    next change's timestamp (LEAD); the open interval is the current
+    image. Composes with :func:`change_compress` in one window stage —
+    Catalyst reuses the single ``user_id`` shuffle for both the LAG
+    compression and the LEAD interval close, so the whole SCD2 build
+    is one exchange. At 100 TB the output is the dimension table a
+    MERGE sink (streaming/sinks.py ParquetMergeSink) maintains
+    incrementally.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = change_compress(load_table(spark, sf_dir, "events"))
+    return changes.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
     # Imports are deferred so `import nova_pulsar_spark` stays cheap.
     from nova_pulsar_spark.operators import (  # noqa: F401
         advanced,
+        cdc,
         extras,
         aggregates,
         dedup,
