@@ -409,3 +409,50 @@ def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").like("%vector%").alias("has_vector"),
         F.instr(F.col("text"), "data").cast("bigint").alias("data_pos"),
     )
+
+
+@register(
+    "fn_url_ops",
+    sql="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://([^./]+)', 1) AS subdomain,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([a-z]+)', 1) AS lang_param
+    FROM u
+    """,
+    doc="URL parse family: host/subdomain/path/query-param extraction via "
+    "identical regexes on both engines (provenance bookkeeping for web corpora)",
+)
+def fn_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for crawl provenance (the reference's path
+    functions, F7, applied to the web-corpus domain): a synthesized
+    per-doc URL is split into host/subdomain/path/query-param with
+    plain regexp_extract — the same patterns compile on both engines,
+    so no parse_url dialect dependence. Pure projection inside
+    whole-stage codegen; at 100 TB this is scan-bound map work, and
+    the host column is the natural partition/skew key for per-site
+    rollups downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"https?://([^./]+)", 1).alias("subdomain"),
+        F.regexp_extract("url", r"://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([a-z]+)", 1).alias("lang_param"),
+    )

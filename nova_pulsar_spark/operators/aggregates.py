@@ -591,3 +591,78 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(cents * qty).cast("double") / 100 / F.sum(qty)).alias("wavg_price"),
         F.sum(qty).cast("bigint").alias("total_weight"),
     )
+
+
+MAD_SIGMA = 3  # flag rows deviating more than 3 MADs from the median
+
+
+@register(
+    "agg_mad_outliers",
+    sql=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT e.event_type, e.event_id, m.med, ABS(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    ranked2 AS (
+      SELECT event_type, dev, med,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (SELECT event_type, dev AS mad FROM ranked2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, MIN(d.med) AS med, MIN(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > {MAD_SIGMA} * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc=f"Robust outlier profile per group: exact median + exact MAD (lower-"
+    f"middle ranks), count of rows beyond {MAD_SIGMA} MADs — the robust "
+    "alternative to z-scores that one corrupt batch cannot drag",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts: mean/stddev outlier
+    rules break down exactly when needed (the outliers inflate sigma);
+    MAD's 50% breakdown point doesn't. Both medians use the engine-
+    independent lower-middle rank definition (median_exact's idiom) so
+    the flag boundary is bit-identical across engines. Plan shape: two
+    rank passes partitioned by the group key (each one exchange of
+    (group, value) pairs), the per-group scalars broadcast back, and a
+    final map-combinable count — no global sort. At 100 TB per-group
+    exact ranks are fine while groups fit a task; a heavy group would
+    swap the rank pass for the two-scan count+offset median without
+    touching the rest of the DAG."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = W.partitionBy("event_type").orderBy("value", "event_id")
+    wc = W.partitionBy("event_type")
+    med = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > MAD_SIGMA * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

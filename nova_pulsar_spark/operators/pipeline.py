@@ -566,3 +566,43 @@ def llm_normalize_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("ws") - F.size("collapsed")).cast("bigint").alias("n_collapsed"),
         )
     )
+
+
+SAMPLE_K = 100  # expected sample size for the weighted Bernoulli draw
+
+
+@register(
+    "llm_sample_weighted",
+    sql=f"""
+    WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS sum_w FROM documents)
+    SELECT doc_id, n_chars AS weight
+    FROM documents, tot
+    WHERE {_hash16_sql("CAST(doc_id AS VARCHAR)")} * sum_w
+          < {65536 * SAMPLE_K} * n_chars
+    """,
+    doc=f"Weight-proportional Bernoulli sample (E[size]={SAMPLE_K}): include "
+    "iff hash-uniform u < K*w/Σw, all-integer comparison — deterministic, "
+    "shuffle-free scan after one scalar total",
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without RNG state: each doc's 16-bit md5 draw u
+    is compared against K·w/Σw, but cross-multiplied into integers
+    (u·Σw < 2¹⁶·K·w) so both engines decide inclusion with exact
+    BIGINT arithmetic — no float rounding at the boundary, stable
+    under re-runs and backfills exactly like llm_split_train_test.
+    Σw is one map-combinable integer aggregate broadcast as a scalar;
+    the sample itself is then a map-side filter over the corpus scan —
+    no shuffle, no sort, no coordination. At 100 TB row counts the
+    cross-product needs 128-bit (or per-partition scaled) arithmetic;
+    the 16-bit draw grain is the test-SF simplification of the same
+    scheme (production: 63-bit draw, DECIMAL(38) cross-multiply).
+    Heavier docs are proportionally likelier: E[sample] = K exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("sum_w"))
+    u = _hash16_spark(F.col("doc_id").cast("string")).cast("bigint")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(u * F.col("sum_w") < F.lit(65536 * SAMPLE_K) * F.col("n_chars"))
+        .select("doc_id", F.col("n_chars").alias("weight"))
+    )

@@ -690,3 +690,39 @@ def test_setsim_prefix_matches_bruteforce_jaccard(spark):
         if a < b and len(sh[a] & sh[b]) * 5 >= len(sh[a] | sh[b]) * 3
     }
     assert set(pairs) == brute
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import SAMPLE_K, llm_sample_weighted
+    from nova_pulsar_spark.sources.tables import load_table
+
+    sample = llm_sample_weighted(spark, sf_dir).collect()
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    # expected size K, generous tolerance for the Bernoulli variance
+    assert 0.5 * SAMPLE_K <= len(sample) <= 1.5 * SAMPLE_K
+    mean_s = sum(r.weight for r in sample) / len(sample)
+    mean_c = sum(r.n_chars for r in corpus) / len(corpus)
+    assert mean_s > mean_c  # weight-proportional: heavy docs over-represented
+    # determinism: second run returns the identical id set
+    again = {r.doc_id for r in llm_sample_weighted(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in sample}
+
+
+def test_mad_outliers_matches_bruteforce(spark, sf_dir):
+    from nova_pulsar_spark.operators.aggregates import MAD_SIGMA, agg_mad_outliers
+    from nova_pulsar_spark.sources.tables import load_table
+
+    got = {r.event_type: r for r in agg_mad_outliers(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+
+    def lower_median(vals):
+        return sorted(vals)[(len(vals) + 1) // 2 - 1]
+
+    for et, evs in by_type.items():
+        med = lower_median([r.value for r in evs])
+        mad = lower_median([abs(r.value - med) for r in evs])
+        n_out = sum(1 for r in evs if abs(r.value - med) > MAD_SIGMA * mad)
+        assert got[et].med == med and got[et].mad == mad and got[et].n_outliers == n_out
