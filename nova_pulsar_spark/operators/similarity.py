@@ -447,3 +447,64 @@ def llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .drop("rnk")
     )
+
+
+RANGE_THRESHOLD = 0.05  # radius (min cosine); tuned so the fixture probe returns a non-trivial, non-total subset
+
+
+@register(
+    "llm_simsearch_range",
+    sql=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_SIGNS_SQL} AS signs FROM embeddings),
+    bands AS (
+      SELECT vec_id, b.b AS band,
+             substr(signs, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b),
+    qb AS (SELECT band, sig FROM bands WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+      SELECT DISTINCT b.vec_id
+      FROM bands b JOIN qb ON b.band = qb.band AND b.sig = qb.sig
+      WHERE b.vec_id <> {QUERY_VEC_ID}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, {_sql_cos("e.embedding", "q.qe")} AS cosine
+    FROM embeddings e JOIN probe USING (vec_id) CROSS JOIN q
+    WHERE {_sql_cos("e.embedding", "q.qe")} >= {RANGE_THRESHOLD}
+    """,
+    doc=f"Radius (range) similarity search: sign-LSH bucket probe for the "
+    f"query, exact cosine above the radius only on same-bucket vectors — "
+    "the all-neighbors-within-distance complement to top-k",
+)
+def llm_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search via index probe, not scan: the query vector's band
+    signatures select only the corpus vectors sharing at least one LSH
+    bucket; exact cosine runs on those candidates alone. At 100 TB the
+    bands frame is the persisted index, hash-partitioned (or bucketed)
+    on (band, sig) — a probe is then partition pruning plus a
+    broadcast-joined verify, touching a fixed number of buckets
+    regardless of corpus size. Bounded recall at the radius follows
+    the banding: any vector within the radius agrees on a band with
+    probability 1-(1-p^bits)^bands; the probe and the oracle twin use
+    the same buckets, so results are engine-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", _signs_spark().alias("signs"))
+    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+        "vec_id",
+        "band",
+        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
+    )
+    qb = bands.filter(F.col("vec_id") == QUERY_VEC_ID).select("band", "sig")
+    probe = (
+        bands.join(F.broadcast(qb), ["band", "sig"])
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return (
+        e.join(probe, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine("embedding", "qe").alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_THRESHOLD)
+    )

@@ -270,3 +270,88 @@ def state_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def state_incident(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lifecycle_batch(STATUS_EVENTS.spark_df(spark))
     return out.filter(F.col("kind").isin("stalled", "killed", "suppressed_regression"))
+
+
+ATTRIB_WINDOW_MIN = 10  # attribution window: click within 10 min of view
+
+
+def stream_interval_join(
+    views: DataFrame, clicks: DataFrame, max_delay_min: int = ATTRIB_WINDOW_MIN
+) -> DataFrame:
+    """Watermarked stream-stream interval join (ad-attribution shape).
+
+    Both sides carry a watermark and the join condition bounds
+    ``click_ts`` to [view_ts, view_ts + window], so Spark can expire
+    view-side state once the click watermark passes view_ts + window
+    and click-side state immediately after match evaluation — state
+    stays O(events within one window) per key regardless of stream
+    length. This is THE pattern for joining two unbounded streams: an
+    unbounded condition would grow state forever (Spark refuses it in
+    append mode without watermarks).
+    """
+    v = views.withWatermark("view_ts", f"{max_delay_min} minutes")
+    c = clicks.withWatermark("click_ts", f"{max_delay_min} minutes")
+    return v.join(
+        c,
+        F.expr(
+            f"view_user = click_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {max_delay_min} MINUTES"
+        ),
+    ).select(
+        F.col("imp_id"),
+        F.col("click_id"),
+        F.col("view_user").alias("user_id"),
+        ((F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+
+
+@register(
+    "stream_interval_join",
+    sql=f"""
+    SELECT v.event_id AS imp_id, c.event_id AS click_id, v.user_id,
+           CAST((epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS delay_s
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc=f"Stream-stream interval join (view->click attribution within "
+    f"{ATTRIB_WINDOW_MIN} min): batch rendition of the watermarked two-stream "
+    "join; the live streaming form is pinned in tests/test_streaming.py",
+)
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rendition over the events table: equi-join on the user key
+    with the time bound as a residual range predicate — the exact
+    results the watermarked streaming form converges to (asserted
+    live in the test suite). At scale the equi-key carries the
+    shuffle; the residual range never becomes a cross product."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("imp_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        v.join(
+            c,
+            F.expr(
+                f"view_user = click_user AND click_ts >= view_ts "
+                f"AND click_ts <= view_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"
+            ),
+        )
+        .select(
+            "imp_id",
+            "click_id",
+            F.col("view_user").alias("user_id"),
+            ((F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("delay_s"),
+        )
+    )

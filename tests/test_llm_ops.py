@@ -726,3 +726,30 @@ def test_mad_outliers_matches_bruteforce(spark, sf_dir):
         mad = lower_median([abs(r.value - med) for r in evs])
         n_out = sum(1 for r in evs if abs(r.value - med) > MAD_SIGMA * mad)
         assert got[et].med == med and got[et].mad == mad and got[et].n_outliers == n_out
+
+
+def test_simsearch_range_is_pruned_subset_of_bruteforce(spark, sf_dir):
+    from nova_pulsar_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        RANGE_THRESHOLD,
+        cosine,
+        llm_simsearch_range,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    got = {r.vec_id: r.cosine for r in llm_simsearch_range(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    brute = {
+        r.vec_id: r.c
+        for r in e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cosine("embedding", "qe").alias("c"))
+        .collect()
+        if r.c >= RANGE_THRESHOLD
+    }
+    # every returned neighbor is a true in-radius neighbor with the exact cosine
+    for vid, cos in got.items():
+        assert vid in brute and cos == brute[vid]
+    # the probe actually prunes: strictly fewer candidates than the corpus scan
+    assert 0 < len(got) < e.count() / 2

@@ -695,3 +695,78 @@ def test_stream_dedup_within_watermark_drops_in_window_dups(spark, tmp_path):
     assert len(rows) == 3 and len({r.text for r in rows}) == 3
     assert len({1, 2} & set(got_ids)) == 1
     assert 3 in got_ids and 5 in got_ids and 4 not in got_ids
+
+
+def test_stream_stream_interval_join_live(spark, tmp_path):
+    """The watermarked two-stream interval join produces exactly the
+    batch-rendition matches: in-window clicks join, out-of-window and
+    cross-user clicks never appear, state is bounded by watermarks."""
+    from pyspark.sql import types as T
+
+    from nova_pulsar_spark.streaming.stream_queries import stream_interval_join
+
+    v_schema = T.StructType(
+        [
+            T.StructField("imp_id", T.LongType()),
+            T.StructField("view_user", T.LongType()),
+            T.StructField("view_ts", T.TimestampType()),
+        ]
+    )
+    c_schema = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("click_user", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+        ]
+    )
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    os.makedirs(vsrc)
+    os.makedirs(csrc)
+
+    def emit(src, name, rows):
+        with open(os.path.join(src, f".tmp-{name}"), "w") as f:
+            for rec in rows:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(os.path.join(src, f".tmp-{name}"), os.path.join(src, name))
+
+    emit(
+        vsrc,
+        "v1.json",
+        [
+            {"imp_id": 1, "view_user": 7, "view_ts": "2026-01-01T10:00:00"},
+            {"imp_id": 2, "view_user": 8, "view_ts": "2026-01-01T10:00:00"},
+        ],
+    )
+    emit(
+        csrc,
+        "c1.json",
+        [
+            {"click_id": 11, "click_user": 7, "click_ts": "2026-01-01T10:04:00"},  # match imp 1
+            {"click_id": 12, "click_user": 7, "click_ts": "2026-01-01T10:30:00"},  # too late
+            {"click_id": 13, "click_user": 9, "click_ts": "2026-01-01T10:01:00"},  # no view
+        ],
+    )
+    joined = stream_interval_join(
+        spark.readStream.schema(v_schema).json(vsrc),
+        spark.readStream.schema(c_schema).json(csrc),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attrib_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: a click for user 8 inside ITS window still matches
+        emit(
+            csrc,
+            "c2.json",
+            [{"click_id": 14, "click_user": 8, "click_ts": "2026-01-01T10:09:59"}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.imp_id, r.click_id, r.user_id, r.delay_s) for r in spark.sql("SELECT * FROM attrib_out").collect()}
+    assert got == {(1, 11, 7, 240), (2, 14, 8, 599)}
