@@ -61,6 +61,13 @@ HEADLINE = [
     "llm_dedup_keep_best",
     "llm_simsearch_batch",
     "llm_dedup_rate_by_source",
+    "llm_dedup_substring",
+    "llm_setsim_prefix",
+    "llm_sample_weighted",
+    "llm_simsearch_range",
+    "cdc_scd2_intervals",
+    "stream_interval_join",
+    "agg_mad_outliers",
 ]
 
 
