@@ -606,3 +606,125 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u * F.col("sum_w") < F.lit(65536 * SAMPLE_K) * F.col("n_chars"))
         .select("doc_id", F.col("n_chars").alias("weight"))
     )
+
+
+# --- Bloom-prefiltered contamination -------------------------------------
+# A deterministic 3840-bit bloom bitmap (64 words x 60 bits, single md5
+# hash) built from the benchmark shingle set and applied map-side to the
+# corpus shingle stream BEFORE the exact join. Engine-portable integer
+# arithmetic end to end, so the bitmap is bit-identical across engines
+# and the whole pipeline stays oracle-checkable. 60-bit words keep every
+# shift result positive in int64 on both engines.
+
+BLOOM_WORD_BITS = 60
+BLOOM_WORDS = 64
+BLOOM_BITS = BLOOM_WORD_BITS * BLOOM_WORDS
+
+
+def _hash12_spark(col: F.Column) -> F.Column:
+    """First 12 bits of md5(col) as an int — identical on both engines."""
+    h = F.md5(col.cast("binary"))
+
+    def nib(i: int) -> F.Column:
+        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+
+    return nib(1) * 256 + nib(2) * 16 + nib(3)
+
+
+def _hash12_sql(expr: str) -> str:
+    return (
+        f"((strpos('{_HEX}', substr(md5({expr}), 1, 1)) - 1) * 256"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 2, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 3, 1)) - 1))"
+    )
+
+
+@register(
+    "llm_contamination_bloom",
+    sql=f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id < {N_BENCHMARK_DOCS}),
+    bloom AS (
+      SELECT ({_hash12_sql("shingle")} % {BLOOM_BITS}) // {BLOOM_WORD_BITS} AS w,
+             bit_or(CAST(1 AS BIGINT) << (({_hash12_sql("shingle")} % {BLOOM_BITS})
+                                          % {BLOOM_WORD_BITS})) AS bits
+      FROM bench GROUP BY 1),
+    doc_shingles AS (
+      SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM documents WHERE doc_id >= {N_BENCHMARK_DOCS}),
+    hashed AS (
+      SELECT doc_id, shingle,
+             ({_hash12_sql("shingle")} % {BLOOM_BITS}) // {BLOOM_WORD_BITS} AS w,
+             ({_hash12_sql("shingle")} % {BLOOM_BITS}) % {BLOOM_WORD_BITS} AS bit
+      FROM doc_shingles),
+    passed AS (
+      SELECT h.doc_id, h.shingle
+      FROM hashed h JOIN bloom b ON h.w = b.w
+      WHERE (b.bits >> h.bit) & 1 = 1)
+    SELECT p.doc_id,
+           COUNT(*) AS n_overlap,
+           COUNT(*) >= {CONTAM_MIN_OVERLAP} AS contaminated
+    FROM passed p JOIN bench ON p.shingle = bench.shingle
+    GROUP BY p.doc_id
+    """,
+    doc="Contamination check fronted by a deterministic 3840-bit bloom "
+    "bitmap: corpus shingles are pruned map-side before the exact join — "
+    "identical results to llm_contamination (no false negatives)",
+)
+def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-fronted join the llm_contamination docstring promises,
+    realized: the benchmark shingle set folds into 64 bit_or words
+    (≤1 KB broadcast with the tasks); each corpus shingle tests one
+    bit map-side and only survivors reach the exact hash join. At
+    100 TB the bloom eliminates ~(1-k/m) of the corpus stream before
+    any join machinery — the explicit, engine-portable form of
+    Spark's InjectRuntimeFilter. False positives are culled by the
+    exact join that follows; false negatives are impossible, so the
+    result set is byte-identical to the unfiltered operator (asserted
+    in pytest). All arithmetic is integer md5-nibble hashing + shifts
+    inside 60-bit words — the bitmap is bit-identical across engines,
+    keeping even the probabilistic stage oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))) "
+            "ELSE array() END"
+        )
+    )
+    with_ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    bench = (
+        with_ws.filter(F.col("doc_id") < N_BENCHMARK_DOCS)
+        .select(F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    h = _hash12_spark(F.col("shingle")) % BLOOM_BITS
+    bloom = (
+        bench.select((h / BLOOM_WORD_BITS).cast("int").alias("w"), (h % BLOOM_WORD_BITS).cast("int").alias("bit"))
+        .select("w", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    corpus = with_ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    hashed = corpus.select(
+        "doc_id",
+        "shingle",
+        (h / BLOOM_WORD_BITS).cast("int").alias("w"),
+        (h % BLOOM_WORD_BITS).cast("int").alias("bit"),
+    )
+    passed = hashed.join(F.broadcast(bloom), "w").filter(
+        F.expr("(shiftright(bits, bit) & CAST(1 AS BIGINT)) = 1")
+    )
+    return (
+        passed.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= CONTAM_MIN_OVERLAP).alias("contaminated"),
+        )
+    )

@@ -195,3 +195,79 @@ class AppendLogSink:
                 for line in lines:
                     f.write(line + "\n")
         atomic_write_json(self.seal_dir, f".batch-{batch_id}", {"batch_id": batch_id})
+
+
+class DeltaAggSink:
+    """foreachBatch delta-accumulation: maintains running per-key SUMS
+    (counts, totals) by MERGING each append-mode batch's partial
+    aggregate into a versioned snapshot — incremental materialized-view
+    maintenance for distributive aggregates.
+
+    Contrast with :class:`ParquetMergeSink` (last-writer-wins upsert
+    fed by update-mode aggregations, which re-emit the full per-key
+    value): here the STREAM stays append-mode raw rows, each batch is
+    reduced to per-key deltas distributively (map-side combine inside
+    the batch), and merge = group-sum of snapshot ∪ delta. That keeps
+    the streaming state store empty — the accumulation lives in the
+    sink table — which is the right trade at 100 TB when the key
+    cardinality is too large for executor state but the per-batch
+    delta is small.
+
+    Same durability idiom as ParquetMergeSink: versioned snapshot dirs,
+    atomic `_LATEST` pointer swap after a full write, replays no-op'd
+    per (batch_id, checkpoint lineage) with the batch drained through a
+    noop write so upstream commit checks pass.
+    """
+
+    def __init__(self, root: str, key_cols: list[str], sum_cols: list[str]):
+        self.root = root
+        self.key_cols = key_cols
+        self.sum_cols = sum_cols
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_LATEST")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:06d}")
+
+    def read_snapshot(self, spark) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            return None
+        return spark.read.parquet(self.snapshot_path(cur["version"]))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        cur = self.current()
+        lineage = ParquetMergeSink._lineage_id(batch_df)
+        if cur is not None and batch_id <= cur["batch_id"]:
+            known = lineage is not None and cur.get("lineage") is not None
+            if not (known and cur["lineage"] != lineage):
+                batch_df.write.format("noop").mode("overwrite").save()
+                return
+        delta = batch_df.groupBy(*self.key_cols).agg(
+            *[F.sum(c).cast("bigint").alias(c) for c in self.sum_cols]
+        )
+        if cur is None:
+            merged, version = delta, 0
+        else:
+            snap = batch_df.sparkSession.read.parquet(self.snapshot_path(cur["version"]))
+            merged = snap.unionByName(delta).groupBy(*self.key_cols).agg(
+                *[F.sum(c).cast("bigint").alias(c) for c in self.sum_cols]
+            )
+            version = cur["version"] + 1
+        merged.write.mode("overwrite").parquet(self.snapshot_path(version))
+        atomic_write_json(
+            self.root,
+            os.path.basename(self._pointer_path()),
+            {"version": version, "batch_id": batch_id, "lineage": lineage},
+        )

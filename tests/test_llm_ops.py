@@ -753,3 +753,48 @@ def test_simsearch_range_is_pruned_subset_of_bruteforce(spark, sf_dir):
         assert vid in brute and cos == brute[vid]
     # the probe actually prunes: strictly fewer candidates than the corpus scan
     assert 0 < len(got) < e.count() / 2
+
+
+def test_contamination_bloom_identical_to_exact_and_prunes(spark, sf_dir):
+    from nova_pulsar_spark.operators.pipeline import (
+        BLOOM_BITS,
+        BLOOM_WORD_BITS,
+        N_BENCHMARK_DOCS,
+        _hash12_spark,
+        llm_contamination,
+        llm_contamination_bloom,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    exact = {(r.doc_id, r.n_overlap, r.contaminated) for r in llm_contamination(spark, sf_dir).collect()}
+    bloom = {(r.doc_id, r.n_overlap, r.contaminated) for r in llm_contamination_bloom(spark, sf_dir).collect()}
+    assert bloom == exact  # no false negatives: byte-identical results
+
+    # and the bitmap genuinely prunes: most corpus shingles never reach the join
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    sh = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))) "
+            "ELSE array() END"
+        )
+    )
+    bench = (
+        ws.filter(F.col("doc_id") < N_BENCHMARK_DOCS).select(F.explode(sh).alias("shingle")).distinct()
+    )
+    h = _hash12_spark(F.col("shingle")) % BLOOM_BITS
+    bench_bits = {
+        (r.w, r.bit)
+        for r in bench.select(
+            (h / BLOOM_WORD_BITS).cast("int").alias("w"), (h % BLOOM_WORD_BITS).cast("int").alias("bit")
+        ).collect()
+    }
+    corpus_bits = (
+        ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS)
+        .select(F.explode(sh).alias("shingle"))
+        .select((h / BLOOM_WORD_BITS).cast("int").alias("w"), (h % BLOOM_WORD_BITS).cast("int").alias("bit"))
+        .collect()
+    )
+    survivors = sum(1 for r in corpus_bits if (r.w, r.bit) in bench_bits)
+    assert survivors < len(corpus_bits) / 2  # >50% of the stream pruned map-side

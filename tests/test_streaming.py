@@ -770,3 +770,60 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
         q.stop()
     got = {(r.imp_id, r.click_id, r.user_id, r.delay_s) for r in spark.sql("SELECT * FROM attrib_out").collect()}
     assert got == {(1, 11, 7, 240), (2, 14, 8, 599)}
+
+
+def test_delta_agg_sink_accumulates_across_batches(spark, tmp_path):
+    """Delta-accumulation MV maintenance: append-mode batches reduce to
+    per-key partial sums that the sink adds into a versioned snapshot;
+    totals equal the batch-computed aggregate over all input, and a
+    replayed batch_id is a no-op (no double counting)."""
+    from pyspark.sql import types as T
+
+    from nova_pulsar_spark.streaming.sinks import DeltaAggSink
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "delta_src")
+    os.makedirs(src)
+
+    def emit(name, rows):
+        with open(os.path.join(src, f".tmp-{name}"), "w") as f:
+            for rec in rows:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(os.path.join(src, f".tmp-{name}"), os.path.join(src, name))
+
+    sink = DeltaAggSink(str(tmp_path / "delta_table"), ["k"], ["n", "amount"])
+    ckpt = str(tmp_path / "delta_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit("b1.json", [{"k": "a", "n": 1, "amount": 10}, {"k": "a", "n": 1, "amount": 5},
+                     {"k": "b", "n": 1, "amount": 7}])
+    run_once()
+    emit("b2.json", [{"k": "a", "n": 1, "amount": 100}, {"k": "c", "n": 1, "amount": 1}])
+    run_once()
+
+    snap = {r.k: (r.n, r.amount) for r in sink.read_snapshot(spark).collect()}
+    assert snap == {"a": (3, 115), "b": (1, 7), "c": (1, 1)}
+
+    # replay: re-applying an old batch df with a stale batch_id is a no-op
+    stale = spark.createDataFrame([("a", 1, 999)], schema)
+    cur_before = sink.current()
+    sink(stale, batch_id=0)
+    assert sink.current() == cur_before
+    snap2 = {r.k: (r.n, r.amount) for r in sink.read_snapshot(spark).collect()}
+    assert snap2 == snap
