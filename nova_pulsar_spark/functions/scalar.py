@@ -456,3 +456,52 @@ def fn_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"://[^/]+(/[^?#]*)", 1).alias("path"),
         F.regexp_extract("url", r"[?&]lang=([a-z]+)", 1).alias("lang_param"),
     )
+
+
+@register(
+    "fn_html_strip",
+    sql="""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><h1>' || source || '</h1><p>' || text
+               || '</p><!-- ' || lang || ' --></body></html>' AS html
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(html, '<h1>([^<]*)</h1>', 1) AS title,
+           trim(regexp_replace(regexp_replace(html, '<[^>]*>|<!--.*?-->', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+    FROM h
+    """,
+    doc="HTML strip family: tag/comment removal, whitespace collapse, title "
+    "extraction, tag census — the markup-cleanup pass of a web-corpus pipeline",
+)
+def fn_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup cleanup as pure JVM regex projection (no Python, no
+    parser): tags and comments removed, whitespace re-collapsed, the
+    title captured separately, and a tag census for quality scoring.
+    A real boilerplate extractor (trafilatura-style) would slot in as
+    a mapInPandas stage like multimodal_decode; the regex pass is the
+    scan-bound fast path that handles the bulk of crawl text. Same
+    patterns compile on both engines; scan-bound map work at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- "),
+        F.col("lang"),
+        F.lit(" --></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    return h.select(
+        "doc_id",
+        F.regexp_extract("html", r"<h1>([^<]*)</h1>", 1).alias("title"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("html", r"<[^>]*>|<!--.*?-->", " "), r" +", " "
+            )
+        ).alias("clean_text"),
+        F.size(F.expr(r"regexp_extract_all(html, '<[^>]*>', 0)")).cast("bigint").alias("n_tags"),
+    )
