@@ -508,3 +508,68 @@ def llm_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cosine("embedding", "qe").alias("cosine"))
         .filter(F.col("cosine") >= RANGE_THRESHOLD)
     )
+
+
+@register(
+    "llm_simsearch_ivf_stats",
+    sql=f"""
+    WITH idx AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centdim AS (
+      SELECT e.label, idx.i AS i,
+             list_reduce(list(CAST(e.embedding[idx.i] AS DOUBLE) ORDER BY e.vec_id), (a, b) -> a + b)
+               / COUNT(*) AS c
+      FROM embeddings e CROSS JOIN idx
+      GROUP BY e.label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cemb FROM centdim GROUP BY label),
+    memb AS (
+      SELECT e.label, e.vec_id, {_sql_cos("e.embedding", "cent.cemb")} AS cos
+      FROM embeddings e JOIN cent ON e.label = cent.label),
+    cells AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             list_reduce(list(cos ORDER BY vec_id), (a, b) -> a + b) AS sum_cos
+      FROM memb GROUP BY label)
+    SELECT label, n_vectors,
+           CAST(n_vectors AS DOUBLE) * COUNT(*) OVER ()
+             / SUM(n_vectors) OVER () AS imbalance,
+           sum_cos / n_vectors AS mean_cos_to_centroid
+    FROM cells
+    """,
+    doc="IVF index health: per-cell size, imbalance ratio vs the uniform "
+    "cell, and mean member-to-centroid cosine (quantization coherence)",
+)
+def llm_simsearch_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability query an ANN index ships with: cell-size
+    imbalance predicts probe-cost skew (a hot cell makes every probe
+    touching it slow — the IVF analog of the LSH hot bucket), and a
+    low mean member-to-centroid cosine flags cells whose centroid no
+    longer represents them (re-cluster trigger). Reuses the cached
+    ivf_centroids index frame; member cosines are one broadcast join
+    + map pass, and the rollup output is one row per cell. The
+    per-cell cosine sum uses the vec_id-ordered sequential fold so
+    results are partitioning-independent and engine-identical."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(spark, sf_dir)
+    memb = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", cosine("embedding", "cemb").alias("cos")
+    )
+    cells = memb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(vec_id, cos))), s -> s.cos), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("sum_cos"),
+    )
+    w = W.partitionBy()
+    return cells.select(
+        "label",
+        "n_vectors",
+        (
+            F.col("n_vectors").cast("double")
+            * F.count(F.lit(1)).over(w)
+            / F.sum("n_vectors").over(w)
+        ).alias("imbalance"),
+        (F.col("sum_cos") / F.col("n_vectors")).alias("mean_cos_to_centroid"),
+    ).drop("sum_cos")

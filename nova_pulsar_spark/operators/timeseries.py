@@ -488,3 +488,38 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "ts_seasonality",
+    sql="""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Seasonality profile: day-of-week x hour-of-day activity grid "
+    "(the load-shape fingerprint behind anomaly baselines and capacity planning)",
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-of-week × hour-of-day grid every anomaly detector
+    normalizes against (ts_anomaly_zscore's trailing baseline assumes
+    stationarity; this is the operator that checks it). One map-
+    combinable aggregation into at most 168 groups — the shuffle
+    carries 168 rows per task no matter the corpus size. Engine note:
+    Spark's dayofweek() is 1-7 Sunday-first while DuckDB's dayofweek()
+    is 0-6 Sunday-first, so the Spark side subtracts 1; sums use the
+    decimal-exact idiom."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -827,3 +827,61 @@ def test_delta_agg_sink_accumulates_across_batches(spark, tmp_path):
     assert sink.current() == cur_before
     snap2 = {r.k: (r.n, r.amount) for r in sink.read_snapshot(spark).collect()}
     assert snap2 == snap
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """Streaming session windows: events arriving in DIFFERENT micro-
+    batches but within the gap must merge into one session (the state-
+    store session-merge path batch mode never exercises); sessions
+    close and emit only when the watermark passes end+gap."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def emit(name, rows):
+        with open(os.path.join(src, f".tmp-{name}"), "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        os.replace(os.path.join(src, f".tmp-{name}"), os.path.join(src, name))
+
+    sessions = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+    )
+    emit("b1.json", [(7, "2026-01-01T10:00:00"), (7, "2026-01-01T10:02:00"), (8, "2026-01-01T10:00:00")])
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # lands in batch 2, within 5 min of user 7's open session -> merge
+        emit("b2.json", [(7, "2026-01-01T10:04:00")])
+        q.processAllAvailable()
+        # advance the watermark far enough to close and emit everything
+        emit("b3.json", [(9, "2026-01-01T10:40:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.s.isoformat(), r.e.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == {
+        (7, "2026-01-01T10:00:00", "2026-01-01T10:09:00", 3),  # merged across batches
+        (8, "2026-01-01T10:00:00", "2026-01-01T10:05:00", 1),
+    }  # user 9's session is still open: not emitted in append mode
