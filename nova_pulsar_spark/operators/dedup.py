@@ -893,6 +893,10 @@ def substring_span_stats(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             )
         ).alias("g"),
     )
+    # grams feeds BOTH the span-count aggregate and the join-back below;
+    # without materialization the shingle explode + md5 runs twice per
+    # action (same reasoning as _sign_lsh_candidates' eager checkpoint).
+    grams = grams.localCheckpoint()
     counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.when(F.col("nd") > 1, 1).otherwise(0)
     return (
@@ -968,7 +972,7 @@ def setsim_prefix_pairs(
 
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
         "doc_id", F.explode(_shingles_expr()).alias("tok")
-    )
+    ).localCheckpoint()  # 4 consumers: freq, ranked, and both verify sides
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(freq, "tok")
@@ -978,7 +982,7 @@ def setsim_prefix_pairs(
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}") + 1
-    ).select("doc_id", "tok", "sz")
+    ).select("doc_id", "tok", "sz").localCheckpoint()  # both sides of the self-join
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -990,13 +994,29 @@ def setsim_prefix_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("a_id"), "tok")
-    tb = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    # Length filter (PPJoin): J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+    # — an integer-exact candidate prune BEFORE any verify work.
+    cand = cand.filter(
+        F.greatest("sz_a", "sz_b") * t_num <= F.least("sz_a", "sz_b") * t_den
+    )
+    # Verify via per-doc shingle ARRAYS + array_intersect: the pair list
+    # is joined to two array columns and intersected map-side — no
+    # (pair x token) row explosion (at sf0.1 the exploded verify join
+    # materialized ~9M rows for ~300k candidates; this keeps it at one
+    # row per pair).
+    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("tokset"))
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("tb"))
     inter = (
-        cand.join(ta, "a_id")
-        .join(tb, ["b_id", "tok"])
-        .groupBy("a_id", "b_id", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+        )
     )
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     return (
@@ -1031,13 +1051,16 @@ def setsim_prefix_pairs(
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              a.sz AS sz_a, b.sz AS sz_b
       FROM prefix a JOIN prefix b
-        ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE GREATEST(a.sz, b.sz) * {SETSIM_NUM} <= LEAST(a.sz, b.sz) * {SETSIM_DEN}),
+    sets AS (
+      SELECT doc_id, list(tok) AS tokset FROM toks GROUP BY doc_id),
     inter AS (
-      SELECT c.a_id, c.b_id, c.sz_a, c.sz_b, COUNT(*) AS n_inter
+      SELECT c.a_id, c.b_id, c.sz_a, c.sz_b,
+             len(list_intersect(sa.tokset, sb.tokset)) AS n_inter
       FROM cand c
-      JOIN toks ta ON ta.doc_id = c.a_id
-      JOIN toks tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
-      GROUP BY c.a_id, c.b_id, c.sz_a, c.sz_b)
+      JOIN sets sa ON sa.doc_id = c.a_id
+      JOIN sets sb ON sb.doc_id = c.b_id)
     SELECT a_id, b_id,
            CAST(n_inter AS BIGINT) AS n_inter,
            CAST(sz_a + sz_b - n_inter AS BIGINT) AS n_union,

@@ -233,6 +233,28 @@ _EMB_CAND_CTES = f"""sigs AS (
 
 
 _EMB_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
+    """(vec_id, band, sig) sign-LSH index frame, computed once per
+    (session, corpus) and cached — the persisted "index table" both the
+    candidate-pair join and the range-search probe read. The 32-fold
+    sign computation is the expensive map work; the checkpoint
+    materializes it exactly once per corpus."""
+    key = (id(spark), sf_dir) if sf_dir is not None else None
+    if key is not None and key in _BANDS_CACHE:
+        return _BANDS_CACHE[key]
+    sigs = e.select("vec_id", _signs_spark().alias("signs"))
+    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+        "vec_id",
+        "band",
+        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
+    ).localCheckpoint()
+    if key is not None:
+        _BANDS_CACHE[key] = bands
+    return bands
 
 
 def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
@@ -246,21 +268,7 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
     key = (id(spark), sf_dir) if sf_dir is not None else None
     if key is not None and key in _EMB_CAND_CACHE:
         return _EMB_CAND_CACHE[key]
-    sigs = e.select("vec_id", "embedding", _signs_spark().alias("signs"))
-    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    # localCheckpoint: the 32-fold sign computation is the expensive map
-    # work; without materialization the self-join below evaluates it
-    # TWICE (no ReusedExchange — the two sides differ past the scan).
-    # The checkpointed frame is (vec_id, band, sig) — tiny vs the
-    # embeddings themselves, and exactly what both join sides need.
-    # EAGER: bands feeds both sides of the self-join below — a lazy
-    # checkpoint would compute the 32-fold sign expression twice within
-    # the first action (see dedup_candidates for the same reasoning).
-    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
-        "vec_id",
-        "band",
-        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    ).localCheckpoint()
+    bands = _sign_bands(spark, e, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -487,13 +495,7 @@ def llm_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability 1-(1-p^bits)^bands; the probe and the oracle twin use
     the same buckets, so results are engine-identical."""
     e = load_table(spark, sf_dir, "embeddings")
-    sigs = e.select("vec_id", _signs_spark().alias("signs"))
-    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
-        "vec_id",
-        "band",
-        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    )
+    bands = _sign_bands(spark, e, sf_dir)
     qb = bands.filter(F.col("vec_id") == QUERY_VEC_ID).select("band", "sig")
     probe = (
         bands.join(F.broadcast(qb), ["band", "sig"])
