@@ -319,3 +319,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("payload_bytes") * F.col("frame_no") / 8).cast("bigint").alias("frame_offset"),
         )
     )
+
+
+PHASH_PIXELS = 60  # 60-bit average-hash (BIGINT-safe on both engines)
+
+
+def phash_frame(b: DataFrame) -> DataFrame:
+    """(doc_id, phash) via mapInPandas over Arrow batches.
+
+    Average-hash (aHash): the first 60 payload bytes act as the
+    grayscale thumbnail; bit i is set iff pixel i is brighter than the
+    thumbnail mean (integer cross-multiply p_i*60 > sum — no float
+    mean, so the hash is bit-identical everywhere). A real image
+    pipeline decodes + resizes to the 8x8 grid first (FakeDecoder's
+    real path does this under Pillow); the hash math is unchanged.
+    Payloads shorter than 60 bytes are skipped, mirrored in the twin.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = bytes(payload)[:PHASH_PIXELS]
+                if len(px) < PHASH_PIXELS:
+                    continue
+                s = sum(px)
+                h = 0
+                for i, p in enumerate(px):
+                    if p * PHASH_PIXELS > s:
+                        h |= 1 << i
+                rows.append({"doc_id": doc_id, "phash": h})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return b.mapInPandas(compute, "doc_id long, phash long")
+
+
+@register(
+    "multimodal_phash_dedup",
+    sql=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(1, {PHASH_PIXELS} + 1),
+                            i -> ascii(substr(text, i, 1))) AS p
+      FROM documents WHERE octet_length(encode(text)) >= {PHASH_PIXELS}),
+    hashed AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, {PHASH_PIXELS} + 1),
+               i -> CASE WHEN p[i] * {PHASH_PIXELS} > list_sum(p)
+                         THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS phash
+      FROM px)
+    SELECT doc_id, CAST(phash AS BIGINT) AS phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+           CAST(MIN(doc_id) OVER (PARTITION BY phash) AS BIGINT) AS keeper_id
+    FROM hashed
+    """,
+    doc=f"Perceptual-hash (average-hash) image dedup: {PHASH_PIXELS}-bit "
+    "brightness fingerprint via mapInPandas, exact-hash dup groups — tolerant "
+    "of tail edits where md5 is not",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style near-dup over binary payloads: unlike md5 (any byte
+    flip changes everything), aHash depends only on the thumbnail's
+    brightness PATTERN, so re-encodes/tail edits that preserve the
+    leading pixels collide — the cheap first tier of image dedup
+    (pHash/dHash refine it; Hamming-band blocking like
+    llm_dedup_simhash_banded is the within-distance tier). The hash
+    runs in mapInPandas over Arrow batches (the real UDF plumbing;
+    payload column pruned until here), dup grouping is one 8-byte-key
+    exchange. The window twin's n_same/keeper follow the
+    llm_dedup_exact contract."""
+    from pyspark.sql.window import Window as W
+
+    b = binarize_documents(spark, sf_dir)
+    hashed = phash_frame(b)
+    w = W.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
+        F.min("doc_id").over(w).cast("bigint").alias("keeper_id"),
+    )

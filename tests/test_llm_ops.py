@@ -798,3 +798,31 @@ def test_contamination_bloom_identical_to_exact_and_prunes(spark, sf_dir):
     )
     survivors = sum(1 for r in corpus_bits if (r.w, r.bit) in bench_bits)
     assert survivors < len(corpus_bits) / 2  # >50% of the stream pruned map-side
+
+
+def test_phash_collides_on_tail_edits_not_md5(spark):
+    from nova_pulsar_spark.operators.multimodal import PHASH_PIXELS, phash_frame
+
+    base = bytes(range(40, 40 + PHASH_PIXELS))  # 60 "pixels"
+    frames = spark.createDataFrame(
+        [
+            (1, base + b" original tail"),
+            (2, base + b" a completely different tail of bytes"),  # same leading pixels
+            (3, bytes(reversed(base)) + b" other"),  # same byte multiset, other pattern? ->
+            (4, b"short"),  # < 60 bytes: skipped
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in phash_frame(frames).collect()}
+    assert 4 not in got
+    assert got[1] == got[2]  # tail edit preserved the fingerprint
+    # reversed pixel ORDER flips which positions are bright: different hash
+    assert got[1] != got[3]
+    # cross-check one hash against the definition
+    px = base
+    s = sum(px)
+    want = 0
+    for i, p in enumerate(px):
+        if p * PHASH_PIXELS > s:
+            want |= 1 << i
+    assert got[1] == want
