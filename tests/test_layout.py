@@ -54,3 +54,42 @@ def test_compact_dir_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path)
     assert spark.read.parquet(path).agg(F.sum("event_id")).collect()[0][0] == before_sum
     assert not os.path.exists(path + ".compact-tmp")
     assert not os.path.exists(path + ".compact-old")
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Bucketing is the write-time contract that deletes the join
+    shuffle: two tables bucketed by the same key into the same bucket
+    count join with ZERO Exchange in the plan — at 100 TB that is the
+    difference between a network-bound and a scan-bound join."""
+    # warehouse dir is a static conf; the session default (cwd/spark-
+    # warehouse) is used and the database dropped with CASCADE below
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    try:
+        e = load_table(spark, sf_dir, "events")
+        users = e.groupBy("user_id").count().withColumnRenamed("count", "n_events")
+        (
+            e.select("event_id", "user_id", "value")
+            .write.bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .mode("overwrite")
+            .saveAsTable("bkt.events_b")
+        )
+        users.write.bucketBy(8, "user_id").mode("overwrite").saveAsTable("bkt.users_b")
+
+        # hint away the broadcast (the small side would otherwise be
+        # broadcast and hide the bucketing): merge join reads bucket
+        # layout directly
+        joined = (
+            spark.table("bkt.events_b")
+            .hint("merge")
+            .join(spark.table("bkt.users_b").hint("merge"), "user_id")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location held
+        # and it computes the right thing
+        got = joined.count()
+        want = e.count()
+        assert got == want
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
