@@ -109,3 +109,69 @@ def test_claim_uniqueness_under_races(spark, n_threads, seed):
     rejected = [r for r in out if r.kind == "claim_rejected"]
     accepted_threads = n_threads - len(rejected)
     assert accepted_threads == 1  # single writer per key
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@_settings
+def test_setsim_prefix_is_lossless_at_threshold(spark, docs):
+    """Prefix filtering must find EXACTLY the brute-force Jaccard>=t
+    pairs on arbitrary corpora — the lossless-recall property that
+    distinguishes it from LSH."""
+    from nova_pulsar_spark.operators.dedup import SETSIM_DEN, SETSIM_NUM, setsim_prefix_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): (r.n_inter, r.n_union) for r in setsim_prefix_pairs(df).collect()}
+
+    def shingles(ws):
+        if len(ws) < 3:
+            return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 1, 1))}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(ws) for i, ws in enumerate(docs)}
+    brute = {}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if inter * SETSIM_DEN >= union * SETSIM_NUM:
+                    brute[(a, b)] = (inter, union)
+    assert got == brute
+
+
+@given(weights=st.lists(st.integers(min_value=1, max_value=1000), min_size=5, max_size=40))
+@_settings
+def test_weighted_sample_monotone_in_weight(spark, weights):
+    """The inclusion rule u*Σw < 2^16*K*w is monotone in w: raising a
+    doc's weight (all else fixed) can only keep or add it, never drop
+    it — the property that makes the sample weight-proportional."""
+    from nova_pulsar_spark.operators.pipeline import SAMPLE_K, _hash16_spark
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    tot = sum(weights)
+    u = _hash16_spark(F.col("doc_id").cast("string")).cast("bigint")
+    included = {
+        r.doc_id
+        for r in df.filter(u * F.lit(tot) < F.lit(65536 * SAMPLE_K) * F.col("n_chars")).collect()
+    }
+    # recompute in python with doubled weight for one doc: supersets only
+    import hashlib
+
+    def h16(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:4], 16)
+
+    py_included = {i for i, w in rows if h16(i) * tot < 65536 * SAMPLE_K * w}
+    assert included == py_included  # engine matches the reference impl
+    boosted = {i for i, w in rows if h16(i) * tot < 65536 * SAMPLE_K * (2 * w)}
+    assert included <= boosted
