@@ -1094,3 +1094,63 @@ def llm_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((sz*3+4) DIV 5) keeps the prefix boundary bit-identical across
     engines."""
     return setsim_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_dedup_url",
+    sql="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM/d/'
+               || CAST(doc_id % 200 AS VARCHAR) || '/?utm_source=feed&ref=rss' AS raw_url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, raw_url,
+             lower(regexp_extract(raw_url, 'https?://([^/?#]+)', 1))
+               || regexp_replace(regexp_extract(raw_url, '://[^/?#]+([^?#]*)', 1),
+                                 '/$', '') AS canonical_url
+      FROM u)
+    SELECT doc_id, canonical_url,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_same_url,
+           CAST(MIN(doc_id) OVER (PARTITION BY canonical_url) AS BIGINT) AS keeper_id
+    FROM canon
+    """,
+    doc="URL-canonicalization dedup: lowercase host + tracking-param/slash "
+    "strip, dup groups keyed by canonical URL (the crawl-frontier dedup that "
+    "runs BEFORE any content fetch)",
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup at the URL level: canonicalize (case-fold the host —
+    DNS is case-insensitive; keep the path case — it is not; drop
+    query tracking params and the trailing slash) and group. This
+    runs BEFORE fetch/content dedup in a crawl pipeline: it is the
+    only dedup tier that saves network cost, not just storage. Pure
+    map work + one exchange on the canonical key. The synthesized
+    raw_url maps doc_id mod 200, planting genuine collisions the
+    window rollup must find (same contract as llm_dedup_exact:
+    n_copies + lowest-id keeper)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM/d/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("/?utm_source=feed&ref=rss"),
+    )
+    canon = F.concat(
+        F.lower(F.regexp_extract("raw_url", r"https?://([^/?#]+)", 1)),
+        F.regexp_replace(F.regexp_extract("raw_url", r"://[^/?#]+([^?#]*)", 1), r"/$", ""),
+    )
+    w = W.partitionBy("canonical_url")
+    return (
+        d.select("doc_id", raw.alias("raw_url"))
+        .select("doc_id", canon.alias("canonical_url"))
+        .select(
+            "doc_id",
+            "canonical_url",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_url"),
+            F.min("doc_id").over(w).cast("bigint").alias("keeper_id"),
+        )
+    )
