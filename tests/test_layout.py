@@ -84,12 +84,13 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
             .hint("merge")
             .join(spark.table("bkt.users_b").hint("merge"), "user_id")
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        assert "Exchange hashpartitioning" not in plan  # bucket co-location held
-        # and it computes the right thing
+        # execute FIRST so AQE finalizes, then assert on the final plan
+        # (a pre-execution AdaptiveSparkPlan string can hide exchanges)
         got = joined.count()
         want = e.count()
         assert got == want
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location held
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
