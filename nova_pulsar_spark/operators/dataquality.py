@@ -1,0 +1,233 @@
+"""Data-quality checks for large-scale training-data pipelines:
+column profiling, declarative constraint suites, and freshness/lag
+reports (Deequ/Great-Expectations-shaped, re-expressed Spark-first).
+
+A 100 TB curation pipeline gates every ingest batch on checks like
+these before it reaches dedup/tokenization; the reference's guard
+predicates (P3 completed-write guard, P7 fresh-pulse — see
+agents/orbiter.md:198-242 for the staleness checks) are the
+queue-domain instance of the same idea.
+
+Scale notes:
+- ``dq_profile`` long-forms the table with one ``stack`` (map-side,
+  no Python) and aggregates once: a single scan + a single shuffle
+  keyed by column NAME — at most #columns groups, so the reduce side
+  is trivially small no matter the input size. The alternative (one
+  wide agg row of ``countDistinct`` per column) triggers Catalyst's
+  Expand with the same row multiplication but a far wider row.
+- ``dq_constraints`` computes all row-level predicates in ONE scan as
+  conditional sums (map-side partial agg -> 1-row exchange); the
+  uniqueness and referential checks are the only shuffling members
+  and each shuffles the minimal key (pk pair / join key semi-set).
+- ``dq_freshness`` is a single groupBy over the event log; lag is
+  derived against the global max via a broadcast 1-row cross join,
+  not a window over the whole log.
+
+Every ratio divides integer counts once in double — identical across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.registry import register
+from nova_pulsar_spark.sources.tables import load_table
+
+# Columns profiled by dq_profile (orders table).
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile",
+    sql="""
+    WITH long AS (
+      SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders)
+    SELECT
+      col_name,
+      COUNT(*) AS n_rows,
+      COUNT(*) - COUNT(v) AS n_null,
+      COUNT(DISTINCT v) AS n_distinct,
+      CAST(COUNT(v) AS DOUBLE) / COUNT(*) AS completeness
+    FROM long
+    GROUP BY col_name
+    ORDER BY col_name
+    """,
+    doc="Per-column profile of orders: rows, nulls, distinct count, completeness ratio (single stack scan + one tiny shuffle)",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile in one pass.
+
+    Values are cast to string ONLY as a per-engine-injective distinct
+    key; the strings themselves are never emitted (double/timestamp
+    rendering differs across engines, but distinct-ness is preserved
+    by either rendering), so counts are exact and portable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS)
+    long = o.select(F.expr(f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_name, v)"))
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            (F.count("v").cast("double") / F.count(F.lit(1))).alias("completeness"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "dq_constraints",
+    sql="""
+    WITH rowlevel AS (
+      SELECT
+        COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS quantity_range,
+        COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS discount_range,
+        COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS shipdate_not_null,
+        COALESCE(SUM(CASE WHEN l_linenumber < 1 THEN 1 ELSE 0 END), 0) AS linenumber_positive,
+        COALESCE(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F') OR l_linestatus IS NULL THEN 1 ELSE 0 END), 0) AS status_domain
+      FROM lineitem),
+    pk AS (
+      SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 1000 + l_linenumber) AS pk_unique FROM lineitem),
+    fk AS (
+      SELECT COUNT(*) AS fk_orders FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+    u AS (
+      SELECT 'quantity_range' AS constraint_name, quantity_range AS violations FROM rowlevel
+      UNION ALL SELECT 'discount_range', discount_range FROM rowlevel
+      UNION ALL SELECT 'shipdate_not_null', shipdate_not_null FROM rowlevel
+      UNION ALL SELECT 'linenumber_positive', linenumber_positive FROM rowlevel
+      UNION ALL SELECT 'status_domain', status_domain FROM rowlevel
+      UNION ALL SELECT 'pk_unique', pk_unique FROM pk
+      UNION ALL SELECT 'fk_orders', fk_orders FROM fk)
+    SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM u ORDER BY constraint_name
+    """,
+    doc="Declarative constraint suite over lineitem: range/domain/null checks in one scan, pk-uniqueness, fk referential integrity (anti join)",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite -> (constraint_name, violations, passed).
+
+    Row-level predicates share ONE scan (conditional sums, map-side
+    partial agg). The pk check counts surplus rows over distinct
+    (orderkey, linenumber) pairs via an injective integer fusion
+    (linenumber < 1000 by schema), the fk check is a left-anti join
+    on the minimal key. At 100 TB each piece shuffles either one row
+    or the bare key set.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def cnt(pred) -> F.Column:
+        return F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+
+    rowlevel = l.agg(
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("quantity_range"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("discount_range"),
+        cnt(F.col("l_shipdate").isNull()).alias("shipdate_not_null"),
+        cnt(F.col("l_linenumber") < 1).alias("linenumber_positive"),
+        cnt(~F.col("l_linestatus").isin("O", "F") | F.col("l_linestatus").isNull()).alias(
+            "status_domain"
+        ),
+    )
+    pk = l.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey") * 1000 + F.col("l_linenumber"))
+        ).alias("pk_unique")
+    )
+    fk = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orders"))
+    )
+
+    def unpivot(df: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        return df.select(
+            F.expr(f"stack({len(names)}, {pairs}) AS (constraint_name, violations)")
+        )
+
+    u = (
+        unpivot(
+            rowlevel,
+            [
+                "quantity_range",
+                "discount_range",
+                "shipdate_not_null",
+                "linenumber_positive",
+                "status_domain",
+            ],
+        )
+        .unionAll(unpivot(pk, ["pk_unique"]))
+        .unionAll(unpivot(fk, ["fk_orders"]))
+    )
+    return u.select(
+        "constraint_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("constraint_name")
+
+
+@register(
+    "dq_freshness",
+    sql="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    per AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             MIN(ts) AS first_ts,
+             MAX(ts) AS last_ts,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS days_active
+      FROM events GROUP BY event_type)
+    SELECT p.event_type, p.n_events, p.first_ts, p.last_ts, p.days_active,
+           CAST(date_diff('second', p.last_ts, g.global_max) AS BIGINT) AS lag_behind_s
+    FROM per p CROSS JOIN g
+    ORDER BY p.event_type
+    """,
+    doc="Per-event-type freshness report: volume, first/last seen, active days, lag behind the newest event (broadcast 1-row global max)",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/lag per event type.
+
+    The global high-water mark is a 1-row aggregate broadcast into
+    the per-type report — no window over the full log, so the only
+    full-data shuffle is the per-type groupBy itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("global_max"))
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct(F.col("ts").cast("date")).alias("days_active"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "first_ts",
+            "last_ts",
+            "days_active",
+            (F.unix_timestamp("global_max") - F.unix_timestamp("last_ts"))
+            .cast("bigint")
+            .alias("lag_behind_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     from nova_pulsar_spark.operators import (  # noqa: F401
         advanced,
         cdc,
+        dataquality,
         extras,
         aggregates,
         dedup,

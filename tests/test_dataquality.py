@@ -1,0 +1,125 @@
+"""Behavioral tests for the data-quality family: constraint
+violations are actually detected (not just vacuously zero on the
+clean fixture), profile counts are exact, freshness lag math holds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.operators.dataquality import (
+    dq_constraints,
+    dq_freshness,
+    dq_profile,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_dq_constraints_clean_fixture_passes(spark):
+    rows = {r["constraint_name"]: r for r in dq_constraints(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "quantity_range",
+        "discount_range",
+        "shipdate_not_null",
+        "linenumber_positive",
+        "status_domain",
+        "pk_unique",
+        "fk_orders",
+    }
+    # The generated testdata is referentially intact and in-domain —
+    # but its (orderkey, linenumber) pairs are NOT unique (the
+    # synthetic generator reuses linenumbers), which is exactly what
+    # the pk check must surface. Verify its count independently.
+    from nova_pulsar_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    expected_pk = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["pk_unique"]["violations"] == expected_pk > 0
+    for name, r in rows.items():
+        if name != "pk_unique":
+            assert r["violations"] == 0, name
+        assert r["passed"] is (r["violations"] == 0), name
+
+
+def test_dq_constraint_predicates_detect_planted_violations(spark, tmp_path):
+    """Plant one violation per constraint in a synthetic sf_dir and
+    assert each is counted exactly once."""
+    base = dt.datetime(2026, 1, 1)
+    li = spark.createDataFrame(
+        [
+            # clean row
+            (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", base),
+            # quantity out of range
+            (1, 1, 1, 2, 99.0, 100.0, 0.05, 0.02, "N", "O", base),
+            # discount out of range
+            (1, 1, 1, 3, 10.0, 100.0, 0.5, 0.02, "N", "O", base),
+            # null shipdate
+            (1, 1, 1, 4, 10.0, 100.0, 0.05, 0.02, "N", "O", None),
+            # non-positive linenumber
+            (1, 1, 1, 0, 10.0, 100.0, 0.05, 0.02, "N", "O", base),
+            # bad status domain
+            (1, 1, 1, 5, 10.0, 100.0, 0.05, 0.02, "N", "X", base),
+            # duplicate pk (1, 1) + orphan orderkey 999
+            (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", base),
+            (999, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", base),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.0, base, "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "dq")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    orders.write.parquet(f"{d}/orders.parquet")
+
+    rows = {r["constraint_name"]: r["violations"] for r in dq_constraints(spark, d).collect()}
+    assert rows == {
+        "quantity_range": 1,
+        "discount_range": 1,
+        "shipdate_not_null": 1,
+        "linenumber_positive": 1,
+        "status_domain": 1,
+        "pk_unique": 1,
+        "fk_orders": 1,
+    }
+
+
+def test_dq_profile_counts_nulls_and_distincts_exactly(spark, tmp_path):
+    base = dt.datetime(2026, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, base, "1-URGENT"),
+            (2, 10, None, 5.0, base, "2-HIGH"),
+            (3, 20, "F", None, base, "2-HIGH"),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "prof")
+    orders.write.parquet(f"{d}/orders.parquet")
+    prof = {r["col_name"]: r for r in dq_profile(spark, d).collect()}
+    assert prof["o_orderkey"]["n_distinct"] == 3
+    assert prof["o_custkey"]["n_distinct"] == 2
+    assert prof["o_orderstatus"]["n_null"] == 1
+    assert prof["o_orderstatus"]["n_distinct"] == 2
+    assert prof["o_totalprice"]["n_null"] == 1
+    assert abs(prof["o_totalprice"]["completeness"] - 2 / 3) < 1e-12
+    assert all(r["n_rows"] == 3 for r in prof.values())
+
+
+def test_dq_freshness_lag_is_relative_to_global_max(spark):
+    rows = dq_freshness(spark, SF_SMOKE).collect()
+    assert rows, "events fixture must not be empty"
+    lags = {r["event_type"]: r["lag_behind_s"] for r in rows}
+    # Exactly the newest type(s) have zero lag; all lags non-negative.
+    assert min(lags.values()) == 0
+    assert all(v >= 0 for v in lags.values())
+    for r in rows:
+        assert r["first_ts"] <= r["last_ts"]
+        assert r["days_active"] >= 1
