@@ -575,3 +575,146 @@ def llm_simsearch_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance"),
         (F.col("sum_cos") / F.col("n_vectors")).alias("mean_cos_to_centroid"),
     ).drop("sum_cos")
+
+
+# --- vector normalization + one Lloyd iteration ---------------------------
+
+K_SEEDS = 4  # k-means k; seeds = the K lowest vec_ids (deterministic init)
+
+
+@register(
+    "llm_embedding_normalize",
+    sql=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             SQRT({_sql_dot("embedding", "embedding")}) AS norm
+      FROM embeddings)
+    SELECT vec_id, norm,
+           CASE WHEN norm = 0 THEN NULL ELSE
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / norm * 1000000.0 + 0.5)
+                         AS BIGINT) AS VARCHAR)), ',')
+           END AS unit_u6
+    FROM n
+    """,
+    doc="L2-normalize every embedding (map-only, zero shuffle); unit vector "
+    "serialized as micro-unit integers so the csv is bit-identical across "
+    "engines. The prep step that turns dot product into cosine for ANN.",
+)
+def llm_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row map work in whole-stage codegen — at corpus scale
+    scan/write-bound like quantization. Norm uses the sequential fold
+    (deterministic under any partitioning); elements are emitted as
+    floor(x/norm * 1e6 + 0.5) integers because raw double→string
+    rendering differs across engines. Zero vectors normalize to NULL
+    (identical on both sides — array_join/array_to_string would
+    otherwise disagree about NULL elements)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id", "embedding", F.sqrt(_fold_dot("embedding", "embedding")).alias("norm")
+    )
+    csv = F.expr(
+        "array_join(transform(embedding, "
+        "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / norm * 1000000.0 + 0.5) "
+        "AS BIGINT) AS STRING)), ',')"
+    )
+    return staged.select(
+        "vec_id",
+        "norm",
+        F.when(F.col("norm") == 0, F.lit(None).cast("string")).otherwise(csv).alias("unit_u6"),
+    )
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Sequential-fold squared euclidean distance (DuckDB side)."""
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "llm_kmeans_step",
+    sql=f"""
+    WITH seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings ORDER BY vec_id LIMIT {K_SEEDS}),
+    d AS (
+      SELECT e.vec_id, e.embedding, s.centroid_id,
+             {_sql_sqdist("e.embedding", "s.ce")} AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    a AS (
+      SELECT vec_id, embedding, centroid_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, centroid_id) AS rn FROM d)
+      WHERE rn = 1),
+    idx AS (SELECT UNNEST(range(1, {DIM + 1})) AS i)
+    SELECT a.centroid_id, idx.i AS i,
+           list_reduce(list(CAST(a.embedding[idx.i] AS DOUBLE) ORDER BY a.vec_id),
+                       (x, y) -> x + y) / COUNT(*) AS c,
+           COUNT(*) AS n_members
+    FROM a CROSS JOIN idx
+    GROUP BY a.centroid_id, idx.i
+    """,
+    doc="One Lloyd (k-means) iteration: broadcast K seed centroids, map-side "
+    "nearest-seed assignment (no shuffle), recompute means with the "
+    "vec_id-ordered fold. The clustering-index build step for IVF/coarse "
+    "quantizers — each further iteration is the same single-shuffle job.",
+)
+def llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment is embarrassingly parallel: the K seed vectors are
+    collected once at the driver (the deterministic 'init' — K rows,
+    same discipline as the broadcast ANN query vector) and inlined as
+    literals, so every corpus row picks argmin(d2, centroid_id) inside
+    codegen with NO join and NO per-row shuffle. The only shuffle is
+    the (centroid, dim) mean aggregation — K*DIM reduce groups no
+    matter the corpus size. Means use the vec_id-ordered sequential
+    fold so results are partitioning-independent and engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.orderBy("vec_id").limit(K_SEEDS).select("vec_id", "embedding").collect()
+    )
+
+    def lit_arr(vec) -> str:
+        return "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+
+    def sqd(seed_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(embedding, {seed_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    terms = ", ".join(
+        f"struct({sqd(lit_arr(r['embedding']))} AS d2, "
+        f"CAST({int(r['vec_id'])} AS BIGINT) AS centroid_id)"
+        for r in seeds
+    )
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"array_min(array({terms})).centroid_id").alias("centroid_id"),
+    )
+    return (
+        assigned.select(
+            "vec_id", "centroid_id", F.posexplode("embedding").alias("i", "val")
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            (F.col("i") + 1).alias("i"),
+            F.col("val").cast("double").alias("v"),
+        )
+        .groupBy("centroid_id", "i")
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )

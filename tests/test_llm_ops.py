@@ -826,3 +826,80 @@ def test_phash_collides_on_tail_edits_not_md5(spark):
         if p * PHASH_PIXELS > s:
             want |= 1 << i
     assert got[1] == want
+
+
+def test_embedding_normalize_unit_norm_and_zero_guard(spark, tmp_path):
+    from nova_pulsar_spark.operators.similarity import llm_embedding_normalize
+
+    d = str(tmp_path / "norm")
+    spark.createDataFrame(
+        [(0, [3.0, 4.0, 0.0, 0.0], 0), (1, [0.0, 0.0, 0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in llm_embedding_normalize(spark, d).collect()}
+    assert abs(rows[0]["norm"] - 5.0) < 1e-12
+    unit = [int(x) / 1e6 for x in rows[0]["unit_u6"].split(",")]
+    assert abs(sum(v * v for v in unit) - 1.0) < 1e-3
+    assert unit[0] == 0.6 and unit[1] == 0.8
+    # zero vector: norm 0, unit NULL on both engines by construction
+    assert rows[1]["norm"] == 0.0 and rows[1]["unit_u6"] is None
+
+
+def test_kmeans_step_recovers_planted_clusters(spark, tmp_path):
+    from nova_pulsar_spark.operators.similarity import DIM, llm_kmeans_step
+
+    # Two tight planted clusters around A=1.0 and B=-1.0 (first
+    # coordinate), zeros elsewhere. Seeds are vec_id 0..3: 0,1 in A
+    # and 2,3 in B, so one Lloyd step must assign each point to its
+    # own cluster and recover the exact per-cluster means.
+    rows = []
+    for vid in range(12):
+        base = 1.0 if vid % 2 == 0 else -1.0  # even→A, odd→B
+        v = [0.0] * DIM
+        v[0] = base
+        v[1] = 0.01 * vid  # small per-point jitter, cluster-preserving
+        rows.append((vid, v, 0))
+    # seeds 0..3 = [A, B, A, B] by the parity layout
+    d = str(tmp_path / "km")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = llm_kmeans_step(spark, d).collect()
+    by_cid = {}
+    for r in got:
+        by_cid.setdefault(r["centroid_id"], {})[r["i"]] = (r["c"], r["n_members"])
+    # Every point joins the nearest seed of its own cluster; ties on
+    # d2 inside a cluster break to the LOWEST centroid id, so all of
+    # A lands on seed 0 or 2 and all of B on 1 or 3 — and each point
+    # is strictly nearest to one seed here except exact seed matches.
+    total = 0
+    for cid, dims in by_cid.items():
+        n = dims[1][1]
+        total += n
+        members = [vid for vid in range(12) if _nearest_seed(vid) == cid]
+        assert n == len(members), (cid, n, members)
+        # exact mean of dim 1 (1-based i=1 is coordinate 0)
+        want = sum((1.0 if m % 2 == 0 else -1.0) for m in members) / len(members)
+        assert abs(dims[1][0] - want) < 1e-6, cid
+    assert total == 12
+
+
+def _nearest_seed(vid: int) -> int:
+    """Mirror of the operator's assignment rule for the planted set."""
+    import numpy as np
+    from nova_pulsar_spark.operators.similarity import DIM, K_SEEDS
+
+    def vec(v):
+        x = np.zeros(DIM)
+        x[0] = 1.0 if v % 2 == 0 else -1.0
+        x[1] = 0.01 * v
+        return x
+
+    best = None
+    for s in range(K_SEEDS):
+        d2 = float(((vec(vid) - vec(s)) ** 2).sum())
+        key = (d2, s)
+        if best is None or key < best[0:2]:
+            best = (d2, s)
+    return best[1]
