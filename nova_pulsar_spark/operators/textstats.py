@@ -516,3 +516,107 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("labeled_lang") == F.col("predicted_lang")).alias("correct"),
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "llm_bpe_merge_step",
+    sql=f"""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    p AS (
+      SELECT UNNEST(list_transform(range(1, length(w)),
+                    i -> substring(w, i, 2))) AS pair, f
+      FROM wf WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_MERGES}
+    """,
+    doc="BPE vocabulary induction, one merge round: frequency-weighted "
+    "adjacent-symbol-pair counts over distinct word TYPES, top merge "
+    "candidates with deterministic tie-break (the tokenizer-training step "
+    "that llm_text_tokens consumes the result of)",
+)
+def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic BPE trick makes this scale: pair counting runs over
+    the word-TYPE table (distinct words × frequency), not the corpus —
+    the first groupBy collapses 100 TB of text to a vocabulary-sized
+    frame, and every later merge round re-counts only that. Both
+    shuffles are map-side-combinable with key spaces bounded by
+    |vocab| and |alphabet|². Character pairs via substring are
+    identical 1-based semantics on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "f",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
+
+
+@register(
+    "llm_perplexity_proxy",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(ws), 2)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w),
+    cnt AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.n) AS DOUBLE) / COUNT(*) AS mean_bigram_count
+    FROM bg b JOIN cnt c ON c.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+    doc="Perplexity-filter proxy: score each doc by the corpus-frequency of "
+    "its own bigrams (mean bigram count; log-free so the score is one exact "
+    "division of integer sums). Low score = rare/garbage n-grams — the "
+    "classic LM-based quality gate, self-trained on the corpus.",
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combinable aggregations plus one equi-join keyed by
+    bigram. At 100 TB the count table is |bigram-vocab|-sized — far
+    smaller than the corpus — and the scoring join shuffles on the
+    bigram key with partial aggregation on both sides; in a real
+    deployment the count table is the persisted LM artifact and the
+    join side is a broadcast of its top slice."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                "i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_bigram_count"),
+        )
+    )

@@ -523,3 +523,41 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "ts_downsample_ohlc",
+    sql="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           FIRST(value ORDER BY ts, event_id) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           LAST(value ORDER BY ts, event_id) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="OHLC downsample: per (event_type, hour) open/high/low/close with "
+    "(ts, event_id)-deterministic endpoint selection — the lossy rollup "
+    "that turns a raw 100 TB event stream into a dashboard-sized series "
+    "in one map-side-combinable aggregation",
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy, no windows: open/close come from min/max over a
+    (ts, event_id, value) struct, which combines associatively — so
+    the whole rollup is a single shuffle with map-side partials, the
+    shape that survives any scale. Endpoints are tie-broken by the
+    unique event_id, making results partitioning-independent."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id", "value")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.min(key).getItem("value").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(key).getItem("value").alias("close_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

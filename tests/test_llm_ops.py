@@ -903,3 +903,35 @@ def _nearest_seed(vid: int) -> int:
         if best is None or key < best[0:2]:
             best = (d2, s)
     return best[1]
+
+
+def _write_docs(spark, path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{path}/documents.parquet")
+
+
+def test_bpe_merge_step_finds_dominant_pair(spark, tmp_path):
+    from nova_pulsar_spark.operators.textstats import llm_bpe_merge_step
+
+    d = str(tmp_path / "bpe")
+    # word types: 'aaab' (x2 docs), 'aab', 'xy'
+    # pair counts weighted by word freq: 'aa' = 2*2 + 1 = 5, 'ab' = 2 + 1 = 3, 'xy' = 1
+    _write_docs(spark, d, ["aaab aab", "aaab xy"])
+    got = llm_bpe_merge_step(spark, d).collect()
+    assert (got[0]["pair"], got[0]["n"]) == ("aa", 5)
+    assert (got[1]["pair"], got[1]["n"]) == ("ab", 3)
+
+
+def test_perplexity_proxy_scores_common_bigrams_higher(spark, tmp_path):
+    from nova_pulsar_spark.operators.textstats import llm_perplexity_proxy
+
+    d = str(tmp_path / "ppl")
+    common = "the cat sat"
+    _write_docs(spark, d, [common, common, common, "zq qv vk"])
+    got = {r["doc_id"]: r for r in llm_perplexity_proxy(spark, d).collect()}
+    # 'the cat'/'cat sat' each appear 3x → mean 3; gibberish bigrams are singletons
+    assert got[0]["mean_bigram_count"] == 3.0
+    assert got[3]["mean_bigram_count"] == 1.0
+    assert got[3]["n_bigrams"] == 2

@@ -328,3 +328,32 @@ def test_cumulative_users_monotone_and_totals(spark, sf_dir):
     assert sum(r.new_users for r in rows) == n_users
     cums = [r.cumulative_users for r in rows]
     assert cums == sorted(cums)  # monotone non-decreasing
+
+
+def test_ohlc_endpoints_deterministic_under_ts_ties(spark, tmp_path):
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.timeseries import ts_downsample_ohlc
+
+    h = dt.datetime(2026, 3, 1, 10, 0, 0)
+    rows = [
+        # same-hour bucket, a ts TIE at the open: event_id must break it
+        (2, h, 7, "buy", 5.0, None),
+        (1, h, 7, "buy", 3.0, None),   # lower event_id → the open
+        (3, h + dt.timedelta(minutes=30), 7, "buy", 9.0, None),
+        (4, h + dt.timedelta(minutes=59), 7, "buy", 1.0, None),  # the close + low
+        # different bucket
+        (5, h + dt.timedelta(hours=1), 7, "buy", 2.0, None),
+    ]
+    d = str(tmp_path / "ohlc")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r["bucket_ts"]: r for r in ts_downsample_ohlc(spark, d).collect()}
+    b = got[h]
+    assert b["open_v"] == 3.0  # event_id 1 beats 2 at the tied ts
+    assert b["high_v"] == 9.0 and b["low_v"] == 1.0
+    assert b["close_v"] == 1.0 and b["n_events"] == 4
+    assert got[h + dt.timedelta(hours=1)]["n_events"] == 1
