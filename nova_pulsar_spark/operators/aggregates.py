@@ -666,3 +666,83 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# Exact covariance matrix: integer-scaled measures -> decimal moment
+# sums -> one closed-form division. Scales make every value integral.
+_COV_MEASURES = (
+    ("quantity", "l_quantity", 1),
+    ("price", "l_extendedprice", 100),
+    ("discount", "l_discount", 1000),
+    ("tax", "l_tax", 1000),
+)
+_COV_PAIRS = [
+    (_COV_MEASURES[i], _COV_MEASURES[j])
+    for i in range(len(_COV_MEASURES))
+    for j in range(i, len(_COV_MEASURES))
+]
+
+
+def _cov_matrix_sql() -> str:
+    terms = ", ".join(
+        f"CAST(SUM(CAST(ROUND({ca} * {sa}, 0) AS DECIMAL(38,0))"
+        f" * CAST(ROUND({cb} * {sb}, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s_{na}_{nb}"
+        for (na, ca, sa), (nb, cb, sb) in _COV_PAIRS
+    )
+    sums = ", ".join(
+        f"CAST(SUM(CAST(ROUND({c} * {s}, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s_{n}"
+        for n, c, s in _COV_MEASURES
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{na}' AS var_x, '{nb}' AS var_y, n, "
+        f"((n * s_{na}_{nb}) - (s_{na} * s_{nb})) / (n * n) / {sa * sb} AS cov FROM m"
+        for (na, _, sa), (nb, _, sb) in _COV_PAIRS
+    )
+    return (
+        f"WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, {sums}, {terms} FROM lineitem) "
+        f"SELECT var_x, var_y, CAST(n AS BIGINT) AS n, cov FROM ({rows}) ORDER BY var_x, var_y"
+    )
+
+
+@register(
+    "agg_cov_matrix",
+    sql=_cov_matrix_sql(),
+    doc="Exact population covariance matrix over the four lineitem measures "
+    "(10 unique pairs incl. variances) from decimal-exact moment sums — one "
+    "scan, one 1-row reduce, order-insensitive and byte-stable",
+)
+def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same discipline as agg_corr_exact, widened to the full moment
+    matrix: every measure is scaled to an integer (units/cents/mills),
+    all 4 first moments and 10 second moments accumulate in
+    DECIMAL(38,0) within a SINGLE map-side-combined aggregate, and the
+    closed-form covariance is a fixed IEEE expression over those exact
+    inputs — so the matrix is identical on any engine, partitioning,
+    or row order. One scan regardless of how many measures; the
+    shuffle is a single row."""
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def m(col: str, scale: int):
+        return F.round(F.col(col) * scale, 0).cast("decimal(38,0)")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(m(c, s)).cast("double").alias(f"s_{n}") for n, c, s in _COV_MEASURES]
+    aggs += [
+        F.sum(m(ca, sa) * m(cb, sb)).cast("double").alias(f"s_{na}_{nb}")
+        for (na, ca, sa), (nb, cb, sb) in _COV_PAIRS
+    ]
+    mm = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{na}', '{nb}', ((n * s_{na}_{nb}) - (s_{na} * s_{nb})) / (n * n) / {sa * sb}"
+        for (na, _, sa), (nb, _, sb) in _COV_PAIRS
+    )
+    return (
+        mm.select(
+            F.expr(
+                f"stack({len(_COV_PAIRS)}, {stack_args}) AS (var_x, var_y, cov)"
+            ),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .select("var_x", "var_y", "n", "cov")
+        .orderBy("var_x", "var_y")
+    )

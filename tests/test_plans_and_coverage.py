@@ -234,3 +234,32 @@ def test_sorted_layout_gives_disjoint_row_group_stats(spark, tmp_path):
     # unsorted: essentially every consecutive pair overlaps
     assert overlap_pairs(rs) <= len(rs) // 4
     assert overlap_pairs(ru) >= max(1, len(ru) - 1 - len(ru) // 4)
+
+
+def test_cov_matrix_matches_numpy_population_cov(spark):
+    import numpy as np
+
+    from nova_pulsar_spark.operators.aggregates import agg_cov_matrix
+    from nova_pulsar_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {(r["var_x"], r["var_y"]): r["cov"] for r in agg_cov_matrix(spark, SF_SMOKE).collect()}
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    cols = {
+        "quantity": pdf["l_quantity"].to_numpy(),
+        "price": pdf["l_extendedprice"].to_numpy(),
+        "discount": pdf["l_discount"].to_numpy(),
+        "tax": pdf["l_tax"].to_numpy(),
+    }
+    for (x, y), cov in got.items():
+        want = float(np.mean(cols[x] * cols[y]) - np.mean(cols[x]) * np.mean(cols[y]))
+        # numpy sums plain doubles; the operator's decimal-exact sums can
+        # only be MORE accurate — compare at numpy's own error scale
+        assert abs(cov - want) <= 1e-9 * max(1.0, abs(want)), (x, y)
+    # variance diagonal is non-negative and symmetric pairs are single-counted
+    assert all(got[(v, v)] >= 0 for v in cols)
+    assert len(got) == 10
