@@ -718,3 +718,105 @@ def llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
     )
+
+
+# --- MMR diverse top-k (rerank head) --------------------------------------
+
+MMR_POOL = 20  # relevance-ranked candidate pool fed to the greedy head
+MMR_K = 5      # final diverse selections
+MMR_LAMBDA = 0.5  # exact binary fraction: identical IEEE math everywhere
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as chained CTEs (one per selection)."""
+    cos_q = _sql_cos("e.embedding", "q.qe")
+    parts = [
+        f"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})",
+        f"pool AS (SELECT e.vec_id, e.embedding, {cos_q} AS rel FROM embeddings e CROSS JOIN q "
+        f"WHERE e.vec_id <> {QUERY_VEC_ID} ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL})",
+        f"sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi, "
+        f"{_sql_cos('a.embedding', 'b.embedding')} AS s "
+        "FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)",
+        "sel1 AS (SELECT vec_id, rel, 0.5 * rel AS mmr, 1 AS r FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+        "selu1 AS (SELECT * FROM sel1)",
+    ]
+    for k in range(2, MMR_K + 1):
+        parts.append(
+            f"sel{k} AS (SELECT p.vec_id, p.rel, "
+            "0.5 * p.rel - 0.5 * (SELECT MAX(s.s) FROM sim s "
+            f"JOIN selu{k-1} u ON s.ai = p.vec_id AND s.bi = u.vec_id) AS mmr, "
+            f"{k} AS r FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM selu{k-1}) "
+            "ORDER BY mmr DESC, p.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"selu{k} AS (SELECT * FROM selu{k-1} UNION ALL SELECT * FROM sel{k})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT CAST(r AS BIGINT) AS sel_rank, vec_id, rel AS relevance, "
+        f"mmr AS mmr_score FROM selu{MMR_K} ORDER BY sel_rank"
+    )
+
+
+@register(
+    "llm_simsearch_mmr",
+    sql=_mmr_sql(),
+    doc=f"Maximal-marginal-relevance diverse top-{MMR_K}: distributed "
+    f"relevance top-{MMR_POOL} pool + in-pool pairwise cosines, then the "
+    "greedy λ·rel − (1−λ)·max-sim head on the O(k²) pool — diversity-aware "
+    "retrieval for dataset curation and RAG serving",
+)
+def llm_simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale work — relevance scoring and top-N — is the
+    same broadcast-query fused-fold TakeOrdered as llm_simsearch_topk;
+    only the POOL (20 rows, independent of corpus size) reaches the
+    greedy head, so the driver loop here is the 'top-1 dispatch
+    decision' discipline, not a distributed-compute smell. Pairwise
+    pool similarities are computed IN SPARK with the same sequential
+    fold as every other cosine, so the selection compares
+    engine-identical doubles and the unrolled SQL twin reproduces the
+    exact same picks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    pool_df = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cosine("embedding", "qe").alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()  # pool feeds both the sim self-join and the head
+    )
+    a, b = pool_df.alias("a"), pool_df.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ai"),
+            F.col("b.vec_id").alias("bi"),
+            cosine("a.embedding", "b.embedding").alias("s"),
+        )
+        .collect()
+    )
+    pool = [(r["vec_id"], r["rel"]) for r in pool_df.select("vec_id", "rel").collect()]
+    sim = {(r["ai"], r["bi"]): r["s"] for r in sims}
+
+    selected: list[tuple[int, int, float, float]] = []  # (rank, vec_id, rel, mmr)
+    chosen: list[int] = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid, rel in pool:
+            if vid in chosen:
+                continue
+            if chosen:
+                mmr = 0.5 * rel - 0.5 * max(sim[(vid, c)] for c in chosen)
+            else:
+                mmr = 0.5 * rel
+            # argmax with vec_id tie-break (mirror of ORDER BY mmr DESC, vec_id)
+            if best is None or mmr > best[3] or (mmr == best[3] and vid < best[1]):
+                best = (rank, vid, rel, mmr)
+        selected.append(best)
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "sel_rank bigint, vec_id bigint, relevance double, mmr_score double"
+    )

@@ -935,3 +935,38 @@ def test_perplexity_proxy_scores_common_bigrams_higher(spark, tmp_path):
     assert got[0]["mean_bigram_count"] == 3.0
     assert got[3]["mean_bigram_count"] == 1.0
     assert got[3]["n_bigrams"] == 2
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    from nova_pulsar_spark.operators.similarity import DIM, MMR_K, llm_simsearch_mmr
+
+    # query (vec_id 0) along axis 0; twins A1/A2 nearly identical and most
+    # relevant; B diverse (axis 1 component) but still relevant; fillers
+    # weakly relevant. Pure relevance ranks A1, A2 first — MMR must demote
+    # the redundant twin A2 below the diverse B.
+    def v(axis0, axis1, eps=0.0):
+        x = [0.0] * DIM
+        x[0], x[1], x[2] = axis0, axis1, eps
+        return x
+
+    # Twins sit off-axis so rel(B) ≈ rel(twin) but sim(B, twin) is far
+    # below 1 — the regime where λ=0.5 actually reorders.
+    rows = [
+        (0, v(1.0, 0.0), 0),        # query
+        (1, v(0.9, 0.436), 0),      # A1 twin
+        (2, v(0.9, 0.4361), 0),     # A2 twin (redundant with A1)
+        (3, v(0.9, -0.436), 0),     # B diverse (mirror of the twins)
+    ] + [(i, v(0.1, 0.9, 0.01 * i), 0) for i in range(4, 12)]
+    d = str(tmp_path / "mmr")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = llm_simsearch_mmr(spark, d).collect()
+    assert len(got) == MMR_K
+    order = [r["vec_id"] for r in got]
+    assert order[0] == 1  # most relevant twin leads
+    assert order.index(3) < order.index(2)  # diverse B beats redundant twin A2
+    # ranks are 1..K and mmr never exceeds λ·relevance
+    assert [r["sel_rank"] for r in got] == list(range(1, MMR_K + 1))
+    assert all(r["mmr_score"] <= 0.5 * r["relevance"] + 1e-12 for r in got)
