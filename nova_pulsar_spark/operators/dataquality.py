@@ -231,3 +231,67 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Canonical per-row serialization for the checksum: integers as-is,
+# doubles integer-scaled (cents), timestamps formatted — every piece
+# renders identically on both engines.
+_CANON_SPARK = (
+    "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), "
+    "CAST(l_suppkey AS STRING), CAST(l_linenumber AS STRING), "
+    "CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS STRING), "
+    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS STRING), "
+    "CAST(CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS STRING), "
+    "CAST(CAST(ROUND(l_tax * 1000, 0) AS BIGINT) AS STRING), "
+    "l_returnflag, l_linestatus, date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss'))"
+)
+_CANON_SQL = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), "
+    "CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+    "CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(ROUND(l_tax * 1000, 0) AS BIGINT) AS VARCHAR), "
+    "l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))"
+)
+
+
+@register(
+    "dq_checksum",
+    sql=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(concat('0x', substring(md5({_CANON_SQL}), 1, 15))
+                         AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Order-independent table checksum: canonical row serialization -> "
+    "60-bit md5 -> exact decimal SUM per partition-ish group. The "
+    "cross-environment 'did the migration/copy preserve every row' "
+    "primitive — one scan, map-side combinable, no sort anywhere",
+)
+def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-hash SUM (not XOR-fold of an ordered stream) makes the
+    fingerprint independent of row order and partitioning — two
+    environments compare one tiny result frame instead of 100 TB of
+    rows, and a per-group breakdown localizes any mismatch. Doubles
+    enter the canonical string integer-scaled and timestamps
+    formatted, because raw float/timestamp rendering is
+    engine-specific; the 60-bit hash keeps the per-row value inside
+    a BIGINT while DECIMAL(38,0) absorbs the sum exactly at any row
+    count. Swapping any row cell flips the checksum with probability
+    1 - 2^-60."""
+    l = load_table(spark, sf_dir, "lineitem")
+    row_hash = F.expr(
+        f"CAST(conv(substring(md5({_CANON_SPARK}), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+        .orderBy("l_returnflag")
+    )

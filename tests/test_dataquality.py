@@ -123,3 +123,37 @@ def test_dq_freshness_lag_is_relative_to_global_max(spark):
     for r in rows:
         assert r["first_ts"] <= r["last_ts"]
         assert r["days_active"] >= 1
+
+
+def test_checksum_order_invariant_and_cell_sensitive(spark, tmp_path):
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.dataquality import dq_checksum
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", base),
+        (2, 2, 2, 1, 20.0, 200.0, 0.04, 0.01, "N", "O", base),
+        (3, 3, 3, 1, 30.0, 300.0, 0.03, 0.03, "N", "O", base),
+    ]
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+
+    d1 = str(tmp_path / "a")
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(f"{d1}/lineitem.parquet")
+    d2 = str(tmp_path / "b")  # reversed rows, different partitioning
+    spark.createDataFrame(rows[::-1], schema).repartition(3).write.parquet(f"{d2}/lineitem.parquet")
+    d3 = str(tmp_path / "c")  # one cent changed in one row
+    bad = [rows[0], rows[1], (3, 3, 3, 1, 30.0, 300.01, 0.03, 0.03, "N", "O", base)]
+    spark.createDataFrame(bad, schema).write.parquet(f"{d3}/lineitem.parquet")
+
+    c1 = dq_checksum(spark, d1).collect()
+    c2 = dq_checksum(spark, d2).collect()
+    c3 = dq_checksum(spark, d3).collect()
+    as_map = lambda rs: {r["l_returnflag"]: (r["n_rows"], r["checksum"]) for r in rs}
+    assert as_map(c1) == as_map(c2)  # order/partitioning independent
+    assert as_map(c1) != as_map(c3)  # one cent flips the fingerprint
+    assert as_map(c3)["N"][0] == 3   # ...but not the row count
