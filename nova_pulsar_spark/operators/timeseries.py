@@ -561,3 +561,57 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "ts_ewma",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1000 AS m
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1)
+    SELECT event_type,
+           CAST(len(ms) AS BIGINT) AS n_hours,
+           ms[len(ms)] AS last_mean,
+           list_reduce(ms, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+    FROM series ORDER BY event_type
+    """,
+    doc="Exponentially weighted moving average (alpha=0.5) of the hourly mean "
+    "series per event type — the 'inherently sequential' smoother made "
+    "scale-safe: the fold runs over a calendar-bounded array, never the raw "
+    "event stream",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two stages, both scale-independent in state: (1) hourly means
+    via the decimal-exact sum idiom (one map-side-combinable groupBy
+    over the raw events — the only corpus-sized pass); (2) a per-type
+    LEFT FOLD over the bucket_ts-ordered mean array. The array length
+    is bounded by the calendar (8,760 hours/year/type), not by data
+    volume, so collect_list here is a rollup artifact, not a memory
+    smell. alpha=0.5 is an exact binary fraction and both engines fold
+    left from the first element — bit-identical smoothing."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 1000, 0).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1000
+        ).alias("m")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(bucket_ts, m))), s -> s.m)").alias("ms")
+    )
+    return series.select(
+        "event_type",
+        F.size("ms").cast("bigint").alias("n_hours"),
+        F.element_at("ms", -1).alias("last_mean"),
+        F.expr(
+            "aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), element_at(ms, 1), "
+            "(acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)"
+        ).alias("ewma"),
+    ).orderBy("event_type")

@@ -357,3 +357,30 @@ def test_ohlc_endpoints_deterministic_under_ts_ties(spark, tmp_path):
     assert b["high_v"] == 9.0 and b["low_v"] == 1.0
     assert b["close_v"] == 1.0 and b["n_events"] == 4
     assert got[h + dt.timedelta(hours=1)]["n_events"] == 1
+
+
+def test_ewma_fold_matches_reference_recursion(spark, tmp_path):
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.timeseries import ts_ewma
+
+    h0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    # three hourly buckets with means 2.0, 4.0, 8.0 (single event each)
+    rows = [
+        (1, h0, 1, "buy", 2.0, None),
+        (2, h0 + dt.timedelta(hours=1), 1, "buy", 4.0, None),
+        (3, h0 + dt.timedelta(hours=2), 1, "buy", 8.0, None),
+        # second type with one bucket: ewma == that mean
+        (4, h0, 2, "view", 5.0, None),
+    ]
+    d = str(tmp_path / "ewma")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in ts_ewma(spark, d).collect()}
+    # recursion: e1=2; e2=0.5*4+0.5*2=3; e3=0.5*8+0.5*3=5.5
+    assert got["buy"]["ewma"] == 5.5
+    assert got["buy"]["n_hours"] == 3 and got["buy"]["last_mean"] == 8.0
+    assert got["view"]["ewma"] == 5.0 and got["view"]["n_hours"] == 1
