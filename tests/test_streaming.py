@@ -885,3 +885,65 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
         (7, "2026-01-01T10:00:00", "2026-01-01T10:09:00", 3),  # merged across batches
         (8, "2026-01-01T10:00:00", "2026-01-01T10:05:00", 1),
     }  # user 9's session is still open: not emitted in append mode
+
+
+def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
+    """Late-data semantics, observable: a row older than the watermark
+    is dropped by the stateful dedup's input filter and the drop is
+    visible in stateOperators.numRowsDroppedByWatermark — the metric a
+    100 TB ingest pipeline alerts on (silent late-drop = data loss).
+
+    Empirical Spark 4.1 subtlety this test pins: the INPUT filter uses
+    the watermark with one micro-batch of lag (the value computed two
+    commits back), while state EVICTION uses the previous commit's
+    value — so a late row needs the advancing batch plus one more
+    batch before it is filtered. A windowed aggregation never
+    input-filters at all in this version (eviction-only); dedup does.
+    """
+    import datetime as dt
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    t = lambda m: dt.datetime(2026, 3, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+    # batch 0 advances the watermark to 10:49 (max 10:59 - 10m delay)
+    write_file("b1", [(t(0), "a", 1.0), (t(59), "a", 1.0)])
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    # batch 1: fresh row only (lets the 10:49 watermark reach the filter)
+    write_file("b2", [(t(60), "a", 1.0)])
+    _time.sleep(1.1)
+    # batch 2: one row at 10:05 (< watermark) + one fresh
+    write_file("b3", [(t(5), "b", 1.0), (t(65), "a", 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_type", "ts"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    )
+    assert dropped == 1
+    got = sorted(r["ts"] for r in spark.sql("SELECT ts FROM late_out").collect())
+    assert t(5) not in got          # the late row was filtered, not emitted
+    assert got == [t(0), t(59), t(60), t(65)]
