@@ -68,6 +68,15 @@ HEADLINE = [
     "cdc_scd2_intervals",
     "stream_interval_join",
     "agg_mad_outliers",
+    "dq_constraints",
+    "dq_checksum",
+    "agg_cov_matrix",
+    "llm_kmeans_step",
+    "llm_simsearch_mmr",
+    "llm_bpe_merge_step",
+    "llm_perplexity_proxy",
+    "ts_downsample_ohlc",
+    "ts_ewma",
 ]
 
 

