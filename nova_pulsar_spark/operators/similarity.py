@@ -820,3 +820,70 @@ def llm_simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "sel_rank bigint, vec_id bigint, relevance double, mmr_score double"
     )
+
+
+def kmeans_iterate(
+    spark: SparkSession, sf_dir: str, iters: int = 5, k: int = K_SEEDS
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Full Lloyd loop built from the llm_kmeans_step machinery — the
+    IVF/coarse-quantizer INDEX BUILD. Not registered as a query
+    (iterative; no closed-form SQL twin — pytest-pinned instead, same
+    policy as the sketch ops).
+
+    Each iteration is ONE distributed job with the llm_kmeans_step
+    shape: centroids collected at the driver (K*DIM floats — tiny) are
+    inlined as literals, assignment is codegen argmin with no join,
+    and the only shuffle carries K*DIM mean groups plus a 1-row WCSS
+    sum. Iteration count is the classic small constant (5-20), so the
+    driver loop is bounded and each pass streams the corpus once.
+
+    Returns (final_centroids, wcss_per_iteration).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(i), [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)
+    ]
+    wcss_hist: list[float] = []
+
+    def lit_arr(vec) -> str:
+        return "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+
+    def sqd(seed_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(embedding, {seed_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    for _ in range(iters):
+        terms = ", ".join(
+            f"struct({sqd(lit_arr(vec))} AS d2, {cid} AS cid)" for cid, vec in cents
+        )
+        best = F.expr(f"array_min(array({terms}))")
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            best.getField("cid").alias("cid"),
+            best.getField("d2").alias("d2"),
+        )
+        # ONE action per iteration: d2 rides along the (cid, dim) mean
+        # rollup (replicated per dim, so wcss = Σ sd2 / DIM).
+        mean_rows = (
+            assigned.select("cid", "d2", F.posexplode("embedding").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("c"),
+                F.sum("d2").alias("sd2"),
+            )
+            .collect()
+        )
+        wcss_hist.append(float(sum(r["sd2"] for r in mean_rows)) / len({r["i"] for r in mean_rows}))
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cid.setdefault(r["cid"], {})[r["i"]] = r["c"]
+        cents = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return cents, wcss_hist

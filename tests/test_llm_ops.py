@@ -970,3 +970,33 @@ def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
     # ranks are 1..K and mmr never exceeds λ·relevance
     assert [r["sel_rank"] for r in got] == list(range(1, MMR_K + 1))
     assert all(r["mmr_score"] <= 0.5 * r["relevance"] + 1e-12 for r in got)
+
+
+def test_kmeans_iterate_wcss_monotone_and_converges(spark, tmp_path):
+    from nova_pulsar_spark.operators.similarity import DIM, kmeans_iterate
+
+    # two tight planted clusters; seeds 0/1 both start inside cluster A
+    # so the loop must MOVE a centroid to claim cluster B
+    rows = []
+    for vid in range(20):
+        v = [0.0] * DIM
+        if vid < 10:
+            v[0] = 5.0 + 0.01 * vid       # cluster A
+        else:
+            v[1] = 5.0 + 0.01 * vid       # cluster B
+        rows.append((vid, v, 0))
+    d = str(tmp_path / "km_it")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    cents, wcss = kmeans_iterate(spark, d, iters=4, k=2)
+    # Lloyd guarantee: WCSS never increases
+    assert all(a >= b - 1e-9 for a, b in zip(wcss, wcss[1:])), wcss
+    # and it actually improved on the all-seeds-in-A start
+    assert wcss[-1] < wcss[0] / 10
+    # final centroids sit at the two planted means (order-free match)
+    got = sorted((round(v[0], 3), round(v[1], 3)) for _, v in cents)
+    a_mean = sum(5.0 + 0.01 * i for i in range(10)) / 10
+    b_mean = sum(5.0 + 0.01 * i for i in range(10, 20)) / 10
+    assert got == sorted([(round(a_mean, 3), 0.0), (0.0, round(b_mean, 3))])
