@@ -305,13 +305,13 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0)) * CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))
-                      * CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))
-                      * CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            ((n * sxy) - (sx * sy))
@@ -333,15 +333,19 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle shape.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(38,0)")
-    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    # BIGINT row values/products (quantity and cents are integral and
+    # their squares stay ~1e14, far inside long range); DECIMAL(38,0)
+    # only at the accumulator — same discipline as agg_cov_matrix,
+    # ~2x cheaper per row than decimal multiplies.
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     s = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
     den = F.sqrt((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
