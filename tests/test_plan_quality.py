@@ -74,3 +74,58 @@ def test_small_side_broadcasts_in_contamination(spark):
     p = _plan(spark, "llm_contamination")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_kmeans_assignment_has_no_join_single_corpus_shuffle(spark):
+    """llm_kmeans_step's 100 TB claim: nearest-seed assignment is pure
+    codegen (seed literals — no join anywhere), and the only shuffle
+    over corpus-derived data is the (centroid, dim) mean aggregation."""
+    p = _plan(spark, "llm_kmeans_step")
+    assert "Join" not in p  # no join of any kind, broadcast included
+    assert "CartesianProduct" not in p
+    # exactly one exchange keyed by the mean-group columns
+    assert len(re.findall(r"Exchange hashpartitioning\(centroid_id", p)) == 1
+
+
+def test_checksum_is_partial_then_final_no_sort_before_agg(spark):
+    """dq_checksum: map-side partial sums, one hash exchange, and the
+    only Sort is the 3-row final ORDER BY above the aggregate."""
+    p = _plan(spark, "dq_checksum")
+    assert "partial_sum" in p and "partial_count" in p
+    assert len(re.findall(r"Exchange hashpartitioning\(l_returnflag", p)) == 1
+    agg_pos = p.index("HashAggregate")
+    sort_pos = p.index("Sort ")
+    assert sort_pos < agg_pos  # Sort sits ABOVE the aggregate (tree prints top-down)
+
+
+def test_constraints_rowlevel_checks_share_one_scan_shape(spark):
+    """dq_constraints: the row-level member is a 1-row aggregate (no
+    grouping exchange fan-out), and the referential check plans as a
+    LEFT ANTI join on the bare key."""
+    p = _plan(spark, "dq_constraints")
+    assert "LeftAnti" in p
+    # every lineitem scan reads only the columns a member needs — the
+    # widest ReadSchema must stay under the full 11-column row
+    f = _plan_formatted(spark, "dq_constraints")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", f)
+    assert schemas and all(len(s.split(",")) <= 7 for s in schemas), schemas
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    """llm_simsearch_mmr's distributed stage: the relevance pool is
+    TakeOrdered (no global sort of the corpus)."""
+    from nova_pulsar_spark.operators.similarity import MMR_POOL, QUERY_VEC_ID, cosine
+    from nova_pulsar_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    pool = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine("embedding", "qe").alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    p = pool._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
