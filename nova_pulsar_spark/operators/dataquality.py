@@ -236,24 +236,33 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Canonical per-row serialization for the checksum: integers as-is,
 # doubles integer-scaled (cents), timestamps formatted — every piece
 # renders identically on both engines.
-_CANON_SPARK = (
-    "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), "
-    "CAST(l_suppkey AS STRING), CAST(l_linenumber AS STRING), "
-    "CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS STRING), "
-    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS STRING), "
-    "CAST(CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS STRING), "
-    "CAST(CAST(ROUND(l_tax * 1000, 0) AS BIGINT) AS STRING), "
-    "l_returnflag, l_linestatus, date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss'))"
-)
-_CANON_SQL = (
-    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), "
-    "CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
-    "CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS VARCHAR), "
-    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), "
-    "CAST(CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS VARCHAR), "
-    "CAST(CAST(ROUND(l_tax * 1000, 0) AS BIGINT) AS VARCHAR), "
-    "l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))"
-)
+# Every piece is COALESCEd to a sentinel: concat_ws SKIPS bare NULLs
+# on both engines, which would make ('a', NULL, 'b') and ('a', 'b',
+# NULL) collide — a NULL sliding between columns must flip the hash.
+_CANON_PIECES = [
+    "CAST(l_orderkey AS {S})",
+    "CAST(l_partkey AS {S})",
+    "CAST(l_suppkey AS {S})",
+    "CAST(l_linenumber AS {S})",
+    "CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS {S})",
+    "CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS {S})",
+    "CAST(CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS {S})",
+    "CAST(CAST(ROUND(l_tax * 1000, 0) AS BIGINT) AS {S})",
+    "l_returnflag",
+    "l_linestatus",
+    "{TS}",
+]
+
+
+def _canon(str_type: str, ts_expr: str) -> str:
+    pieces = ", ".join(
+        f"COALESCE({p.format(S=str_type, TS=ts_expr)}, '~null~')" for p in _CANON_PIECES
+    )
+    return f"concat_ws('|', {pieces})"
+
+
+_CANON_SPARK = _canon("STRING", "date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss')")
+_CANON_SQL = _canon("VARCHAR", "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')")
 
 
 @register(

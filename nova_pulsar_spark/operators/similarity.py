@@ -815,6 +815,8 @@ def llm_simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             # argmax with vec_id tie-break (mirror of ORDER BY mmr DESC, vec_id)
             if best is None or mmr > best[3] or (mmr == best[3] and vid < best[1]):
                 best = (rank, vid, rel, mmr)
+        if best is None:  # pool exhausted (corpus smaller than MMR_K)
+            break
         selected.append(best)
         chosen.append(best[1])
     return spark.createDataFrame(
