@@ -32,8 +32,11 @@ from nova_pulsar_spark.sources.tables import load_table
     sql="""
     SELECT
       event_id,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-      COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_with_default
+      CASE WHEN json_valid(props)
+           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value,
+      COALESCE(CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.missing') AS BIGINT) END,
+               -1) AS missing_with_default
     FROM events
     """,
     doc="F1: JSON field extraction with jq-style `// default` semantics",
@@ -85,7 +88,7 @@ def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_prefix,
-      CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT) AS src_num,
+      CAST(NULLIF(regexp_extract(source, '([a-z]+)([0-9]+)', 2), '') AS BIGINT) AS src_num,
       regexp_extract(text, '^(\\w+)', 1) AS first_word
     FROM documents
     """,
@@ -96,7 +99,9 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.regexp_extract("source", r"([a-z]+)([0-9]+)", 1).alias("src_prefix"),
-        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).cast("bigint").alias("src_num"),
+        # no-match regexp_extract returns '' which BOTH engines refuse
+        # to cast — NULLIF first (edge-case fuzz finding)
+        F.nullif(F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2), F.lit("")).cast("bigint").alias("src_num"),
         F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
     )
 
@@ -293,7 +298,7 @@ def fn_cond_null(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CEIL(value) AS BIGINT) AS v_ceil,
       ABS(value - 100.0) AS v_absdiff,
       CAST(event_id % 7 AS BIGINT) AS v_mod,
-      SQRT(value) AS v_sqrt,
+      CASE WHEN value >= 0 THEN SQRT(value) END AS v_sqrt,
       CAST(value * value AS DOUBLE) AS v_sq,
       CAST(100 * event_id // 999 AS BIGINT) AS pct_progress
     FROM events
@@ -311,7 +316,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("value").cast("bigint").alias("v_ceil"),
         F.abs(F.col("value") - 100.0).alias("v_absdiff"),
         (F.col("event_id") % 7).cast("bigint").alias("v_mod"),
-        F.sqrt("value").alias("v_sqrt"),
+        # negative input: Spark yields NaN, DuckDB raises — NULL on both
+        F.when(F.col("value") >= 0, F.sqrt("value")).alias("v_sqrt"),
         (F.col("value") * F.col("value")).cast("double").alias("v_sq"),
         F.floor(100 * F.col("event_id") / 999).cast("bigint").alias("pct_progress"),
     )

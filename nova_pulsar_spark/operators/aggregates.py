@@ -163,7 +163,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE)
         - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
           * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-        / (COUNT(*) - 1) AS var_v
+        / NULLIF(COUNT(*) - 1, 0) AS var_v
     FROM events
     GROUP BY event_type
     """,
@@ -180,7 +180,9 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").cast("double").alias("max_v"),
         dec_sum.alias("sum_v"),
         (dec_sum / n).alias("mean_v"),
-        ((dec_sumsq - dec_sum * dec_sum / n) / (n - F.lit(1))).alias("var_v"),
+        # sample variance is undefined for n = 1 -> NULL on both
+        # engines (ANSI Spark raises on the 0-div otherwise)
+        F.when(n > 1, (dec_sumsq - dec_sum * dec_sum / n) / (n - F.lit(1))).alias("var_v"),
     )
 
 
@@ -191,7 +193,7 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderpriority,
       MIN(o_orderdate) AS first_order,
       MAX(o_orderdate) AS last_order,
-      ARG_MAX(o_orderkey, o_totalprice) AS top_orderkey
+      (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -202,7 +204,12 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        # max_by/ARG_MAX pick an ARBITRARY winner on tied prices — the
+        # struct max pins the tie-break to the largest orderkey on
+        # both engines (edge-case fuzz finding).
+        F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+        .getField("k")
+        .alias("top_orderkey"),
     )
 
 
@@ -315,7 +322,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            ((n * sxy) - (sx * sy))
-             / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_qty_price
+             / NULLIF(sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)), 0) AS corr_qty_price
     FROM s
     """,
     doc="Exact Pearson correlation (quantity vs price) from decimal-exact "
@@ -351,7 +358,13 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
         (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
     )
-    return s.select("l_returnflag", (num / den).alias("corr_qty_price"))
+    # Degenerate groups (one row / constant measure) have zero
+    # variance: corr is undefined -> NULL on both engines. Without the
+    # guard Spark's ANSI mode RAISES on the 0/0 while DuckDB emits
+    # NaN — an engine divergence AND a job-killer on real data
+    # (found by tools/make_edgecase_sf.py fuzzing).
+    corr = F.when(den != 0, num / den)
+    return s.select("l_returnflag", corr.alias("corr_qty_price"))
 
 
 @register(

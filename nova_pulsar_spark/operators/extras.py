@@ -188,7 +188,8 @@ def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH p AS (
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       FROM events)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -152,13 +152,14 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_decode",
     # The decode path runs through mapInPandas (the real plumbing), but
     # FakeDecoder's feature math is pure arithmetic on the payload
-    # bytes — and the corpus is ASCII, so byte values ≡ char codes and
-    # the SAME math is expressible in SQL: a full oracle twin for a
-    # UDF-path operator. mean_intensity is one int/int division on
-    # both engines → bit-identical.
+    # BYTES — which the twin reproduces exactly by walking the hex
+    # encoding two chars at a time (ascii(substr(text, ...)) would
+    # return CODEPOINTS and diverge on any non-ASCII document —
+    # edge-case fuzz finding). mean_intensity is one int/int division
+    # on both engines → bit-identical for arbitrary UTF-8 input.
     sql="""
     WITH f AS (
-      SELECT doc_id, 'text/plain' AS media_type, text,
+      SELECT doc_id, 'text/plain' AS media_type, hex(encode(text)) AS hx,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
       FROM documents)
     SELECT doc_id, media_type,
@@ -166,7 +167,7 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       CAST(16 + ((n // 64) % 64) AS INT) AS height,
       CASE WHEN n = 0 THEN 0.0
            ELSE CAST(list_sum(list_transform(range(1, CAST(least(n, 256) AS INT) + 1),
-                                             i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                                             i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
                 / least(n, 256) END AS mean_intensity,
       n AS payload_bytes
     FROM f

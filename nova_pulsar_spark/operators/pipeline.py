@@ -342,7 +342,7 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = ws.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, greatest(size(w) - 1, 1)), i -> concat(w[i-1], ' ', w[i]))")
+            F.expr("transform(sequence(1, greatest(size(w) - 1, 1)), i -> concat(get(w, i-1), ' ', get(w, i)))")  # NULL-safe OOB
         ).alias("gram"),
     )
     top = (

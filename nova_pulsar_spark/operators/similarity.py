@@ -47,7 +47,12 @@ def _fold_dot(a: str, b: str) -> F.Column:
 
 
 def cosine(a: str, b: str) -> F.Column:
-    return _fold_dot(a, b) / (F.sqrt(_fold_dot(a, a)) * F.sqrt(_fold_dot(b, b)))
+    """Zero-norm vectors have undefined cosine -> NULL on both engines
+    (unguarded, Spark's ANSI mode raises on the 0-division while
+    DuckDB emits NaN — edge-case fuzz finding). NULLs sort last under
+    the DESC orderings both engines use."""
+    den = F.sqrt(_fold_dot(a, a)) * F.sqrt(_fold_dot(b, b))
+    return F.when(den != 0, _fold_dot(a, b) / den)
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -59,7 +64,10 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _sql_cos(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)})))"
+    return (
+        f"({_sql_dot(a, b)} / NULLIF(SQRT({_sql_dot(a, a)})"
+        f" * SQRT({_sql_dot(b, b)}), 0))"
+    )
 
 
 @register(
@@ -327,7 +335,10 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            (_fold_dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+            F.when(
+                F.col("na") * F.col("nb") != 0,
+                _fold_dot("ea", "eb") / (F.col("na") * F.col("nb")),
+            ).alias("cosine"),  # zero-norm -> NULL, mirroring _sql_cos
         )
         .select(
             "vec_a",
@@ -733,7 +744,8 @@ def _mmr_sql() -> str:
     parts = [
         f"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})",
         f"pool AS (SELECT e.vec_id, e.embedding, {cos_q} AS rel FROM embeddings e CROSS JOIN q "
-        f"WHERE e.vec_id <> {QUERY_VEC_ID} ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL})",
+        f"WHERE e.vec_id <> {QUERY_VEC_ID} AND {cos_q} IS NOT NULL "
+        f"ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL})",
         f"sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi, "
         f"{_sql_cos('a.embedding', 'b.embedding')} AS s "
         "FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)",
@@ -784,6 +796,7 @@ def llm_simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "embedding", cosine("embedding", "qe").alias("rel"))
+        .filter(F.col("rel").isNotNull())  # zero-norm vectors can't rank
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
         .localCheckpoint()  # pool feeds both the sim self-join and the head

@@ -116,10 +116,10 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       CAST(len(words) AS BIGINT) AS n_words,
-      CAST(n_vowel AS DOUBLE) / n_chars AS vowel_ratio,
-      CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+      CAST(n_vowel AS DOUBLE) / NULLIF(n_chars, 0) AS vowel_ratio,
+      CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0) AS digit_ratio,
       CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
-        + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0) < 0.1 THEN 1 ELSE 0 END
         + CASE WHEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words) > 0.1 THEN 1 ELSE 0 END
         AS quality_score
     FROM w
@@ -133,11 +133,15 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
     n_words = F.size(words)
     ttr = F.size(F.array_distinct(words)).cast("double") / n_words
-    digit_ratio = n_digit.cast("double") / F.col("n_chars")
+    # Empty documents (n_chars = 0): ratios are undefined -> NULL on
+    # both engines. Unguarded, Spark's ANSI mode raises on the 0-div
+    # while DuckDB emits inf (edge-case fuzz finding).
+    nz_chars = F.when(F.col("n_chars") != 0, F.col("n_chars"))
+    digit_ratio = n_digit.cast("double") / nz_chars
     return d.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
-        (n_vowel.cast("double") / F.col("n_chars")).alias("vowel_ratio"),
+        (n_vowel.cast("double") / nz_chars).alias("vowel_ratio"),
         digit_ratio.alias("digit_ratio"),
         (
             F.when(n_words.between(20, 1000), 1).otherwise(0)
@@ -180,8 +184,7 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(text) AS exact_fp,
       md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS bag_fp,
       MIN(md5(words[i.i] || ' ' || words[i.i + 1])) AS min_bigram_fp
-    FROM w CROSS JOIN (SELECT UNNEST(range(1, 2000)) AS i) i
-    WHERE i.i < len(words)
+    FROM w LEFT JOIN (SELECT UNNEST(range(1, 2000)) AS i) i ON i.i < len(words)
     GROUP BY doc_id, text, words
     """,
     doc="Document fingerprints: exact md5, order-insensitive bag-of-words md5, winnowing-style min-bigram hash",
@@ -193,9 +196,13 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split(F.col("text"), " ").alias("ws")
     )
+    # sequence(1, 0) on a 1-word doc is DESCENDING [1, 0] and its
+    # element_at probes raise under ANSI — emit no bigrams instead
+    # (array_min over empty -> NULL, matching the twin's empty range).
     bigrams = F.expr(
-        "transform(sequence(1, size(ws) - 1), "
-        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return d.select(
         "doc_id",
@@ -258,8 +265,12 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.split(F.col("text"), " ").alias("ws")
     )
+    # get() is 0-based and NULL on out-of-bounds: a 1-word doc yields a
+    # NULL bigram (dropped by the count) instead of an ANSI-mode array
+    # index error — and matches the twin's NULL-propagating ws[i+1].
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat(ws[i-1], ' ', ws[i]))"
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+        "i -> concat(get(ws, i-1), ' ', get(ws, i)))"
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -607,7 +618,7 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(sequence(1, greatest(size(ws) - 1, 1)), "
-                "i -> concat(ws[i-1], ' ', ws[i]))"
+                "i -> concat(get(ws, i-1), ' ', get(ws, i)))"  # NULL-safe OOB
             )
         ).alias("bigram"),
     )

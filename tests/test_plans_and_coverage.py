@@ -263,3 +263,44 @@ def test_cov_matrix_matches_numpy_population_cov(spark):
     # variance diagonal is non-negative and symmetric pairs are single-counted
     assert all(got[(v, v)] >= 0 for v in cols)
     assert len(got) == 10
+
+
+def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
+    """Adversarial-input regression net: the queries that the edge-case
+    fuzz round found divergent (ANSI 0-div raises, OOB subscripts,
+    max_by tie nondeterminism, DuckDB json/sqrt raises, codepoint-vs-
+    byte decode) must stay oracle-equal on the adversarial fixture —
+    empty/1-word/unicode docs, zero vectors, tied prices, constant and
+    negative event values, malformed JSON."""
+    import duckdb
+
+    from nova_pulsar_spark.registry import all_queries
+    from tools.check_oracle import compare
+    from tools.make_edgecase_sf import main as gen
+
+    d = str(tmp_path / "edge_sf")
+    gen(d)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    keys = [
+        "agg_minmax_by", "agg_stats_exact", "agg_corr_exact",
+        "fn_json_extract", "fn_math", "fn_props_parse", "fn_regex_extract",
+        "llm_ngram_counts", "llm_perplexity_proxy", "llm_quality_repetition",
+        "llm_simsearch_topk", "llm_simsearch_batch", "llm_simsearch_mmr",
+        "llm_text_fingerprint", "llm_text_quality", "llm_dedup_embedding_lsh",
+        "multimodal_decode",
+    ]
+    regs = all_queries()
+    problems = {}
+    for k in keys:
+        rq = regs[k]
+        spark_pdf = rq.fn(spark, d).toPandas()
+        oracle_pdf = con.execute(rq.sql).df()
+        p = compare(spark_pdf, oracle_pdf)
+        if p:
+            problems[k] = p
+    assert not problems, problems

@@ -30,7 +30,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            s = pd.to_datetime(df[c])
+            if getattr(s.dtype, "tz", None) is not None:
+                # tz-aware inputs (e.g. fixtures written from Spark's
+                # toArrow) -> UTC wall time, then naive like the rest
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
         elif df[c].dtype == object:
             # lists/arrays (incl. numpy arrays from DuckDB LIST cols)
             # → tuples for sortability/comparability
