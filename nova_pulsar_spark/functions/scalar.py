@@ -331,7 +331,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
       len(string_split(text, ' ')) AS n_words,
       string_split(text, ' ')[1] AS first_word,
       string_split(text, ' ')[-1] AS last_word,
-      CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN TRUE ELSE FALSE END AS mentions_spark,
+      list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
       array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))), '|') AS head_vocab
     FROM documents
     """,
@@ -349,8 +349,12 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
         F.array_contains(words, "spark").alias("mentions_spark"),
-        F.concat_ws(
-            "|", F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 60), " ")))
+        # concat_ws over a NULL array is '' on Spark but NULL on DuckDB
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(
+                "|", F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 60), " ")))
+            ),
         ).alias("head_vocab"),
     )
 
@@ -396,7 +400,7 @@ def fn_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       substr(text, 1, 20) AS head,
       length(text) AS n_chars_computed,
       concat_ws('|', lang, source) AS lang_src,
-      CASE WHEN text LIKE '%vector%' THEN TRUE ELSE FALSE END AS has_vector,
+      text LIKE '%vector%' AS has_vector,
       CAST(strpos(text, 'data') AS BIGINT) AS data_pos
     FROM documents
     """,

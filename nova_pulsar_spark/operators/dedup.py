@@ -54,11 +54,14 @@ def _shingles_expr():
     Catalyst does not CSE a split() inside transform() lambdas, so
     inlining it re-tokenizes the document per shingle (~9× slower).
     """
-    return F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(size(ws) - 2, 1)), "
-            "i -> concat_ws(' ', slice(ws, i, 3)))"
-        )
+    # NULL text: size(NULL) is NULL but greatest() IGNORES NULLs on
+    # Spark (-> 1 -> one phantom '' shingle) while DuckDB's greatest
+    # propagates it (-> no rows). Emit an empty array instead so the
+    # document vanishes identically on both engines.
+    return F.expr(
+        "CASE WHEN ws IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)), "
+        "i -> concat_ws(' ', slice(ws, i, 3)))) END"
     )
 
 

@@ -135,14 +135,18 @@ DECODE_SCHEMA = T.StructType(
 def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batch in → decoded feature batch out."""
     for pdf in it:
-        feats = pdf["payload"].map(FakeDecoder.fake_features)
+        # NULL payloads decode to NULL features — the same NULL
+        # propagation the SQL twin gets for free from encode(NULL)
+        feats = pdf["payload"].map(
+            lambda p: (None, None, None) if p is None else FakeDecoder.fake_features(p)
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "width": feats.map(lambda t: t[0]).astype("int32"),
-                "height": feats.map(lambda t: t[1]).astype("int32"),
-                "mean_intensity": feats.map(lambda t: t[2]),
+                "width": feats.map(lambda t: t[0]).astype("Int32"),
+                "height": feats.map(lambda t: t[1]).astype("Int32"),
+                "mean_intensity": feats.map(lambda t: t[2]).astype("float64"),
                 "payload_bytes": pdf["payload_bytes"],
             }
         )
@@ -165,7 +169,8 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id, media_type,
       CAST(16 + (n % 64) AS INT) AS width,
       CAST(16 + ((n // 64) % 64) AS INT) AS height,
-      CASE WHEN n = 0 THEN 0.0
+      CASE WHEN n IS NULL THEN NULL  -- DuckDB concat('0x', NULL) = '0x', which would fail the cast
+           WHEN n = 0 THEN 0.0
            ELSE CAST(list_sum(list_transform(range(1, CAST(least(n, 256) AS INT) + 1),
                                              i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
                 / least(n, 256) END AS mean_intensity,
@@ -201,6 +206,10 @@ def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # NULL propagation, mirroring the twin
+                rows.append(dict(doc_id=doc_id, width=None, height=None,
+                                 out_w=None, out_h=None, scale=None))
+                continue
             w, h, _ = FakeDecoder.fake_features(payload)
             scale = float(RESIZE_TARGET) / max(w, h)
             rows.append(
@@ -215,7 +224,7 @@ def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
         out = pd.DataFrame(rows)
         for c in ("width", "height", "out_w", "out_h"):
-            out[c] = out[c].astype("int32")
+            out[c] = out[c].astype("Int32")
         yield out
 
 
@@ -341,6 +350,8 @@ def phash_frame(b: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # twin: octet_length(NULL) filter
+                    continue
                 px = bytes(payload)[:PHASH_PIXELS]
                 if len(px) < PHASH_PIXELS:
                     continue
@@ -361,7 +372,7 @@ def phash_frame(b: DataFrame) -> DataFrame:
     WITH px AS (
       SELECT doc_id,
              list_transform(range(1, {PHASH_PIXELS} + 1),
-                            i -> ascii(substr(text, i, 1))) AS p
+                            i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)) AS p
       FROM documents WHERE octet_length(encode(text)) >= {PHASH_PIXELS}),
     hashed AS (
       SELECT doc_id,

@@ -207,7 +207,11 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("exact_fp"),
-        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.col("ws")))).cast("binary")).alias("bag_fp"),
+        # concat_ws over a NULL array is '' on Spark but NULL on DuckDB
+        F.when(
+            F.col("ws").isNotNull(),
+            F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.col("ws")))).cast("binary")),
+        ).alias("bag_fp"),
         F.array_min(F.transform(bigrams, lambda b: F.md5(b.cast("binary")))).alias("min_bigram_fp"),
     )
 

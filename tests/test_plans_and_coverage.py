@@ -292,7 +292,8 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_ngram_counts", "llm_perplexity_proxy", "llm_quality_repetition",
         "llm_simsearch_topk", "llm_simsearch_batch", "llm_simsearch_mmr",
         "llm_text_fingerprint", "llm_text_quality", "llm_dedup_embedding_lsh",
-        "multimodal_decode",
+        "multimodal_decode", "multimodal_resize", "multimodal_phash_dedup",
+        "llm_dedup_near", "llm_dedup_verify", "llm_setsim_prefix",
     ]
     regs = all_queries()
     problems = {}

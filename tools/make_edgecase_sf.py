@@ -65,6 +65,7 @@ def main(out_dir: str) -> None:
         (10, "mail bob@example.com call 555-123-4567 acct 123456789", "en", "web", 53),  # PII
         (11, "el gato y el perro de la casa", "es", "web", 29),
         (12, "the cat sat on the mat with the cat", "en", "books", 35),
+        (13, None, None, "web", None),                    # NULL text/lang
     ]
     _write(spark.createDataFrame(
         docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
