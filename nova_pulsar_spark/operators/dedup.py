@@ -1174,3 +1174,74 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(w).cast("bigint").alias("keeper_id"),
         )
     )
+
+
+CONTAINMENT_T = 0.9  # overlap-coefficient threshold for "subsumed"
+
+
+@register(
+    "llm_dedup_containment",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + f""",
+    ws AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand))
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / NULLIF(LEAST(len(a.words), len(b.words)), 0) AS containment,
+           CASE WHEN len(a.words) <= len(b.words) THEN c.doc_a
+                ELSE c.doc_b END AS contained_doc,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / NULLIF(LEAST(len(a.words), len(b.words)), 0)
+             >= {CONTAINMENT_T} AS is_subsumed
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+    """,
+    doc="Containment (overlap-coefficient) dedup over LSH candidate pairs: "
+    "|A∩B|/min(|A|,|B|) detects a small doc subsumed by a larger one — the "
+    "asymmetric near-dup Jaccard misses (quote pages, excerpt mirrors)",
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup verify: Jaccard punishes size mismatch
+    (a 100-word excerpt inside a 10k-word page has J ≈ 0.01), so
+    excerpt/quote duplication needs the overlap coefficient
+    |A∩B|/min(|A|,|B|) instead. Candidates still come from the shared
+    banded-LSH stage (`dedup_candidates`, hot-bucket cap on) — the
+    corpus never meets itself all-pairs; this is a second scoring head
+    over the SAME materialized candidate set as `llm_dedup_verify`,
+    which is exactly how a production DAG layers multiple dup
+    predicates over one candidate generation pass. `contained_doc` is
+    the smaller word set (tie → doc_a) — the removal candidate under
+    subsumption semantics."""
+    _, cand, ws = dedup_candidates(spark, sf_dir)
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    nmin = F.least(F.size(F.col("a.words")), F.size(F.col("b.words")))
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("ninter"),
+            nmin.alias("nmin"),
+            (F.size(F.col("a.words")) <= F.size(F.col("b.words"))).alias("a_smaller"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ninter").cast("double") / F.nullif(F.col("nmin"), F.lit(0))).alias(
+                "containment"
+            ),
+            F.when(F.col("a_smaller"), F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "contained_doc"
+            ),
+            (
+                F.col("ninter").cast("double") / F.nullif(F.col("nmin"), F.lit(0))
+                >= CONTAINMENT_T
+            ).alias("is_subsumed"),
+        )
+    )

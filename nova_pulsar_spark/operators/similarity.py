@@ -902,3 +902,239 @@ def kmeans_iterate(
             for cid, dims in sorted(by_cid.items())
         ]
     return cents, wcss_hist
+
+
+# --- Product quantization (IVF-PQ's compression half) ----------------------
+
+PQ_M = 4                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace (16)
+PQ_K = 8                 # centroids per subspace codebook
+PQ_TOPK = 10
+
+
+def _sql_sub_sqdist(a: str, b: str, m_expr: str) -> str:
+    """Sequential-fold squared distance over subspace ``m`` (DuckDB)."""
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> (CAST({a}[{m_expr} * {PQ_SUB} + i] AS DOUBLE)"
+        f" - CAST({b}[{m_expr} * {PQ_SUB} + i] AS DOUBLE))"
+        f" * (CAST({a}[{m_expr} * {PQ_SUB} + i] AS DOUBLE)"
+        f" - CAST({b}[{m_expr} * {PQ_SUB} + i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "llm_simsearch_pq",
+    sql=f"""
+    WITH seeds AS (
+      SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kidx
+      FROM embeddings ORDER BY vec_id LIMIT {PQ_K}),
+    ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (
+      SELECT e.vec_id, ms.m, s.kidx,
+             {_sql_sub_sqdist("e.embedding", "s.ce", "ms.m")} AS d2
+      FROM embeddings e CROSS JOIN ms CROSS JOIN seeds s),
+    codes AS (
+      SELECT vec_id, m, kidx FROM (
+        SELECT vec_id, m, kidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, kidx) AS rn
+        FROM d) t WHERE rn = 1),
+    qd AS (
+      SELECT ms.m, s.kidx, {_sql_sub_sqdist("q.qe", "s.ce", "ms.m")} AS qd2
+      FROM q CROSS JOIN ms CROSS JOIN seeds s),
+    adc AS (
+      SELECT c.vec_id,
+             list_reduce(list(qd.qd2 ORDER BY c.m), (x, y) -> x + y) AS adc_d2
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.kidx = c.kidx
+      GROUP BY c.vec_id),
+    exact AS (
+      SELECT e.vec_id, {_sql_sqdist("e.embedding", "q.qe")} AS true_d2
+      FROM embeddings e CROSS JOIN q)
+    SELECT a.vec_id, a.adc_d2, x.true_d2
+    FROM adc a JOIN exact x ON x.vec_id = a.vec_id
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY a.adc_d2, a.vec_id LIMIT {PQ_TOPK}
+    """,
+    doc=f"Product-quantization ANN: {PQ_M}x{PQ_SUB}-dim subspaces, {PQ_K}-entry "
+    "codebooks, asymmetric-distance (ADC) top-10 — the IVF-PQ compression "
+    f"half; codes are {PQ_M} bytes/vector vs {DIM * 4} raw (the 100 TB memory story)",
+)
+def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011), the compression half of
+    IVF-PQ — the index family behind every billion-scale ANN system.
+    Encode: each vector splits into M subvectors, each assigned to its
+    nearest codebook centroid → M small codes per vector (4 bytes here
+    vs 256 raw). Search: the query precomputes an M×K table of
+    subspace distances; a candidate's approximate distance is M table
+    lookups + adds, never touching the raw vector (asymmetric distance
+    computation).
+
+    Spark shape mirrors `llm_kmeans_step`: the codebook (PQ_K seed
+    vectors — the deterministic 'trained' codebook; production trains
+    it with `kmeans_iterate` per subspace) and the query's distance
+    table are DRIVER-SIDE literals inlined into codegen, so encode +
+    ADC scoring is one map-only pass over the corpus with NO join and
+    NO shuffle; the only wide op is TakeOrdered(top-k). At 100 TB the
+    corpus pass reads the 4-byte code column only — this is why PQ
+    exists: the scan is 64× less I/O than raw embeddings, and the
+    distance table rides in the task closure. The fold order of every
+    double sum matches the DuckDB twin exactly (sequential over dims,
+    then m-ordered over subspaces), so ADC distances are bit-identical
+    cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "embedding").collect()
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0]
+    ]
+    # codebook: seeds' subvectors; ADC table: query-to-centroid subspace
+    # distances, folded in the SAME sequential order as the SQL twin
+    books: list[list[list[float]]] = []  # [m][k][dim]
+    dtab: list[list[float]] = []  # [m][k]
+    for m in range(PQ_M):
+        row_b, row_d = [], []
+        for r in seed_rows:
+            sub = [float(x) for x in r["embedding"][m * PQ_SUB : (m + 1) * PQ_SUB]]
+            row_b.append(sub)
+            acc = 0.0
+            for i in range(PQ_SUB):
+                diff = qvec[m * PQ_SUB + i] - sub[i]
+                acc = acc + diff * diff
+            row_d.append(acc)
+        books.append(row_b)
+        dtab.append(row_d)
+
+    def sub_sqd(m: int, sub_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}), {sub_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    def arr_lit(vals) -> str:
+        # CAST per element: Spark parses bare decimal literals as
+        # DECIMAL, which would leak into the output type via element_at
+        return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+    # per-subspace code: argmin(d2, kidx) over the K codebook entries
+    code_cols = []
+    for m in range(PQ_M):
+        terms = ", ".join(
+            f"struct({sub_sqd(m, arr_lit(books[m][k]))} AS d2, {k} AS kidx)"
+            for k in range(PQ_K)
+        )
+        code_cols.append(F.expr(f"array_min(array({terms})).kidx").alias(f"c{m}"))
+    coded = e.select("vec_id", "embedding", *code_cols)
+
+    # ADC: m-ordered fixed sum of distance-table lookups (literal arrays)
+    adc = None
+    for m in range(PQ_M):
+        lut = F.expr(f"element_at({arr_lit(dtab[m])}, c{m} + 1)")
+        adc = lut if adc is None else adc + lut
+    qlit = arr_lit(qvec)
+    true_d2 = F.expr(
+        f"aggregate(zip_with(embedding, {qlit}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc_d2"), true_d2.alias("true_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
+# --- SemDeDup: semantic dedup via cluster-then-pairwise --------------------
+
+SEMDEDUP_K = 4       # clusters (kmeans seeds); ~corpus_size/avg_cluster in prod
+SEMDEDUP_T = 0.35    # cosine threshold (fixture embeddings are near-orthogonal;
+                     # real text embeddings use ~0.95+)
+
+
+@register(
+    "llm_dedup_semdedup",
+    sql=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cluster_id, embedding AS ce
+      FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+    d AS (
+      SELECT e.vec_id, e.embedding, s.cluster_id,
+             {_sql_sqdist("e.embedding", "s.ce")} AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    a AS (
+      SELECT vec_id, embedding, cluster_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster_id) AS rn FROM d) t
+      WHERE rn = 1)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster_id,
+           {_sql_cos("x.embedding", "y.embedding")} AS cos_sim,
+           y.vec_id AS removed_vec
+    FROM a x JOIN a y
+      ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    WHERE {_sql_cos("x.embedding", "y.embedding")} >= {SEMDEDUP_T}
+    """,
+    doc=f"SemDeDup semantic dedup: k-means-cluster embeddings ({SEMDEDUP_K} "
+    "seed clusters), exact pairwise cosine ONLY within a cluster, drop the "
+    "higher id of every pair above the threshold — cluster blocking bounds "
+    "the quadratic term at |cluster|, never the corpus",
+)
+def llm_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): documents
+    that SAY the same thing in different words share no shingles, so
+    MinHash/SimHash miss them — but their embeddings are nearly
+    parallel. Cluster the embedding space (here: nearest of K
+    deterministic seeds, the `llm_kmeans_step` assignment idiom with
+    driver-inlined literals → map-only, no join), then compare pairs
+    ONLY within a cluster and drop the higher vec_id of any pair above
+    the cosine threshold (keep-first, deterministic).
+
+    100 TB shape: K scales with the corpus (SemDeDup used 50k clusters
+    for LAION) so |cluster| stays ~constant; the pair join shuffles on
+    cluster_id — each cluster's quadratic work is bounded and
+    embarrassingly parallel across clusters, the same skew profile as
+    LSH buckets (a runaway cluster takes the max_bucket-style cap).
+    The fixture's embeddings are random (near-orthogonal, max cos
+    ≈ 0.51), so the threshold is 0.35 here where production text
+    embeddings use ~0.95."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(SEMDEDUP_K).select("vec_id", "embedding").collect()
+
+    def lit_arr(vec) -> str:
+        return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
+
+    def sqd(seed_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(embedding, {seed_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    terms = ", ".join(
+        f"struct({sqd(lit_arr(r['embedding']))} AS d2, "
+        f"CAST({int(r['vec_id'])} AS BIGINT) AS cluster_id)"
+        for r in seed_rows
+    )
+    a = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"array_min(array({terms})).cluster_id").alias("cluster_id"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    cos = cosine("x.embedding", "y.embedding")
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_T)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.cluster_id").alias("cluster_id"),
+            cos.alias("cos_sim"),
+            F.col("y.vec_id").alias("removed_vec"),
+        )
+    )

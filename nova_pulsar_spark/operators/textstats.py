@@ -635,3 +635,119 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_bigram_count"),
         )
     )
+
+
+# --- BM25 retrieval scoring ------------------------------------------------
+
+BM25_TERMS = ("spark", "query", "vector")  # fixed probe query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _bm25_term_sql(t: str) -> str:
+    # identical operation ORDER as the Spark expression below — every
+    # intermediate is the same IEEE double on both engines
+    return (
+        f"COALESCE(MAX(CASE WHEN t.token = '{t}' THEN "
+        f"((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf AS DOUBLE) * ({BM25_K1} + 1)) / (CAST(tf AS DOUBLE)"
+        f" + {BM25_K1} * ((1 - {BM25_B}) + {BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / avgdl)))) END), 0)"
+    )
+
+
+@register(
+    "llm_bm25_score",
+    sql=f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    tfc AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, dl, token),
+    dfc AS (
+      SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_terms_matched,
+             {_bm25_term_sql(BM25_TERMS[0])} AS s0,
+             {_bm25_term_sql(BM25_TERMS[1])} AS s1,
+             {_bm25_term_sql(BM25_TERMS[2])} AS s2
+      FROM tfc t JOIN dfc d ON d.token = t.token CROSS JOIN stats
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           s0 + s1 + s2 AS score
+    FROM scored
+    ORDER BY s0 + s1 + s2 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 document retrieval for a fixed {len(BM25_TERMS)}-term query: "
+    "length-normalized saturating tf × rational idf ((N-df+0.5)/(df+0.5) — "
+    "log-free, so scoring is exactly reproducible cross-engine), top-15 docs",
+)
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval as the engine runs it at scale: tokens are
+    FILTERED to the query terms before any aggregation (predicate on
+    the exploded stream — at 100 TB an inverted-index/bloom layout
+    makes this a pruned scan, and only matching (doc, term) rows ever
+    shuffle). df/N/avgdl are tiny frames cross-joined as broadcasts.
+    Per-term partial scores pivot to fixed columns so the final score
+    is a FIXED-ORDER 3-term sum — grouped SUM over double rows would
+    be partitioning-dependent in the last ulp; s0+s1+s2 is not.
+    The idf is the rational Robertson form without the log wrapper:
+    monotone in the classic idf, so ranking is preserved, and exactly
+    reproducible across engines (log differs in last-ulp between
+    libms). Ties break by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token").isin(*BM25_TERMS))
+    tfc = tok.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (F.col("n_docs") - F.col("df")).cast("double") + 0.5
+    idf = idf / (F.col("df").cast("double") + 0.5)
+    sat = (F.col("tf").cast("double") * (BM25_K1 + 1)) / (
+        F.col("tf").cast("double")
+        + BM25_K1 * ((1 - BM25_B) + BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    s = idf * sat
+
+    def term_col(t: str):
+        return F.coalesce(F.max(F.when(F.col("token") == t, s)), F.lit(0.0))
+
+    scored = (
+        tfc.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            term_col(BM25_TERMS[0]).alias("s0"),
+            term_col(BM25_TERMS[1]).alias("s1"),
+            term_col(BM25_TERMS[2]).alias("s2"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_terms_matched",
+            (F.col("s0") + F.col("s1") + F.col("s2")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
