@@ -77,6 +77,10 @@ HEADLINE = [
     "llm_perplexity_proxy",
     "ts_downsample_ohlc",
     "ts_ewma",
+    "llm_simsearch_pq",
+    "llm_dedup_semdedup",
+    "llm_bm25_score",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -99,3 +99,77 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# --- Snapshot diff (table versioning / replication validation) ------------
+
+# Synthetic "old" and "new" snapshots carved deterministically out of
+# orders: old is missing keys ≡0 (mod 97) (appear as added), new is
+# missing keys ≡0 (mod 89) (appear as removed), and keys ≡0 (mod 7)
+# changed price in the new snapshot.
+DIFF_OLD_MOD = 97
+DIFF_NEW_MOD = 89
+DIFF_CHG_MOD = 7
+
+
+@register(
+    "cdc_snapshot_diff",
+    sql=f"""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % {DIFF_OLD_MOD} <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {DIFF_CHG_MOD} = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % {DIFF_NEW_MOD} <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    doc="Snapshot diff: full-outer join two table versions on the key, emit "
+    "added/removed/changed rows only — the replication-validation / "
+    "time-travel-diff primitive (one co-partitioned shuffle)",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff as ONE co-partitioned full-outer join: both
+    snapshots shuffle on the primary key (identical partitioning, so
+    AQE plans a single exchange per side and a local merge), and only
+    difference rows survive — the output is |changes|-sized, not
+    |table|-sized. At 100 TB the cheap pre-filter is dq_checksum per
+    partition: compare order-independent partition checksums first and
+    full-outer-join ONLY the partitions whose checksums differ (the
+    merkle-descent pattern); wide rows compare one canonical row hash
+    instead of column-by-column. This operator is the drill-down stage
+    of that pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % DIFF_OLD_MOD != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % DIFF_NEW_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % DIFF_CHG_MOD == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("n.o_orderkey") == F.col("o.o_orderkey"), "full_outer"
+    )
+    return j.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("old_price"),
+        F.col("n.o_totalprice").alias("new_price"),
+    )

@@ -1053,6 +1053,17 @@ SEMDEDUP_T = 0.35    # cosine threshold (fixture embeddings are near-orthogonal;
                      # real text embeddings use ~0.95+)
 
 
+_SEM_NRM_SQL = (
+    f"SQRT(list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+_SEM_NDOT_SQL = (
+    f"list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> x.nv[i] * y.nv[i]), (p, q) -> p + q)"
+)
+
+
 @register(
     "llm_dedup_semdedup",
     sql=f"""
@@ -1067,13 +1078,22 @@ SEMDEDUP_T = 0.35    # cosine threshold (fixture embeddings are near-orthogonal;
       SELECT vec_id, embedding, cluster_id
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY d2, cluster_id) AS rn FROM d) t
-      WHERE rn = 1)
+      WHERE rn = 1),
+    nrm AS (
+      SELECT vec_id, cluster_id, embedding, {_SEM_NRM_SQL} AS nrm FROM a),
+    n AS (
+      SELECT vec_id, cluster_id,
+             CASE WHEN nrm = 0 THEN NULL
+                  ELSE list_transform(range(1, {DIM + 1}),
+                                      i -> CAST(embedding[i] AS DOUBLE) / nrm)
+             END AS nv
+      FROM nrm)
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster_id,
-           {_sql_cos("x.embedding", "y.embedding")} AS cos_sim,
+           {_SEM_NDOT_SQL} AS cos_sim,
            y.vec_id AS removed_vec
-    FROM a x JOIN a y
+    FROM n x JOIN n y
       ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
-    WHERE {_sql_cos("x.embedding", "y.embedding")} >= {SEMDEDUP_T}
+    WHERE {_SEM_NDOT_SQL} >= {SEMDEDUP_T}
     """,
     doc=f"SemDeDup semantic dedup: k-means-cluster embeddings ({SEMDEDUP_K} "
     "seed clusters), exact pairwise cosine ONLY within a cluster, drop the "
@@ -1089,6 +1109,15 @@ def llm_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-inlined literals → map-only, no join), then compare pairs
     ONLY within a cluster and drop the higher vec_id of any pair above
     the cosine threshold (keep-first, deterministic).
+
+    The per-pair work is ONE dot product: vectors are L2-normalized in
+    the linear map pass (cosine(a,b) ≡ dot(â,b̂); zero-norm → NULL,
+    dropped by the threshold on both engines), and the normalized
+    frame is localCheckpointed since both sides of the pair join read
+    it — first cut recomputed a 3-fold cosine per pair, 55× slower at
+    sf0.1. The same normalize-once trick is what makes production
+    SemDeDup affordable: the quadratic stage touches unit vectors and
+    multiplies/adds only.
 
     100 TB shape: K scales with the corpus (SemDeDup used 50k clusters
     for LAION) so |cluster| stays ~constant; the pair join shuffles on
@@ -1121,20 +1150,47 @@ def llm_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(f"array_min(array({terms})).cluster_id").alias("cluster_id"),
     )
-    x, y = a.alias("x"), a.alias("y")
-    cos = cosine("x.embedding", "y.embedding")
+    # Normalize ONCE (linear), so each candidate pair costs a single
+    # dot fold; checkpoint because both join sides consume this frame.
+    n = (
+        a.select("vec_id", "cluster_id", "embedding", F.sqrt(_fold_dot("embedding", "embedding")).alias("nrm"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.expr(
+                "CASE WHEN nrm = 0 THEN NULL "
+                "ELSE transform(embedding, v -> CAST(v AS DOUBLE) / nrm) END"
+            ).alias("nv"),
+        )
+        # the fixture parquet is ONE row group → the O(n²/K) pair stage
+        # would run in a single task without an explicit fan-out; round-
+        # robin here so every core computes pair dots (real multi-file
+        # tables inherit scan parallelism and skip this)
+        .repartition(64)
+        .localCheckpoint()
+    )
+    x, y = n.alias("x"), n.alias("y")
+    ndot = F.expr(
+        "aggregate(zip_with(x.nv, y.nv, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # Broadcast the probe side: with few clusters an equi-join on
+    # cluster_id collapses to |K| tasks; broadcasting keeps all 32
+    # scan partitions computing pair dots map-side. At production K
+    # (thousands of small clusters) the same query without the hint is
+    # a well-distributed shuffle join — the hint only matters when
+    # |clusters| < |cores|.
     return (
         x.join(
-            y,
+            F.broadcast(y),
             (F.col("x.cluster_id") == F.col("y.cluster_id"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
-        .filter(cos >= SEMDEDUP_T)
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
             F.col("x.cluster_id").alias("cluster_id"),
-            cos.alias("cos_sim"),
+            ndot.alias("cos_sim"),
             F.col("y.vec_id").alias("removed_vec"),
         )
+        .filter(F.col("cos_sim") >= SEMDEDUP_T)
     )

@@ -615,3 +615,89 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)"
         ).alias("ewma"),
     ).orderBy("event_type")
+
+
+# --- CUSUM changepoint detection ------------------------------------------
+
+
+@register(
+    "ts_changepoint_cusum",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    t AS (
+      SELECT event_type, day, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM daily),
+    c AS (
+      SELECT event_type, day, n_days,
+             SUM(n * n_days - total) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM t),
+    r AS (
+      SELECT event_type, day, n_days, ABS(cusum) AS abs_cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, day) AS rn
+      FROM c)
+    SELECT event_type, day AS cp_day,
+           CAST(abs_cusum AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1
+    """,
+    doc="CUSUM changepoint per event_type: the day where the cumulative "
+    "deviation of daily counts from the series mean peaks — integer-scaled "
+    "(dev × n_days) so the running sum is exact on both engines",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection (CUSUM / binary-segmentation step):
+    the argmax of |Σ_{i<=t}(x_i − mean)| locates the most likely single
+    level shift in a series. Deviations are scaled by n_days
+    (n·n_days − total) so every intermediate stays BIGINT — a running
+    SUM over doubles would be last-ulp partitioning-dependent (DuckDB
+    windows aggregate via segment trees, Spark sequentially; integers
+    make the order irrelevant).
+
+    Scale shape: one shuffle to daily counts (map-side combined), one
+    shuffle on event_type for the windows — the per-series history
+    lands in one task, which is the right layout since changepoint
+    analysis is inherently sequential per series; millions of SERIES
+    parallelize across tasks, and a single series of years of days is
+    thousands of rows, never a memory risk."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    t = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    wc = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(wc).alias("cusum"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.abs(F.col("cusum")).desc(), "day")
+    return (
+        c.select(
+            "event_type",
+            "day",
+            "n_days",
+            F.abs(F.col("cusum")).alias("abs_cusum"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("abs_cusum").cast("bigint").alias("max_abs_cusum_scaled"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )

@@ -1074,3 +1074,16 @@ def test_pq_adc_approximates_exact_distance(spark, sf_dir):
     )
     overlap = {r["vec_id"] for r in rows} & {r["vec_id"] for r in exact}
     assert overlap, "PQ top-k shares nothing with exact top-k"
+
+
+def test_semdedup_pairs_within_cluster_and_thresholded(spark, sf_dir):
+    """Every emitted pair shares a cluster, clears the cosine
+    threshold, and removed_vec is always the higher id (keep-first)."""
+    from nova_pulsar_spark.operators.similarity import SEMDEDUP_T, llm_dedup_semdedup
+
+    rows = llm_dedup_semdedup(spark, sf_dir).collect()
+    assert rows, "semdedup should be non-vacuous on the fixture"
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["removed_vec"] == r["vec_b"]
+        assert r["cos_sim"] >= SEMDEDUP_T

@@ -384,3 +384,55 @@ def test_ewma_fold_matches_reference_recursion(spark, tmp_path):
     assert got["buy"]["ewma"] == 5.5
     assert got["buy"]["n_hours"] == 3 and got["buy"]["last_mean"] == 8.0
     assert got["view"]["ewma"] == 5.0 and got["view"]["n_hours"] == 1
+
+
+def test_changepoint_cusum_finds_planted_shift(spark, tmp_path):
+    """A series with a clean level shift (5/day then 50/day) must put
+    the |CUSUM| peak exactly at the last day of the old level."""
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.timeseries import ts_changepoint_cusum
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(20):
+        n = 5 if day < 10 else 50
+        for k in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, minutes=k), eid % 7, "shift", 1.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "cp")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in ts_changepoint_cusum(spark, d).collect()}
+    r = out["shift"]
+    # mean = 27.5/day: cumulative deviation is most negative right
+    # before the jump — day index 9 (2024-01-10)
+    assert r["cp_day"] == dt.datetime(2024, 1, 10)
+    assert r["n_days"] == 20
+
+
+def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
+    from nova_pulsar_spark.operators.cdc import (
+        DIFF_CHG_MOD,
+        DIFF_NEW_MOD,
+        DIFF_OLD_MOD,
+        cdc_snapshot_diff,
+    )
+
+    rows = cdc_snapshot_diff(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        if r["change_type"] == "added":
+            assert k % DIFF_OLD_MOD == 0 and k % DIFF_NEW_MOD != 0
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["change_type"] == "removed":
+            assert k % DIFF_NEW_MOD == 0 and k % DIFF_OLD_MOD != 0
+            assert r["new_price"] is None and r["old_price"] is not None
+        else:
+            assert k % DIFF_CHG_MOD == 0
+            assert r["new_price"] == r["old_price"] + 1.0
