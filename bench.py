@@ -58,6 +58,9 @@ HEADLINE = [
     "llm_chunk_overlap",
     "fn_zorder",
     "agg_corr_exact",
+    "llm_dedup_substring_scrub",
+    "llm_winnowing",
+    "llm_simsearch_rrf",
     "llm_dedup_keep_best",
     "llm_simsearch_batch",
     "llm_dedup_rate_by_source",

@@ -883,7 +883,16 @@ SUBSTR_K = 8  # span length in tokens; ~50 in production (Lee et al. 2022 shape)
 
 
 def substring_span_stats(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
-    """Per-doc duplicated K-token-span counts over any (doc_id, text) frame."""
+    """Per-doc duplicated K-token-span counts over any (doc_id, text) frame.
+
+    Span keys are Spark-native ``xxhash64`` BIGINTs, not md5 strings:
+    the output is hash-agnostic (counts of duplicated spans), so the
+    engine is free to pick the cheapest collision-safe key — an 8-byte
+    long shuffles at 1/4 the volume of a 32-char hex digest and hashes
+    ~5x faster. The DuckDB twin keeps md5; both agree as long as
+    neither hash collides (64-bit birthday at even 10^9 distinct spans
+    is ~3%·#pairs/2^64 ≈ negligible for count parity; a 100 TB corpus
+    with 10^12 spans would move to the 128-bit concat idiom)."""
     ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     grams = ws.filter(F.expr(f"size(ws) >= {k}")).select(
         "doc_id",
@@ -891,13 +900,13 @@ def substring_span_stats(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(ws) - {k} + 1), "
-                    f"i -> md5(CAST(concat_ws(' ', slice(ws, i, {k})) AS BINARY)))"
+                    f"i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))"
                 )
             )
         ).alias("g"),
     )
     # grams feeds BOTH the span-count aggregate and the join-back below;
-    # without materialization the shingle explode + md5 runs twice per
+    # without materialization the shingle explode + hash runs twice per
     # action (same reasoning as _sign_lsh_candidates' eager checkpoint).
     grams = grams.localCheckpoint()
     counts = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
@@ -1244,4 +1253,112 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= CONTAINMENT_T
             ).alias("is_subsumed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span SCRUB — remove cross-document boilerplate, emit clean text
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_substring_scrub",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pg AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - {SUBSTR_K} + 2),
+          i -> {{'i': i, 'g': md5(array_to_string(list_slice(ws, i, i + {SUBSTR_K} - 1), ' '))}})) AS s
+      FROM toks WHERE len(ws) >= {SUBSTR_K}),
+    pg2 AS (SELECT doc_id, s.i AS i, s.g AS g FROM pg),
+    counts AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pg2 GROUP BY g),
+    dup AS (SELECT p.doc_id, p.i FROM pg2 p JOIN counts c USING (g) WHERE c.nd > 1),
+    covp AS (SELECT doc_id, UNNEST(range(i, i + {SUBSTR_K})) AS p FROM dup),
+    cov AS (SELECT doc_id, list_sort(list_distinct(list(p))) AS cov FROM covp GROUP BY doc_id),
+    fin AS (
+      SELECT t.doc_id, t.ws, COALESCE(c.cov, []) AS cov
+      FROM toks t LEFT JOIN cov c USING (doc_id))
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_before,
+           CAST(len(list_filter(ws, (x, j) -> NOT list_contains(cov, j))) AS BIGINT) AS n_after,
+           CAST(len(ws) - len(list_filter(ws, (x, j) -> NOT list_contains(cov, j))) AS BIGINT) AS n_removed,
+           CASE WHEN ws IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(list_filter(ws, (x, j) -> NOT list_contains(cov, j)), ' '), '')
+           END AS clean_text
+    FROM fin
+    """,
+    doc=f"Boilerplate scrub: tokens covered by any {SUBSTR_K}-token span that also "
+    "occurs in another document are removed and the cleaned text re-emitted "
+    "(the removal side of the Lee-et-al span index; never all-pairs)",
+)
+def llm_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *removal* counterpart of :func:`llm_dedup_substring`: where
+    that operator reports how much of each document is copied
+    elsewhere, this one rewrites the corpus with the copied spans cut
+    out — the actual cleanup pass of a training-data pipeline
+    (C4/RefinedWeb-style boilerplate removal, generalized to exact
+    cross-document spans per Lee et al. 2022).
+
+    Shape, stage by stage, and why it survives 100 TB:
+    - span index: one posexplode of K-token span hashes -> the shuffle
+      carries (16-byte hash, doc_id, pos) rows; the duplicate test is
+      one groupBy on the hash. Nothing is ever compared pairwise.
+    - covered positions: duplicated span STARTS explode to at most K
+      positions each and collapse to a per-doc sorted set — shuffled
+      by doc_id, i.e. the same key the rebuild needs, so AQE plans a
+      single exchange for both.
+    - rebuild: the original token array is filtered by a lambda
+      against the per-doc covered set (array_contains on a sorted
+      int array) — pure map work; the corpus text itself is never
+      exploded for the rebuild, so the heavy column moves through
+      exactly one join, not a token-level shuffle.
+    NULL text stays NULL end-to-end on both engines (split/filter/
+    array_join all NULL-propagate); docs shorter than K tokens pass
+    through byte-identical (cov = empty set).
+
+    Reference parity: dedup family in BASELINE.json; the registered
+    exact twin walks the same span index in DuckDB.
+    """
+    return substring_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def substring_scrub(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Span-scrub pipeline over any (doc_id, text) frame (see
+    :func:`llm_dedup_substring_scrub` for the scale analysis)."""
+    ws = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    pos_grams = (
+        ws.filter(F.expr(f"size(ws) >= {k}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k} + 1), "
+                    f"i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))"
+                )
+            ).alias("i0", "g"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    # pos_grams feeds both the duplicate-count aggregate and the
+    # join-back; materialize once (same discipline as
+    # substring_span_stats). Span keys are xxhash64 BIGINTs for the
+    # same shuffle-volume reason as substring_span_stats (output is
+    # hash-agnostic; the DuckDB twin keeps md5).
+    pos_grams = pos_grams.localCheckpoint()
+    counts = pos_grams.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    dup_starts = pos_grams.join(counts.filter(F.col("nd") > 1), "g").select("doc_id", "i")
+    cov = (
+        dup_starts.select("doc_id", F.explode(F.expr(f"sequence(i, i + {k} - 1)")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("cov"))
+    )
+    fin = ws.join(cov, "doc_id", "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    kept = F.expr("filter(ws, (x, j) -> NOT array_contains(cov, j + 1))")
+    return fin.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_before"),
+        F.size(kept).cast("bigint").alias("n_after"),
+        (F.size("ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

@@ -1194,3 +1194,105 @@ def llm_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
+RRF_DENSE_K = 20  # dense candidate list length
+RRF_TOPK = 10
+
+
+def _rrf_sql() -> str:
+    from nova_pulsar_spark.operators.textstats import BM25_SQL
+
+    return f"""
+    WITH sparse_ranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse
+      FROM ({BM25_SQL}) b),
+    dense_ranked AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS r_dense
+      FROM (
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, {_sql_cos("e.embedding", "q.qe")} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id LIMIT {RRF_DENSE_K}) d),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+             COALESCE(1.0 / ({RRF_C} + s.r_sparse), 0) + COALESCE(1.0 / ({RRF_C} + d.r_dense), 0) AS rrf_score
+      FROM sparse_ranked s FULL OUTER JOIN dense_ranked d ON s.doc_id = d.doc_id)
+    SELECT doc_id, r_sparse, r_dense, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
+    """
+
+
+@register(
+    "llm_simsearch_rrf",
+    sql=_rrf_sql(),
+    doc=f"Hybrid retrieval: BM25 top-{15} (sparse) + cosine top-{RRF_DENSE_K} "
+    f"(dense) fused by reciprocal-rank fusion 1/({RRF_C}+rank), top-{RRF_TOPK}",
+)
+def llm_simsearch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) over the two
+    retrieval heads the engine already ships: the BM25 sparse scorer
+    (documents.text; inverted-index shape) and the brute/indexable
+    dense cosine head (embeddings; broadcast query). RRF is the
+    standard hybrid-retrieval combiner because it needs only RANKS —
+    no score normalization across incomparable scales.
+
+    100 TB shape: each head is already scale-safe on its own (BM25
+    filters the token stream to query terms before any shuffle; the
+    dense head is a broadcast-query map + TakeOrdered, or the IVF/LSH
+    index variants for big k). The fusion itself touches only the two
+    candidate LISTS — 15 + {RRF_DENSE_K} rows — so the outer join and
+    re-rank are driver-trivial no matter the corpus size; this is the
+    textbook "retrieve cheap per modality, fuse tiny" decomposition.
+
+    Cross-engine exactness: ranks are integers with doc_id
+    tie-breaks; 1.0/(60+rank) is one IEEE division of exact integers,
+    and the two-term sum is fixed-order — bit-identical on both
+    engines. Docs present in only one list contribute 0 for the
+    missing head (COALESCE), the standard RRF-over-union convention.
+    """
+    from pyspark.sql import Window as W
+
+    from nova_pulsar_spark.operators.textstats import llm_bm25_score
+
+    sparse = llm_bm25_score(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r_sparse"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    dense = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cosine("embedding", "qe").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(RRF_DENSE_K)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), "vec_id"))
+            .cast("bigint")
+            .alias("r_dense"),
+        )
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_sparse",
+        "r_dense",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPK)

@@ -659,9 +659,9 @@ def _bm25_term_sql(t: str) -> str:
     )
 
 
-@register(
-    "llm_bm25_score",
-    sql=f"""
+# Module-level so llm_simsearch_rrf's oracle twin can reuse the exact
+# same sparse-retrieval CTE (operators/similarity.py).
+BM25_SQL = f"""
     WITH stats AS (
       SELECT COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
@@ -687,7 +687,12 @@ def _bm25_term_sql(t: str) -> str:
            s0 + s1 + s2 AS score
     FROM scored
     ORDER BY s0 + s1 + s2 DESC, doc_id LIMIT {BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "llm_bm25_score",
+    sql=BM25_SQL,
     doc=f"BM25 document retrieval for a fixed {len(BM25_TERMS)}-term query: "
     "length-normalized saturating tf × rational idf ((N-df+0.5)/(df+0.5) — "
     "log-free, so scoring is exactly reproducible cross-engine), top-15 docs",
@@ -750,4 +755,109 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
+    )
+
+
+# --- Winnowing fingerprints ------------------------------------------------
+# Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003): hash every K-gram, then keep the MINIMUM
+# hash of each sliding window of W consecutive gram hashes. Guarantees at
+# least one fingerprint per W+K-1 tokens while selecting ~2/(W+1) of all
+# grams — the standard robust alternative to "every Nth hash" sampling for
+# plagiarism/near-dup detection.
+
+WNW_K = 4  # gram size in tokens
+WNW_W = 5  # winnowing window in grams
+
+# 32-bit md5-prefix gram hash packed with the 1-based gram position
+# (hash*32768 + pos) so min-selection tie-breaks on the EARLIEST
+# position identically on both engines. Positions here are < 32768
+# (test docs are ~100 tokens); production token counts widen the pack
+# to hash*2^32 + pos with a 24-bit hash, same idiom.
+_WNW_H_SPARK = (
+    f"CASE WHEN size(ws) >= {WNW_K + WNW_W - 1} THEN "
+    f"transform(sequence(1, size(ws) - {WNW_K} + 1), "
+    f"i -> CAST(conv(substring(md5(CAST(concat_ws(' ', slice(ws, i, {WNW_K})) AS BINARY)), 1, 8), 16, 10) AS BIGINT) * 32768 + i) "
+    f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+)
+_WNW_SEL_SPARK = (
+    f"CASE WHEN size(hs) >= {WNW_W} THEN "
+    f"transform(sequence(1, size(hs) - {WNW_W} + 1), j -> array_min(slice(hs, j, {WNW_W}))) "
+    f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+)
+_WNW_H_SQL = (
+    f"CASE WHEN len(ws) >= {WNW_K + WNW_W - 1} THEN "
+    f"list_transform(range(1, len(ws) - {WNW_K} + 2), "
+    f"i -> CAST(concat('0x', substring(md5(array_to_string(list_slice(ws, i, i + {WNW_K} - 1), ' ')), 1, 8)) AS BIGINT) * 32768 + i) "
+    f"ELSE [] END"
+)
+_WNW_SEL_SQL = (
+    f"CASE WHEN len(hs) >= {WNW_W} THEN "
+    f"list_transform(range(1, len(hs) - {WNW_W} + 2), j -> list_min(list_slice(hs, j, j + {WNW_W} - 1))) "
+    f"ELSE [] END"
+)
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, sel, fps) winnowing selection over any (doc_id, text)
+    frame — ``sel`` is the per-window min of (hash, position)-packed
+    values (position makes min-selection tie-breaks deterministic);
+    ``fps`` is the distinct set of the HASH parts (position divided
+    back out: matching across documents must be position-blind, or
+    two docs sharing a token run would never collide). Row-local
+    array lambdas only; the pytest property suite drives this
+    directly to assert the winnowing guarantee."""
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.expr(_WNW_H_SPARK).alias("hs"))
+        .select("doc_id", F.expr(_WNW_SEL_SPARK).alias("sel"))
+        .select(
+            "doc_id",
+            "sel",
+            F.array_distinct(F.expr("transform(sel, x -> x div 32768)")).alias("fps"),
+        )
+    )
+
+
+@register(
+    "llm_winnowing",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    hv AS (SELECT doc_id, {_WNW_H_SQL} AS hs FROM toks),
+    sel AS (SELECT doc_id, {_WNW_SEL_SQL} AS sel FROM hv),
+    fp AS (SELECT doc_id, sel, list_distinct(list_transform(sel, x -> x // 32768)) AS fps FROM sel)
+    SELECT doc_id,
+           CAST(len(sel) AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum,
+           CAST(len(fps) AS DOUBLE) / NULLIF(len(sel), 0) AS density
+    FROM fp
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer et al. 2003): min hash "
+    f"per sliding window of {WNW_W} {WNW_K}-gram hashes, earliest-position "
+    "tie-break; per-doc fingerprint count + order-independent checksum",
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection, fully row-local: the gram
+    hashing, the sliding-window min, and the distinct-set collapse are
+    all array lambdas over one document — zero shuffle, whole-stage
+    codegen, scan-bound at any corpus size. The selected-fingerprint
+    SET is what a dedup index would shuffle next (2/(W+1)=~1/3 of the
+    gram stream here vs every gram in llm_dedup_substring) — the
+    guarantee that any shared run of >= W+K-1 tokens still collides
+    on at least one selected fingerprint is the whole point of the
+    algorithm. Cross-engine exactness: 32-bit md5-prefix hashes packed
+    with the gram position (min therefore tie-breaks on the earliest
+    occurrence deterministically); the `fp_sum` column is an
+    order-independent checksum of the selected set, so the oracle
+    pins the exact fingerprints chosen, not just their count.
+    Docs shorter than W+K-1 tokens (and NULL text) yield zero windows
+    on both engines."""
+    out = winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.size("sel").cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("fp_sum"),
+        (F.size("fps").cast("double") / F.nullif(F.size("sel"), F.lit(0))).alias("density"),
     )

@@ -1087,3 +1087,80 @@ def test_semdedup_pairs_within_cluster_and_thresholded(spark, sf_dir):
         assert r["vec_a"] < r["vec_b"]
         assert r["removed_vec"] == r["vec_b"]
         assert r["cos_sim"] >= SEMDEDUP_T
+
+
+# --- winnowing / substring scrub / RRF (round-3 additions) -----------------
+
+
+def test_winnowing_guarantee_shared_run_collides(spark):
+    """The winnowing guarantee: any shared token run of length >=
+    W+K-1 (= 8 here) must produce at least one shared fingerprint;
+    and a doc with no shared grams shares nothing."""
+    from nova_pulsar_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one two {shared} suffix tail"),
+            (2, f"{shared} completely other ending words here"),
+            (3, "nothing in common with the others at all nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fps) for r in winnowing_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnowing_density_and_short_doc(spark):
+    from nova_pulsar_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, None), (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
+    # 7 tokens < W+K-1=8 -> no windows; NULL text -> no windows
+    assert rows[1].sel == [] and rows[2].sel == []
+    # 10 tokens -> 7 grams -> 3 windows, each selecting one min
+    assert len(rows[3].sel) == 3
+    assert 1 <= len(rows[3].fps) <= 3
+
+
+def test_substring_scrub_removes_planted_span(spark):
+    """Tokens covered by a cross-doc duplicated 8-token span are cut;
+    everything else survives verbatim; short docs pass through."""
+    from nova_pulsar_spark.operators.dedup import SUBSTR_K, substring_scrub
+
+    assert SUBSTR_K == 8
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {span} u3 u4"),
+            (2, f"v1 {span} v2 v3 v4 v5"),
+            (3, "short doc under eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_scrub(docs).collect()}
+    assert out[1].clean_text == "u1 u2 u3 u4"
+    assert out[2].clean_text == "v1 v2 v3 v4 v5"
+    assert out[3].clean_text == "short doc under eight"
+    assert out[1].n_removed == 8 and out[3].n_removed == 0
+
+
+def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    from nova_pulsar_spark.operators.similarity import RRF_C, RRF_TOPK, llm_simsearch_rrf
+
+    rows = llm_simsearch_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    # fused score must equal the rank formula exactly, missing head -> 0
+    for r in rows:
+        exp = (1.0 / (RRF_C + r.r_sparse) if r.r_sparse is not None else 0.0) + (
+            1.0 / (RRF_C + r.r_dense) if r.r_dense is not None else 0.0
+        )
+        assert r.rrf_score == exp
+    # descending with doc_id tie-break
+    keys = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
