@@ -61,6 +61,7 @@ HEADLINE = [
     "llm_dedup_substring_scrub",
     "llm_winnowing",
     "llm_simsearch_rrf",
+    "llm_simsearch_ivfpq",
     "llm_dedup_keep_best",
     "llm_simsearch_batch",
     "llm_dedup_rate_by_source",

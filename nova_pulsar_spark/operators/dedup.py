@@ -982,9 +982,22 @@ def setsim_prefix_pairs(
     """Exact Jaccard >= t_num/t_den shingle-set pairs via prefix filtering."""
     from pyspark.sql.window import Window as W
 
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
-        "doc_id", F.explode(_shingles_expr()).alias("tok")
-    ).localCheckpoint()  # 4 consumers: freq, ranked, and both verify sides
+    # Shingles are folded to xxhash64 BIGINTs immediately: every
+    # downstream stage (df count, rank windows, self-join, verify
+    # array intersect) keys on an 8-byte long instead of a ~20-char
+    # string — smaller shuffles and cheaper comparisons throughout.
+    # The output is hash-agnostic (pair ids + exact counts): prefix
+    # filtering is lossless under ANY consistent token order, so
+    # ordering by (df, hash) instead of (df, shingle) preserves the
+    # result set exactly; a 64-bit in-doc collision (odds ~|doc|²/2⁶⁴)
+    # is the only approximation and the DuckDB twin stays string-keyed
+    # to pin it.
+    toks = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("tok"))
+        .localCheckpoint()  # 4 consumers: freq, ranked, and both verify sides
+    )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         toks.join(freq, "tok")

@@ -164,13 +164,21 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with_ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    # Shingles fold to xxhash64 BIGINTs before the join: the output is
+    # overlap COUNTS (hash-agnostic), so the broadcast set and the
+    # probe stream both carry 8-byte longs instead of ~20-char strings
+    # — smaller broadcast, cheaper probes; the string-keyed DuckDB
+    # twin pins collision-freedom at test scale.
     bench = (
         with_ws.filter(F.col("doc_id") < N_BENCHMARK_DOCS)
-        .select(F.explode(shingles).alias("shingle"))
+        .select(F.explode(shingles).alias("s"))
+        .select(F.xxhash64("s").alias("shingle"))
         .distinct()
     )
-    corpus = with_ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS).select(
-        "doc_id", F.explode(shingles).alias("shingle")
+    corpus = (
+        with_ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
     )
     return (
         corpus.join(F.broadcast(bench), "shingle")

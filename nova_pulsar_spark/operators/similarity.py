@@ -983,6 +983,22 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     then m-ordered over subspaces), so ADC distances are bit-identical
     cross-engine."""
     e = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_adc_scores(e, spark, sf_dir)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "adc_d2", "true_d2")
+        .orderBy("adc_d2", "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
+def pq_adc_scores(corpus: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, adc_d2, true_d2) PQ encode + ADC scoring of any
+    subset of the embeddings table (codebook + query distance table are
+    driver literals from the FULL table, so scores are identical no
+    matter the subset — the property IVF-PQ relies on when ADC runs
+    only inside probed cells)."""
+    e = load_table(spark, sf_dir, "embeddings")
     seed_rows = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "embedding").collect()
     qvec = [
         float(x)
@@ -1025,7 +1041,7 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(PQ_K)
         )
         code_cols.append(F.expr(f"array_min(array({terms})).kidx").alias(f"c{m}"))
-    coded = e.select("vec_id", "embedding", *code_cols)
+    coded = corpus.select("vec_id", "label", "embedding", *code_cols)
 
     # ADC: m-ordered fixed sum of distance-table lookups (literal arrays)
     adc = None
@@ -1038,9 +1054,91 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    return coded.select(
+        "vec_id", "label", adc.alias("adc_d2"), true_d2.alias("true_d2")
+    )
+
+
+@register(
+    "llm_simsearch_ivfpq",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    idx AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centdim AS (
+      SELECT e.label, idx.i AS i,
+             list_reduce(list(CAST(e.embedding[idx.i] AS DOUBLE) ORDER BY e.vec_id), (a, b) -> a + b)
+               / COUNT(*) AS c
+      FROM embeddings e CROSS JOIN idx
+      GROUP BY e.label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cemb FROM centdim GROUP BY label),
+    probes AS (
+      SELECT cent.label FROM cent CROSS JOIN q
+      ORDER BY {_sql_cos("cent.cemb", "q.qe")} DESC, cent.label LIMIT {{NPROBE}}),
+    seeds AS (
+      SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kidx
+      FROM embeddings ORDER BY vec_id LIMIT {PQ_K}),
+    ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    cell AS (
+      SELECT e.vec_id, e.label, e.embedding
+      FROM embeddings e JOIN probes p ON e.label = p.label),
+    d AS (
+      SELECT e.vec_id, e.label, ms.m, s.kidx,
+             {_sql_sub_sqdist("e.embedding", "s.ce", "ms.m")} AS d2
+      FROM cell e CROSS JOIN ms CROSS JOIN seeds s),
+    codes AS (
+      SELECT vec_id, label, m, kidx FROM (
+        SELECT vec_id, label, m, kidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, kidx) AS rn
+        FROM d) t WHERE rn = 1),
+    qd AS (
+      SELECT ms.m, s.kidx, {_sql_sub_sqdist("q.qe", "s.ce", "ms.m")} AS qd2
+      FROM q CROSS JOIN ms CROSS JOIN seeds s),
+    adc AS (
+      SELECT c.vec_id, ANY_VALUE(c.label) AS label,
+             list_reduce(list(qd.qd2 ORDER BY c.m), (x, y) -> x + y) AS adc_d2
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.kidx = c.kidx
+      GROUP BY c.vec_id),
+    exact AS (
+      SELECT e.vec_id, {_sql_sqdist("e.embedding", "q.qe")} AS true_d2
+      FROM cell e CROSS JOIN q)
+    SELECT a.vec_id, a.label, a.adc_d2, x.true_d2
+    FROM adc a JOIN exact x ON x.vec_id = a.vec_id
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY a.adc_d2, a.vec_id LIMIT {PQ_TOPK}
+    """.replace("{NPROBE}", "2"),
+    doc="IVF-PQ ANN: coarse centroid probe (top-2 cells) + product-quantization "
+    "ADC scoring only inside probed cells — the full billion-scale index stack",
+)
+def llm_simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index (Jégou et al. 2011), i.e. what a
+    billion-scale ANN deployment actually runs: the IVF coarse
+    quantizer prunes the corpus to nprobe=2 cells (at cluster scale:
+    partition pruning on a label-partitioned code table — the scan
+    never touches the other cells' files), then PQ asymmetric-distance
+    scoring ranks ONLY the surviving vectors from their 4-byte codes.
+    Both halves are the already-benched building blocks: the cached
+    `ivf_centroids` frame (index build) and the driver-literal PQ
+    codebook/distance-table from `pq_adc_scores` — the compose step
+    adds one broadcast semi-join (cell filter) and nothing else.
+    `true_d2` rides along as the exact rerank head: at 100 TB the
+    pattern is ADC top-R from codes, then one gather of R raw vectors
+    for exact rerank — here R = k so the rerank is the output itself.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    probes = (
+        ivf_centroids(spark, sf_dir)
+        .crossJoin(F.broadcast(q))
+        .orderBy(cosine("cemb", "qe").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    cell = e.join(F.broadcast(probes), "label")
     return (
-        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", adc.alias("adc_d2"), true_d2.alias("true_d2"))
+        pq_adc_scores(cell, spark, sf_dir)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "adc_d2", "true_d2")
         .orderBy("adc_d2", "vec_id")
         .limit(PQ_TOPK)
     )

@@ -1164,3 +1164,26 @@ def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
     # descending with doc_id tie-break
     keys = [(-r.rrf_score, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_ivfpq_composes_ivf_pruning_with_pq_scores(spark, sf_dir):
+    """IVF-PQ = PQ ADC restricted to the probed cells: every hit must
+    come from <= 2 cells, and its ADC/exact distances must equal the
+    unpruned PQ scoring bit-for-bit (the codebook is corpus-global)."""
+    from nova_pulsar_spark.operators.similarity import (
+        llm_simsearch_ivfpq,
+        llm_simsearch_pq,
+        pq_adc_scores,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    hits = llm_simsearch_ivfpq(spark, sf_dir).collect()
+    assert 0 < len(hits) <= 10
+    assert len({r.label for r in hits}) <= 2
+    e = load_table(spark, sf_dir, "embeddings")
+    full = {
+        r.vec_id: (r.adc_d2, r.true_d2)
+        for r in pq_adc_scores(e, spark, sf_dir).collect()
+    }
+    for r in hits:
+        assert full[r.vec_id] == (r.adc_d2, r.true_d2)
