@@ -309,3 +309,66 @@ def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- k-anonymity over quasi-identifiers ------------------------------------
+
+KANON_K = 5  # groups smaller than this are re-identifiable
+
+
+@register(
+    "dq_k_anonymity",
+    sql=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(MIN(n) AS BIGINT) AS k_anon FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment, g.n,
+           g.n < {KANON_K} AS at_risk,
+           tot.k_anon AS table_k,
+           CAST(SUM(CASE WHEN g.n < {KANON_K} THEN g.n ELSE 0 END) OVER () AS BIGINT) AS n_at_risk_rows
+    FROM g CROSS JOIN tot
+    ORDER BY g.c_nationkey, g.c_mktsegment
+    """,
+    doc=f"k-anonymity audit: quasi-identifier (nation, segment) group sizes, "
+    f"k={KANON_K} risk flags, table-level k and total re-identifiable rows",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy/governance gate for releasing or training on tabular
+    data: a record is k-anonymous iff its quasi-identifier combination
+    is shared by >= k rows. One groupBy on the QI tuple gives every
+    group size; the table-level k (the MIN) and the count of at-risk
+    rows ride along via a broadcastable 1-row aggregate and an
+    unpartitioned window over the GROUP frame (group-count-sized, not
+    row-sized — at 100 TB the window input is |distinct QI| rows, and
+    the QI groupBy is an ordinary map-side-combinable shuffle).
+    Training-data relevance: the same shape audits PII joinability of
+    metadata columns before a corpus release (suppression lists come
+    straight from `at_risk` groups)."""
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.min("n").cast("bigint").alias("table_k"),
+    )
+    at_risk_rows = (
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(F.lit(0)))
+        .over(W.partitionBy())
+        .cast("bigint")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot.select("table_k")))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") < KANON_K).alias("at_risk"),
+            "table_k",
+            at_risk_rows.alias("n_at_risk_rows"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -736,3 +736,66 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") >= CONTAM_MIN_OVERLAP).alias("contaminated"),
         )
     )
+
+
+# --- Group-normalized quality (per-language z-scores) ----------------------
+
+
+@register(
+    "llm_quality_zscore",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+    st AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM base GROUP BY lang),
+    m AS (
+      SELECT lang, n, s, ss,
+             CAST(s AS DOUBLE) / n AS mu,
+             SQRT(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      FROM st)
+    SELECT b.doc_id, b.lang, b.x AS n_chars, m.mu AS lang_mean,
+           (b.x - m.mu) / NULLIF(m.sd, 0) AS zscore
+    FROM base b JOIN m ON m.lang = b.lang
+    """,
+    doc="Per-language z-score of document length: integer sum/sumsq per "
+    "group, fixed-order float math, broadcast join back — the "
+    "cross-language-comparable quality normalization",
+)
+def llm_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores are not comparable across languages (a 'good'
+    length/stopword/perplexity value differs per language), so real
+    curation pipelines normalize per group before thresholding — this
+    is that op, on the n_chars signal (swap in any scalar score).
+
+    Exactness: per-group moments come from INTEGER sum and sum-of-
+    squares (order-independent under any partitioning), converted to
+    doubles in one fixed operation order (s/n, ss/n - mu*mu, sqrt);
+    the z-score is then one subtraction and one division per row.
+    Degenerate groups (constant value -> sd = 0) yield NULL on both
+    engines via NULLIF. Scale: one map-side-combinable groupBy over
+    |groups| rows, the stats frame broadcasts back — the corpus is
+    scanned once and never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("x"))
+    st = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    m = st.select(
+        "lang",
+        mu.alias("mu"),
+        F.sqrt(F.col("ss").cast("double") / F.col("n") - mu * mu).alias("sd"),
+    )
+    return base.join(F.broadcast(m), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("x").alias("n_chars"),
+        F.col("mu").alias("lang_mean"),
+        ((F.col("x") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))).alias("zscore"),
+    )
