@@ -861,3 +861,148 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("fp_sum"),
         (F.size("fps").cast("double") / F.nullif(F.size("sel"), F.lit(0))).alias("density"),
     )
+
+
+WNW_MIN_SHARED = 2  # pairs must share >= 2 selected fingerprints
+
+
+@register(
+    "llm_dedup_winnow",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    hv AS (SELECT doc_id, {_WNW_H_SQL} AS hs FROM toks),
+    sel AS (SELECT doc_id, {_WNW_SEL_SQL} AS sel FROM hv),
+    fp AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(sel, x -> x // 32768))) AS f
+      FROM sel),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_shared
+    FROM pairs WHERE n_shared >= {WNW_MIN_SHARED}
+    """,
+    doc=f"Winnowing-index near-dup candidates: inverted fingerprint index, "
+    f"pairs sharing >= {WNW_MIN_SHARED} selected fingerprints (1/(W+1)~third "
+    "of the span-index size with the local-coverage guarantee)",
+)
+def llm_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing as a dedup CANDIDATE GENERATOR — the reason the
+    fingerprints exist: an inverted index over the selected hashes
+    finds every pair of documents sharing a token run of >= W+K-1
+    (guaranteed by the winnowing coverage property) while indexing
+    only ~2/(W+1) of the gram stream — about a third of the
+    llm_dedup_substring span index for the same local-overlap class.
+
+    Scale shape is exactly the LSH-band pattern: explode the per-doc
+    fingerprint SET (already distinct, row-local), one shuffle on the
+    8-byte fingerprint key, pair-count groupBy on (doc_a, doc_b).
+    Nothing all-pairs: a fingerprint shared by n docs costs n index
+    rows and n(n-1)/2 local pair rows within its bucket — the same
+    hot-bucket profile as MinHash bands, and the same `max_bucket`
+    HAVING-cap applies verbatim if a fingerprint goes boilerplate-hot
+    (see operators/dedup.py lsh_candidates).
+    """
+    # localCheckpoint BEFORE the explode: with fps referenced exactly
+    # once, CollapseProject would inline the whole winnowing lambda
+    # chain (hs -> sel -> fps) into the generator and — because
+    # Catalyst does not CSE inside lambdas — re-evaluate the gram
+    # hashing PER WINDOW ELEMENT, an O(L²) per-doc blowup (measured:
+    # sf0.1 goes from sub-second to >100 s). The checkpoint pins the
+    # per-row arrays exactly once; it is also the frame a production
+    # dedup DAG would materialize as the fingerprint index.
+    fp = (
+        winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fps")
+        .localCheckpoint()
+        .select("doc_id", F.explode("fps").alias("f"))
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "f")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(b, (a.f == b.f) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WNW_MIN_SHARED)
+    )
+
+
+# --- BPE encode: apply a merge table ---------------------------------------
+
+# A fixed, hierarchy-exercising merge list (production learns it by
+# iterating llm_bpe_merge_step; the encoder contract is "apply a given
+# ordered merge table", which is what this pins). th+e -> the shows
+# merges composing.
+BPE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"), ("o", "r")]
+
+
+def _bpe_char_stream_spark() -> str:
+    # word separator '§' becomes its own symbol; every char becomes a
+    # space-separated token. Codepoint-indexed on both engines. NULL
+    # text stays NULL; empty text becomes the empty stream '' (DuckDB's
+    # array_to_string([]) is NULL, hence the COALESCE in the twin).
+    return (
+        "CASE WHEN t1 IS NULL THEN NULL ELSE "
+        "array_join(CASE WHEN length(t1) >= 1 THEN "
+        "transform(sequence(1, length(t1)), i -> substring(t1, i, 1)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END, ' ') END"
+    )
+
+
+def _bpe_char_stream_sql() -> str:
+    return (
+        "CASE WHEN t1 IS NULL THEN NULL ELSE "
+        "COALESCE(array_to_string(CASE WHEN len(t1) >= 1 THEN "
+        "list_transform(range(1, len(t1) + 1), i -> t1[i]) "
+        "ELSE [] END, ' '), '') END"
+    )
+
+
+def _bpe_apply(expr: str, repl: str) -> str:
+    """Wrap ``expr`` in the ordered merge replaces (same fn both engines)."""
+    for a, b in BPE_MERGES:
+        expr = f"{repl}({expr}, '{a} {b}', '{a}{b}')"
+    return expr
+
+
+@register(
+    "llm_bpe_encode",
+    sql=f"""
+    WITH t AS (SELECT doc_id, replace(text, ' ', '§') AS t1, n_chars FROM documents),
+    c AS (SELECT doc_id, n_chars, {_bpe_char_stream_sql()} AS cs FROM t),
+    m AS (SELECT doc_id, n_chars, {_bpe_apply("cs", "replace")} AS ms FROM c)
+    SELECT doc_id,
+           CAST(len(string_split(ms, ' ')) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / NULLIF(len(string_split(ms, ' ')), 0) AS chars_per_token,
+           array_to_string(list_slice(string_split(ms, ' '), 1, 8), ' ') AS head_tokens
+    FROM m
+    """,
+    doc=f"BPE encoding: apply an ordered {len(BPE_MERGES)}-entry merge table "
+    "(incl. composing merges th+e->the) over the char stream; per-doc token "
+    "count, compression ratio, head tokens",
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of the tokenizer (llm_bpe_merge_step learns the
+    table; this encodes with it): text becomes a space-separated char
+    stream with '§' word boundaries, then each merge rule rewrites
+    'a b' -> 'ab' in table order — the exact greedy-merge semantics of
+    BPE inference, expressed as a fixed chain of string replaces that
+    whole-stage codegen fuses into ONE map pass. No shuffle, no UDF,
+    no Python: at 100 TB this is scan-bound, embarrassingly parallel,
+    and the merge table (vocabulary-sized in production) compiles into
+    the task closure the same way the PQ distance table does.
+    Left-to-right non-overlapping replace semantics are identical on
+    both engines, so token counts are oracle-exact; NULL text
+    NULL-propagates, empty text tokenizes to the single empty symbol
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.expr("replace(text, ' ', '§')").alias("t1"), "n_chars")
+    c = t.select("doc_id", "n_chars", F.expr(_bpe_char_stream_spark()).alias("cs"))
+    m = c.select("doc_id", "n_chars", F.expr(_bpe_apply("cs", "replace")).alias("ms"))
+    toks = F.split(F.col("ms"), " ")
+    return m.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.nullif(F.size(toks), F.lit(0))).alias("chars_per_token"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("head_tokens"),
+    )
