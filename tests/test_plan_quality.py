@@ -129,3 +129,41 @@ def test_mmr_pool_is_take_ordered(spark):
     )
     p = pool._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
+
+
+def test_ivfpq_cell_filter_is_broadcast_and_scoring_is_mapside(spark):
+    """IVF-PQ: the probe-cell restriction must be a BroadcastHashJoin
+    (semi-join against 2 labels), the ADC scoring must not shuffle the
+    corpus (no SortMergeJoin anywhere), and the final top-k must be
+    TakeOrdered, not a global sort."""
+    p = _plan(spark, "llm_simsearch_ivfpq")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_shingle_joins_key_on_longs_not_strings(spark):
+    """The hash-agnostic dedup paths must fold shingles/spans to
+    xxhash64 BIGINTs before any exchange — the smaller-shuffle-key
+    contract from docs/SCALE.md. The folding happens before the
+    materialized candidate checkpoint, so the executed plan shows the
+    checkpoint scan carrying a LONG key column (#nL), never a string
+    shingle."""
+    for name, key in (
+        ("llm_setsim_prefix", "tok"),
+        ("llm_dedup_substring", "g"),
+        ("llm_dedup_substring_scrub", "g"),
+    ):
+        p = _plan(spark, name)
+        assert re.search(rf"Scan ExistingRDD\[[^\]]*{key}#\d+L", p), (
+            f"{name} lost its integer shingle keys"
+        )
+
+
+def test_bpe_encode_is_single_codegen_pass(spark):
+    """The merge-table encoder is pure map work: no exchange at all in
+    the plan, the replaces fused into a codegen stage (`*(n)` spans in
+    the operator-tree string)."""
+    p = _plan(spark, "llm_bpe_encode")
+    assert "Exchange" not in p
+    assert "*(" in p  # WholeStageCodegen marker in toString() form
