@@ -799,3 +799,88 @@ def llm_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu").alias("lang_mean"),
         ((F.col("x") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))).alias("zscore"),
     )
+
+
+# --- LLM-judge quality scoring seam (S11/L1 generalized to data) -----------
+# The reference's signature operator is an external-LLM call whose
+# reply is validated and falls back to a deterministic algorithm
+# (scripts/starry-daemon.sh:136-168 / orbiter.md:25-33; the scheduler
+# seam in plans/scheduler.py:select_plan mirrors it for dispatch).
+# Modern curation pipelines use the same shape for model-based quality
+# scoring ("LLM-as-judge"): this operator is that seam over documents,
+# batched through mapInPandas so an external model (subprocess, HTTP,
+# in-process) scores Arrow-sized batches — with per-batch validation
+# and the deterministic heuristic as fallback.
+
+JUDGE_SCHEMA = "doc_id long, n_words long, judge_score double, judged_by string"
+
+
+def judge_quality(docs: DataFrame, judge=None) -> DataFrame:
+    """Score documents with an injectable ``judge``.
+
+    ``judge``: ``Callable[[list[str]], list[float]] | None`` — gets one
+    Arrow batch of texts, returns one score in [0, 1] per text. A
+    judge exception, a length mismatch, or any out-of-range/non-finite
+    score REJECTS the whole batch and falls back to the deterministic
+    heuristic (exactly the daemon's validate-or-fallback contract).
+    ``judge=None`` is the pure heuristic — the oracle-checked path.
+
+    Scale: mapInPandas streams Arrow batches through the scorer; the
+    plan is a single map stage (no shuffle), so an external model
+    bounds throughput, not Spark. Batches are independent → failures
+    degrade per batch, not per job."""
+    import pandas as pd  # local import: worker-side function below
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf["text"]
+            n_words = texts.str.split(" ").map(
+                lambda ws: len(ws) if isinstance(ws, list) else None
+            )
+            heur = (n_words.clip(upper=50) / 50.0).where(n_words.notna())
+            scores, by = heur, "heuristic"
+            if judge is not None:
+                try:
+                    ext = judge(list(texts.fillna("")))
+                    ok = (
+                        isinstance(ext, (list, tuple))
+                        and len(ext) == len(texts)
+                        and all(
+                            isinstance(x, (int, float)) and x == x and 0.0 <= x <= 1.0
+                            for x in ext
+                        )
+                    )
+                    if ok:
+                        scores = pd.Series(
+                            [float(x) for x in ext], index=texts.index
+                        ).where(texts.notna())
+                        by = "external"
+                except Exception:
+                    pass  # fall through to heuristic
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words.astype("Int64"),
+                    "judge_score": scores,
+                    "judged_by": by,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, JUDGE_SCHEMA)
+
+
+@register(
+    "llm_judge_quality",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           LEAST(len(string_split(text, ' ')), 50) / 50.0 AS judge_score,
+           'heuristic' AS judged_by
+    FROM documents
+    """,
+    doc="LLM-judge quality seam: mapInPandas batch scorer with injectable "
+    "external model, per-batch validation, deterministic fallback "
+    "(the reference's validate-or-fallback external-call contract)",
+)
+def llm_judge_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return judge_quality(load_table(spark, sf_dir, "documents"))

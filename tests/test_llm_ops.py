@@ -1187,3 +1187,32 @@ def test_ivfpq_composes_ivf_pruning_with_pq_scores(spark, sf_dir):
     }
     for r in hits:
         assert full[r.vec_id] == (r.adc_d2, r.true_d2)
+
+
+def test_judge_quality_external_scorer_and_fallback(spark):
+    """The S11-style validate-or-fallback contract on the data path:
+    a valid external judge's scores land with judged_by='external';
+    an invalid judge (wrong length / out-of-range / crash) falls back
+    to the deterministic heuristic for the batch."""
+    from nova_pulsar_spark.operators.pipeline import judge_quality
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, None)],
+        "doc_id long, text string",
+    )
+    # valid external judge: constant 0.5
+    out = {r.doc_id: r for r in judge_quality(docs, judge=lambda ts: [0.5] * len(ts)).collect()}
+    assert out[1].judged_by == "external" and out[1].judge_score == 0.5
+    assert out[3].judge_score is None  # NULL text never gets a score
+    # invalid: wrong length (for every batch size) -> heuristic
+    out = {r.doc_id: r for r in judge_quality(docs, judge=lambda ts: [0.5] * (len(ts) + 1)).collect()}
+    assert out[1].judged_by == "heuristic" and out[1].judge_score == 3 / 50
+    # invalid: out-of-range -> heuristic
+    out = {r.doc_id: r for r in judge_quality(docs, judge=lambda ts: [7.0] * len(ts)).collect()}
+    assert out[2].judged_by == "heuristic" and out[2].judge_score == 2 / 50
+    # crash -> heuristic
+    def boom(ts):
+        raise RuntimeError("model down")
+
+    out = {r.doc_id: r for r in judge_quality(docs, judge=boom).collect()}
+    assert all(r.judged_by == "heuristic" for r in out.values())
