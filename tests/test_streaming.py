@@ -947,3 +947,57 @@ def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
     got = sorted(r["ts"] for r in spark.sql("SELECT ts FROM late_out").collect())
     assert t(5) not in got          # the late row was filtered, not emitted
     assert got == [t(0), t(59), t(60), t(65)]
+
+
+def test_streaming_curation_pipeline_scrub_quality_gate(spark, tmp_path):
+    """The curation ops are plain narrow transforms, so the SAME code
+    runs on a readStream frame: ingest JSONL docs -> PII scrub ->
+    quality gate -> sink. Pins that the batch-oracle-checked curation
+    surface composes with Structured Streaming unchanged (map-only
+    plan: no watermark needed, nothing stateful)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nova_pulsar_spark.operators.pipeline import _EMAIL_RE, _LONGNUM_RE, _PHONE_RE
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    docs = [
+        {"doc_id": 1, "text": "reach me at bob@example.com for the spark table query plan"},
+        {"doc_id": 2, "text": "short"},
+        {"doc_id": 3, "text": " ".join(["w%d" % i for i in range(30)]) + " acct 123456789"},
+    ]
+    with open(os.path.join(src, "batch-0.json"), "w") as f:
+        for r in docs:
+            f.write(_json.dumps(r) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _LONGNUM_RE,
+        "<ID>",
+    )
+    curated = (
+        stream.select("doc_id", clean.alias("clean_text"))
+        .withColumn("n_words", F.size(F.split("clean_text", " ")))
+        .filter(F.col("n_words") >= 10)  # quality gate
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM curated_out").collect()}
+    assert set(out) == {1, 3}  # doc 2 fails the gate
+    assert "<EMAIL>" in out[1].clean_text and "@" not in out[1].clean_text
+    assert "<ID>" in out[3].clean_text and "123456789" not in out[3].clean_text

@@ -1,0 +1,67 @@
+"""Cross-scale-factor scaling report for the headline queries.
+
+Runs every bench.py HEADLINE query at two sf dirs (default sf0.01 and
+sf0.1 — a 10x data-size step) in ONE Spark session and prints the
+per-query time ratio. On the local single-row-group testdata a ratio
+near the data ratio (~10x) means the query is scan/work-bound and
+scales linearly; ratios well BELOW the data ratio mean fixed overhead
+(job setup, tiny inputs) dominates — both are fine. Ratios well ABOVE
+the data ratio flag superlinear work (the all-pairs / hot-bucket
+class) and deserve a plan audit.
+
+Usage:
+    python tools/scaling_report.py [small_sf_dir] [big_sf_dir]
+
+Prints one JSON line:
+    {"ratio_data": 10.0, "queries": {name: {"small": s, "big": s,
+     "ratio": r}}, "superlinear": [names with ratio > 2x data ratio]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from nova_pulsar_spark.registry import all_queries  # noqa: E402
+from nova_pulsar_spark.session import get_spark  # noqa: E402
+
+RUNS = 3
+
+
+def _best(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).count()  # warm (plan + scan caches)
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main(small: str, big: str) -> dict:
+    spark = get_spark()
+    regs = all_queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in HEADLINE:
+        rq = regs.get(name)
+        if rq is None:
+            continue
+        s = _best(rq.fn, spark, small)
+        b = _best(rq.fn, spark, big)
+        out[name] = {"small": round(s, 4), "big": round(b, 4), "ratio": round(b / s, 2) if s > 0 else None}
+    ratio_data = 10.0  # sf0.01 -> sf0.1
+    superlinear = [n for n, v in out.items() if v["ratio"] and v["ratio"] > 2 * ratio_data]
+    doc = {"ratio_data": ratio_data, "queries": out, "superlinear": superlinear}
+    print(json.dumps(doc))
+    return doc
+
+
+if __name__ == "__main__":
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    main(small, big)
