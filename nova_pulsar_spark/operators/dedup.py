@@ -1375,3 +1375,93 @@ def substring_scrub(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         (F.size("ws") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 5  # doc_id % 5 == 0 -> "new batch" (20%); rest is the stored index
+
+
+@register(
+    "llm_dedup_incremental",
+    sql=f"""
+    WITH {", ".join(MINHASH_SQL_CTES)},
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE (doc_a % {INCR_MOD} = 0) <> (doc_b % {INCR_MOD} = 0)),
+    norm AS (
+      SELECT CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_a ELSE doc_b END AS batch_doc,
+             CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_b ELSE doc_a END AS index_doc
+      FROM pairs),
+    agree AS (
+      SELECT n.batch_doc, n.index_doc,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_agree
+      FROM norm n
+      JOIN mh ma ON ma.doc_id = n.batch_doc
+      JOIN mh mb ON mb.doc_id = n.index_doc AND mb.seed = ma.seed
+      GROUP BY n.batch_doc, n.index_doc),
+    best AS (
+      SELECT batch_doc, index_doc, n_agree,
+             ROW_NUMBER() OVER (PARTITION BY batch_doc
+                                ORDER BY n_agree DESC, index_doc) AS rn
+      FROM agree)
+    SELECT batch_doc, index_doc AS matched_index_doc,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           n_agree / 8.0 AS est_jaccard,
+           n_agree >= 4 AS is_dup
+    FROM best WHERE rn = 1
+    """,
+    doc="Incremental dedup: new-batch docs probed against the existing "
+    "corpus minhash index via LSH bands; best index match per batch doc "
+    "(the daily-crawl-vs-historical-index production pattern)",
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of continuous corpus ingestion: the
+    historical corpus keeps a MATERIALIZED minhash/band index; each new
+    batch computes signatures for ITS docs only and probes the stored
+    bands — cost scales with the batch, never the corpus. Here the
+    split is modeled as doc_id % 5 == 0 (the "new crawl"); the
+    shared `dedup_candidates` stage plays the stored index, and the
+    incremental probe is the band bucket join restricted to
+    batch-vs-index pairs (batch-internal dups are the ordinary
+    `llm_dedup_near` path running on the small batch alone).
+
+    Per batch doc the best index match is an explicit row_number
+    argmax (n_agree DESC, index_doc) — tie-deterministic on both
+    engines (fuzz class: bare max_by is not). est_jaccard is the
+    banded signature-agreement estimate, n_agree/8 in one division.
+    The hot-bucket cap stays ON: a boilerplate band bucket in the
+    historical index would otherwise make every new crawl pay its
+    pair fan-out.
+    """
+    from pyspark.sql.window import Window as W
+
+    mh, cand, _ = dedup_candidates(spark, sf_dir)
+    is_batch = lambda c: c % INCR_MOD == 0  # noqa: E731
+    pairs = cand.filter(is_batch(F.col("doc_a")) != is_batch(F.col("doc_b")))
+    norm = pairs.select(
+        F.when(is_batch(F.col("doc_a")), F.col("doc_a")).otherwise(F.col("doc_b")).alias("batch_doc"),
+        F.when(is_batch(F.col("doc_a")), F.col("doc_b")).otherwise(F.col("doc_a")).alias("index_doc"),
+    )
+    ma = mh.select(F.col("doc_id").alias("batch_doc"), "seed", F.col("mh").alias("mh_a"))
+    mb = mh.select(F.col("doc_id").alias("index_doc"), "seed", F.col("mh").alias("mh_b"))
+    agree = (
+        norm.join(ma, "batch_doc")
+        .join(mb, ["index_doc", "seed"])
+        .groupBy("batch_doc", "index_doc")
+        .agg(F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias("n_agree"))
+    )
+    w = W.partitionBy("batch_doc").orderBy(F.col("n_agree").desc(), "index_doc")
+    return (
+        agree.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_doc",
+            F.col("index_doc").alias("matched_index_doc"),
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            (F.col("n_agree") / 8.0).alias("est_jaccard"),
+            (F.col("n_agree") >= 4).alias("is_dup"),
+        )
+    )
