@@ -834,10 +834,15 @@ def judge_quality(docs: DataFrame, judge=None) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             texts = pdf["text"]
+            # Nullable dtypes (Int64/Float64) end-to-end: a bare None
+            # coerces to numpy NaN in float64, and Arrow ships NaN as
+            # NaN — not NULL — which diverges from the SQL twin on
+            # NULL-text rows (edge-fixture finding). pd.NA survives
+            # the Arrow boundary as a true NULL.
             n_words = texts.str.split(" ").map(
                 lambda ws: len(ws) if isinstance(ws, list) else None
-            )
-            heur = (n_words.clip(upper=50) / 50.0).where(n_words.notna())
+            ).astype("Int64")
+            heur = (n_words.clip(upper=50).astype("Float64") / 50.0).where(n_words.notna())
             scores, by = heur, "heuristic"
             if judge is not None:
                 try:
@@ -851,16 +856,18 @@ def judge_quality(docs: DataFrame, judge=None) -> DataFrame:
                         )
                     )
                     if ok:
-                        scores = pd.Series(
-                            [float(x) for x in ext], index=texts.index
-                        ).where(texts.notna())
+                        scores = (
+                            pd.Series([float(x) for x in ext], index=texts.index)
+                            .astype("Float64")
+                            .where(texts.notna())
+                        )
                         by = "external"
                 except Exception:
                     pass  # fall through to heuristic
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_words": n_words.astype("Int64"),
+                    "n_words": n_words,
                     "judge_score": scores,
                     "judged_by": by,
                 }
@@ -874,7 +881,10 @@ def judge_quality(docs: DataFrame, judge=None) -> DataFrame:
     sql="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           LEAST(len(string_split(text, ' ')), 50) / 50.0 AS judge_score,
+           -- LEAST ignores NULL args on both engines (fuzz class 3),
+           -- so NULL text needs the explicit guard or it scores 50/50
+           CASE WHEN text IS NULL THEN NULL
+                ELSE LEAST(len(string_split(text, ' ')), 50) / 50.0 END AS judge_score,
            'heuristic' AS judged_by
     FROM documents
     """,
