@@ -894,3 +894,82 @@ def judge_quality(docs: DataFrame, judge=None) -> DataFrame:
 )
 def llm_judge_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return judge_quality(load_table(spark, sf_dir, "documents"))
+
+
+# --- Apply the mixture: per-source down-sampling to the target weights -----
+
+
+@register(
+    "llm_mix_apply",
+    sql=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT list_reduce(list(SQRT(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+                         (a, b) -> a + b) AS z,
+             CAST(SUM(n_tokens) AS BIGINT) AS t_all
+      FROM s),
+    rates AS (
+      SELECT s.source,
+             ((SQRT(CAST(s.n_tokens AS DOUBLE)) / tot.z) * tot.t_all / s.n_tokens)
+               / MAX((SQRT(CAST(s.n_tokens AS DOUBLE)) / tot.z) * tot.t_all / s.n_tokens) OVER ()
+               AS keep_rate
+      FROM s CROSS JOIN tot)
+    SELECT d.doc_id, d.source, r.keep_rate,
+           {_hash16_sql("CAST(d.doc_id AS VARCHAR)")} < r.keep_rate * 65536 AS kept
+    FROM documents d JOIN rates r ON r.source = d.source
+    """,
+    doc="Mixture application: per-source deterministic Bernoulli keep at "
+    "rate (target_weight / current_share) / max_ratio — down-samples "
+    "over-represented sources to the sqrt-temperature mixture",
+)
+def llm_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`llm_mix_weights` says WHAT the mixture should be; this op makes
+    it so: each source keeps documents at rate proportional to
+    target_weight / current_token_share, normalized so the most
+    under-represented source keeps everything — i.e. down-sample the
+    over-represented, never up-sample (the standard one-epoch mixing
+    rule). The keep decision is the proven deterministic-hash
+    Bernoulli (md5 16-bit bucket vs rate), so re-runs and engines
+    agree doc-by-doc.
+
+    Plan: one groupBy over sources (tiny), the z/max normalizers
+    computed with order-deterministic folds / order-independent MAX on
+    the source-sized frame, then ONE broadcast join back — the corpus
+    is scanned once, map-side, and never shuffled. At 100 TB the rates
+    frame is a handful of literals shipped with the tasks."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, "
+            "sqrt(CAST(n_tokens AS DOUBLE)) AS sq))), x -> x.sq), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("t_all"),
+    )
+    ratio = (
+        (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"))
+        * F.col("t_all")
+        / F.col("n_tokens")
+    )
+    from pyspark.sql.window import Window as W
+
+    rates = (
+        s.crossJoin(F.broadcast(tot))
+        .select("source", ratio.alias("ratio"))
+        .select("source", (F.col("ratio") / F.max("ratio").over(W.partitionBy())).alias("keep_rate"))
+    )
+    return d.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "keep_rate",
+        (
+            _hash16_spark(F.col("doc_id").cast("string")).cast("double")
+            < F.col("keep_rate") * 65536
+        ).alias("kept"),
+    )
