@@ -1394,3 +1394,98 @@ def llm_simsearch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPK)
+
+
+# --- Filtered vector search (pre-filter vs post-filter) --------------------
+
+
+@register(
+    "llm_simsearch_prefiltered",
+    sql=f"""
+    WITH q AS (
+      SELECT embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label, {_sql_cos("e.embedding", "q.qe")} AS cosine,
+             e.label <> q.qlabel AS passes
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}),
+    pre AS (
+      SELECT vec_id, label, cosine,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS pre_rank
+      FROM scored WHERE passes
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}),
+    post AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, passes FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT {TOP_K}) t
+      WHERE passes)
+    SELECT p.vec_id, p.label, p.cosine, p.pre_rank,
+           p.vec_id IN (SELECT vec_id FROM post) AS survives_postfilter
+    FROM pre p
+    """,
+    doc=f"Filtered ANN: top-{TOP_K} cosine restricted to label <> query's "
+    "(pre-filter: exact k results) with a flag for which hits the naive "
+    "post-filter (top-k then filter) would have kept — the recall gap",
+)
+def llm_simsearch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search — the pattern every production
+    vector store needs (search only docs matching a predicate). Two
+    strategies differ at scale:
+
+    - PRE-filter (this op's result): apply the predicate before
+      scoring/top-k. Always returns k hits from the eligible set; in
+      Spark the predicate lands in the scan (partition pruning when the
+      corpus is laid out by the filter column), so the filtered search
+      touches less data, not more.
+    - POST-filter (flagged per row): global top-k first, filter after
+      — cheaper with a prebuilt unfiltered index, but returns < k (or
+      zero) hits when the predicate is selective. `survives_postfilter`
+      marks exactly which pre-filter hits a post-filter of the same
+      budget would have found: the FALSE rows ARE the recall gap.
+
+    The scoring itself reuses the broadcast-query fused-fold cosine;
+    both rankings are TakeOrdered, never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            cosine("embedding", "qe").alias("cosine"),
+            (F.col("label") != F.col("qlabel")).alias("passes"),
+        )
+    )
+    scored = scored.localCheckpoint()  # two consumers: pre and post rankings
+    from pyspark.sql.window import Window as W
+
+    pre = (
+        scored.filter("passes")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            "cosine",
+            F.row_number().over(W.orderBy(F.col("cosine").desc(), "vec_id")).cast("bigint").alias("pre_rank"),
+        )
+    )
+    post = (
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+        .filter("passes")
+        .select(F.col("vec_id").alias("pv"), F.lit(True).alias("survives_postfilter"))
+    )
+    return (
+        pre.join(F.broadcast(post), pre.vec_id == F.col("pv"), "left")
+        .select(
+            "vec_id",
+            "label",
+            "cosine",
+            "pre_rank",
+            F.coalesce("survives_postfilter", F.lit(False)).alias("survives_postfilter"),
+        )
+    )
