@@ -1216,3 +1216,101 @@ def test_judge_quality_external_scorer_and_fallback(spark):
 
     out = {r.doc_id: r for r in judge_quality(docs, judge=boom).collect()}
     assert all(r.judged_by == "heuristic" for r in out.values())
+
+
+def test_bpe_encode_merges_compose(spark):
+    """th+e -> the: the ordered merge table must produce 'the' as ONE
+    token, and untouched words stay character tokens."""
+    from nova_pulsar_spark.operators.dedup import load_table  # noqa: F401  (style parity)
+    from nova_pulsar_spark.operators.textstats import BPE_MERGES
+
+    assert ("t", "h") in BPE_MERGES and ("th", "e") in BPE_MERGES
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.textstats import (
+        _bpe_apply,
+        _bpe_char_stream_spark,
+    )
+
+    docs = spark.createDataFrame([(1, "the cat"), (2, "xyz")], "doc_id long, text string")
+    t = docs.select("doc_id", F.expr("replace(text, ' ', '§')").alias("t1"))
+    c = t.select("doc_id", F.expr(_bpe_char_stream_spark()).alias("cs"))
+    m = {r.doc_id: r.ms for r in c.select("doc_id", F.expr(_bpe_apply("cs", "replace")).alias("ms")).collect()}
+    assert m[1].split(" ")[0] == "the"  # two merges composed
+    assert m[2] == "x y z"  # no merge applies
+
+
+def test_mix_apply_downsamples_to_target(spark, sf_dir):
+    """The most under-represented source keeps everything (rate 1.0);
+    kept fractions track keep_rate; the decision is a pure function of
+    doc_id (stable across runs)."""
+    from nova_pulsar_spark.operators.pipeline import llm_mix_apply
+
+    rows = llm_mix_apply(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        st = by_source.setdefault(r.source, {"rate": r.keep_rate, "n": 0, "kept": 0})
+        st["n"] += 1
+        st["kept"] += int(r.kept)
+    assert max(st["rate"] for st in by_source.values()) == 1.0
+    for st in by_source.values():
+        frac = st["kept"] / st["n"]
+        assert abs(frac - st["rate"]) < 0.25  # hash noise at fixture sizes
+    again = {(r.doc_id, r.kept) for r in llm_mix_apply(spark, sf_dir).collect()}
+    assert {(r.doc_id, r.kept) for r in rows} == again
+
+
+def test_incremental_dedup_flags_planted_crossover(spark, sf_dir):
+    """Every reported match pairs a batch doc (id % 5 == 0) with an
+    index doc (id % 5 != 0); est_jaccard = n_agree/8; rerun-stable."""
+    from nova_pulsar_spark.operators.dedup import INCR_MOD, llm_dedup_incremental
+
+    rows = llm_dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.batch_doc % INCR_MOD == 0
+        assert r.matched_index_doc % INCR_MOD != 0
+        assert r.est_jaccard == r.n_agree / 8.0
+        assert r.is_dup == (r.n_agree >= 4)
+    # one row per batch doc (best-match argmax)
+    assert len({r.batch_doc for r in rows}) == len(rows)
+
+
+def test_prefiltered_search_matches_brute_force(spark, sf_dir):
+    """Pre-filter hits = brute-force cosine ranking restricted to the
+    predicate; survives_postfilter flags exactly the hits inside the
+    unfiltered global top-k."""
+    from nova_pulsar_spark.operators.similarity import (
+        TOP_K,
+        llm_simsearch_prefiltered,
+        llm_simsearch_topk,
+    )
+
+    hits = llm_simsearch_prefiltered(spark, sf_dir).collect()
+    brute = llm_simsearch_topk(spark, sf_dir).collect()  # unfiltered top-k
+    qlabel_excluded = {r.label for r in hits}
+    assert len(hits) == TOP_K
+    # the query's own label never appears (the predicate)
+    unfiltered_ids = {r.vec_id for r in brute}
+    for r in hits:
+        assert r.survives_postfilter == (r.vec_id in unfiltered_ids)
+    # pre_rank is dense 1..k by descending cosine
+    assert [r.pre_rank for r in sorted(hits, key=lambda r: -r.cosine)] == list(range(1, TOP_K + 1))
+    assert qlabel_excluded  # non-vacuous
+
+
+def test_k_anonymity_flags_planted_small_group(spark):
+    """A quasi-identifier combination below k is at_risk; table_k is
+    the global min; n_at_risk_rows sums the risky groups."""
+    from nova_pulsar_spark.operators.dataquality import KANON_K
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    c = spark.createDataFrame(
+        [(i, i % 2, "BIG") for i in range(20)] + [(100, 9, "RARE"), (101, 9, "RARE")],
+        "c_custkey long, c_nationkey int, c_mktsegment string",
+    )
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rows = g.select("c_nationkey", "c_mktsegment", "n", (F.col("n") < KANON_K).alias("at_risk")).collect()
+    risky = {(r.c_nationkey, r.c_mktsegment) for r in rows if r.at_risk}
+    assert risky == {(9, "RARE")}
