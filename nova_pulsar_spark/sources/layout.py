@@ -84,3 +84,95 @@ def compact_dir(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1
 
     shutil.rmtree(old)
     return n_files
+
+
+# --- Training-shard export with integrity manifest -------------------------
+
+import json
+
+
+def write_training_shards(
+    df: DataFrame, path: str, key_col: str, n_shards: int
+) -> dict:
+    """Export a curated corpus as deterministic training shards with a
+    per-shard integrity manifest — the artifact a training job reads.
+
+    - Shard assignment is ``crc32(key) % n_shards``: a pure function of
+      the example key, so re-exports and backfills land examples in the
+      same shard (the same stability argument as the hash train/test
+      split), and shards are balanced in expectation.
+    - One file per shard via ``repartition(n_shards, shard)``.
+    - ``_manifest.json`` (underscore: invisible to Spark readers, like _SUCCESS) records per shard: row count and an
+      order-independent checksum (SUM of 60-bit md5 prefixes of the
+      key, the dq_checksum idiom, exact in Python ints) — written
+      tmp+rename so readers never see a partial manifest.
+
+    At 100 TB this is the final pipeline stage after dedup/curation/
+    packing; the manifest is what lets the trainer (or a later copy
+    job) verify every shard without re-reading the pipeline.
+    """
+    shard = F.expr(f"crc32(CAST({key_col} AS STRING)) % {n_shards}").cast("int")
+    out = df.withColumn("shard", shard).repartition(n_shards, F.col("shard"))
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr(
+                    f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) * 268435456L"
+                    f" + CAST(conv(substring(md5(CAST({key_col} AS STRING)), 9, 7), 16, 10) AS BIGINT)"
+                ).cast("decimal(38,0)")
+            ).cast("string").alias("checksum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "shards": {
+            str(r["shard"]): {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+            for r in stats
+        },
+    }
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.rename(tmp, os.path.join(path, "_manifest.json"))
+    return manifest
+
+
+def verify_shards(spark: SparkSession, path: str) -> dict:
+    """Recompute every shard's count/checksum and diff against the
+    manifest. Returns {shard: problem} — empty means intact. The scan
+    reads only the key column (column pruning), so verification I/O is
+    a fraction of the data."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    key_col = manifest["key_col"]
+    actual = {
+        str(r["shard"]): (r["n_rows"], r["checksum"])
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr(
+                    f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) * 268435456L"
+                    f" + CAST(conv(substring(md5(CAST({key_col} AS STRING)), 9, 7), 16, 10) AS BIGINT)"
+                ).cast("decimal(38,0)")
+            ).cast("string").alias("checksum"),
+        )
+        .collect()
+    }
+    problems: dict = {}
+    for sid, want in manifest["shards"].items():
+        got = actual.get(sid)
+        if got is None:
+            problems[sid] = "missing shard"
+        elif got != (want["n_rows"], want["checksum"]):
+            problems[sid] = f"mismatch: manifest={want} actual={got}"
+    for sid in actual:
+        if sid not in manifest["shards"]:
+            problems[sid] = "unexpected shard"
+    return problems
