@@ -62,6 +62,10 @@ HEADLINE = [
     "llm_winnowing",
     "llm_simsearch_rrf",
     "llm_simsearch_ivfpq",
+    "llm_bpe_encode",
+    "llm_dedup_winnow",
+    "llm_mix_apply",
+    "llm_judge_quality",
     "llm_dedup_keep_best",
     "llm_simsearch_batch",
     "llm_dedup_rate_by_source",
