@@ -50,6 +50,7 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q9",
     "tpch_q18",
+    "tpch_q21",
     "llm_pack_sequences",
     "llm_quality_repetition",
     "llm_dedup_clusters",
