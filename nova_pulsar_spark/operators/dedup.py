@@ -1465,3 +1465,68 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree") >= 4).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-quality evaluation: LSH candidate recall vs exact truth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_lsh_recall",
+    sql=f"""
+    WITH {", ".join(MINHASH_SQL_CTES)},
+    sh AS (
+      SELECT doc_id, list_distinct({SHINGLES_SQL}) AS s
+      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * {SETSIM_DEN}
+            >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * {SETSIM_NUM}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth t JOIN cand c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_found AS DOUBLE) / NULLIF(n_true, 0) AS recall
+    FROM counts
+    """,
+    doc=f"LSH index-quality audit: candidate recall against the exact "
+    f"shingle-Jaccard>={SETSIM_NUM}/{SETSIM_DEN} truth set (PPJoin-derived, "
+    "lossless) — the number every banded index must report before production",
+)
+def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before trusting a banded-LSH index at 100 TB you measure its
+    candidate RECALL against exact truth on a sample — this op is that
+    audit, with both sides scale-safe: truth comes from the
+    prefix-filtered set-similarity join (exact and lossless at the
+    threshold, never all-pairs on the Spark side), candidates from the
+    shared banded stage with the hot-bucket cap ON — so the metric
+    also PRICES the cap's recall trade, not just band selectivity.
+    The DuckDB twin recomputes truth naively all-pairs (fine at oracle
+    scale) — an independent derivation, so a lossless-filter bug in
+    the Spark truth side would surface as a mismatch here.
+    One-row output: |truth|, |candidates|, |truth ∩ candidates|,
+    recall. Missed pairs are typically sub-threshold-band agreement
+    (raise bands/rows) or capped hot buckets (raise the cap or accept
+    the documented trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        setsim_prefix_pairs(docs)
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    _, cand, _ = dedup_candidates(spark, sf_dir)
+    truth = truth.localCheckpoint()  # two consumers: count + intersection
+    cand = cand.localCheckpoint()
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_found = found.count()
+    row = [(n_true, n_cand, n_found, (float(n_found) / n_true) if n_true else None)]
+    return spark.createDataFrame(
+        row, "n_true bigint, n_candidates bigint, n_found bigint, recall double"
+    )
