@@ -167,3 +167,46 @@ def test_bpe_encode_is_single_codegen_pass(spark):
     p = _plan(spark, "llm_bpe_encode")
     assert "Exchange" not in p
     assert "*(" in p  # WholeStageCodegen marker in toString() form
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The 100 TB skew story has two tiers: explicit salting
+    (join_salted_skew / agg_salted_hot_key) and AQE's runtime skew
+    join. This pins the second mechanically: a hot-key join under
+    skew-tuned thresholds must execute as SortMergeJoin(skew=true)
+    with an 'AQEShuffleRead … skewed' read — i.e. Spark really did
+    split the oversized partition, we're not just trusting the docs."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300000  # correctness unaffected
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p
+        assert "skewed" in p  # the AQEShuffleRead split marker
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
