@@ -1007,3 +1007,81 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.nullif(F.size(toks), F.lit(0))).alias("chars_per_token"),
         F.array_join(F.slice(toks, 1, 8), " ").alias("head_tokens"),
     )
+
+
+# --- Quality gate: the composed keep/drop decision -------------------------
+
+_GATE_SW = "'the', 'a', 'of', 'and', 'to', 'el', 'la', 'de', 'y', 'que', 'der', 'die', 'das', 'und', 'ist', 'le', 'et', 'est'"
+
+
+@register(
+    "llm_quality_gate",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(text) AS n_chars_t,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_GATE_SW}], t))) AS sw_hits
+      FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN text IS NULL THEN 'null'
+             WHEN n_words < 10 OR n_words > 2000 THEN 'length'
+             WHEN CAST(n_digit AS DOUBLE) / NULLIF(n_chars_t, 0) >= 0.2 THEN 'digits'
+             WHEN CAST(n_distinct AS DOUBLE) / n_words <= 0.05 THEN 'repetition'
+             WHEN sw_hits < 1 THEN 'language'
+           END AS drop_reason,
+           CASE
+             WHEN text IS NULL THEN FALSE
+             WHEN n_words < 10 OR n_words > 2000 THEN FALSE
+             WHEN CAST(n_digit AS DOUBLE) / NULLIF(n_chars_t, 0) >= 0.2 THEN FALSE
+             WHEN CAST(n_distinct AS DOUBLE) / n_words <= 0.05 THEN FALSE
+             WHEN sw_hits < 1 THEN FALSE
+             ELSE TRUE
+           END AS keep
+    FROM w
+    """,
+    doc="Composed quality gate (Gopher-style rule cascade): length band, "
+    "digit ratio, vocabulary diversity, stopword presence — keep flag + "
+    "first-failing-rule reason, one scan",
+)
+def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision head of the curation pipeline: individual quality
+    signals (llm_text_quality, llm_quality_repetition, langid) exist
+    as reports; a production filter needs ONE boolean per document
+    plus an auditable reason. This is the Gopher-style rule cascade —
+    rules evaluated in a fixed order, the first failure names the
+    drop_reason (so corpus-loss dashboards can attribute removals),
+    all computed in a single scan inside whole-stage codegen: at
+    100 TB this op IS the corpus pass, everything else reads its
+    output. NULL text drops with reason 'null'; empty text fails
+    'length'; ratios guard their zero denominators identically on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
+    n_chars_t = F.length(F.col("text"))
+    sw_hits = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({_GATE_SW}))"))
+    digit_ratio = n_digit.cast("double") / F.nullif(n_chars_t, F.lit(0))
+    ttr = n_distinct.cast("double") / n_words
+    reason = (
+        F.when(F.col("text").isNull(), "null")
+        .when((n_words < 10) | (n_words > 2000), "length")
+        .when(digit_ratio >= 0.2, "digits")
+        .when(ttr <= 0.05, "repetition")
+        .when(sw_hits < 1, "language")
+    )
+    keep = (
+        F.when(F.col("text").isNull(), F.lit(False))
+        .when((n_words < 10) | (n_words > 2000), F.lit(False))
+        .when(digit_ratio >= 0.2, F.lit(False))
+        .when(ttr <= 0.05, F.lit(False))
+        .when(sw_hits < 1, F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    return d.select("doc_id", reason.alias("drop_reason"), keep.alias("keep"))

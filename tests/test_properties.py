@@ -175,3 +175,51 @@ def test_weighted_sample_monotone_in_weight(spark, weights):
     assert included == py_included  # engine matches the reference impl
     boosted = {i for i, w in rows if h16(i) * tot < 65536 * SAMPLE_K * (2 * w)}
     assert included <= boosted
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+
+
+@given(
+    pre=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),
+    run=st.lists(st.sampled_from(_WORDS), min_size=8, max_size=12),
+    post=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),
+    other_pre=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),
+)
+@_settings
+def test_winnowing_guarantee_holds_for_random_shared_runs(spark, pre, run, post, other_pre):
+    """Property form of the winnowing guarantee: ANY shared run of
+    >= W+K-1 (=8) tokens produces at least one shared fingerprint,
+    regardless of surrounding context."""
+    from nova_pulsar_spark.operators.textstats import winnowing_fingerprints
+
+    doc1 = " ".join(pre + run + post)
+    doc2 = " ".join(other_pre + run)
+    docs = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in winnowing_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], (doc1, doc2)
+
+
+@given(
+    a_extra=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4),
+    span_seed=st.integers(min_value=0, max_value=2**16),
+    b_extra=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=4),
+)
+@_settings
+def test_substring_scrub_always_removes_planted_cross_doc_span(spark, a_extra, span_seed, b_extra):
+    """Property: a 8-token span planted in two docs never survives the
+    scrub in either doc; docs keep their non-span tokens in order."""
+    from nova_pulsar_spark.operators.dedup import substring_scrub
+
+    rnd = random.Random(span_seed)
+    span = [f"s{rnd.randrange(1000)}_{i}" for i in range(8)]  # unique span tokens
+    doc_a = " ".join(a_extra + span)
+    doc_b = " ".join(span + b_extra)
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_scrub(docs).collect()}
+    for sid in span:
+        assert sid not in out[1].clean_text.split(" ")
+        assert sid not in out[2].clean_text.split(" ")
+    # non-span tokens survive in order (span tokens are unique, extras may repeat)
+    assert [t for t in out[1].clean_text.split(" ") if t] == a_extra
+    assert [t for t in out[2].clean_text.split(" ") if t] == b_extra
