@@ -1314,3 +1314,26 @@ def test_k_anonymity_flags_planted_small_group(spark):
     rows = g.select("c_nationkey", "c_mktsegment", "n", (F.col("n") < KANON_K).alias("at_risk")).collect()
     risky = {(r.c_nationkey, r.c_mktsegment) for r in rows if r.at_risk}
     assert risky == {(9, "RARE")}
+
+
+def test_minhash_estimator_calibration_on_fixture(spark):
+    """The 8-seed banded estimate tracks exact Jaccard on the fixture's
+    candidate pairs: deterministic (fixed corpus + fixed hash family),
+    so the bounds are exact regression pins, not statistics — mean
+    |est - true| ~0.13, worst 0.65 (J(1-J)/8 variance at 8 seeds)."""
+    from nova_pulsar_spark.registry import all_queries
+
+    regs = all_queries()
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in regs["llm_dedup_near"].fn(spark, SF).collect()
+    }
+    true = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in regs["llm_dedup_verify"].fn(spark, SF).collect()
+    }
+    common = set(est) & set(true)
+    assert len(common) >= 20  # non-vacuous
+    errs = [abs(est[k] - true[k]) for k in common]
+    assert sum(errs) / len(errs) <= 0.2
+    assert max(errs) <= 0.7
