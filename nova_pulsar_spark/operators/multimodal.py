@@ -411,3 +411,52 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
         F.min("doc_id").over(w).cast("bigint").alias("keeper_id"),
     )
+
+
+# --- Exact payload dedup (the binary-column counterpart of phash) ----------
+
+
+@register(
+    "multimodal_dedup_bytes",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, md5(text) AS payload_md5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+      FROM documents WHERE text IS NOT NULL)
+    SELECT payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           COUNT(*) > 1 AS is_dup,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(MIN(payload_bytes) AS BIGINT) AS payload_bytes,
+           CAST(SUM(payload_bytes) - MIN(payload_bytes) AS BIGINT) AS reclaimable_bytes
+    FROM b GROUP BY payload_md5
+    """,
+    doc="Exact binary-payload dedup: md5 over the payload column, keep "
+    "lowest id per digest, reclaimable-bytes accounting (the storage "
+    "dedup pass a multimodal corpus runs before any decoding)",
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical asset dedup — the cheapest and highest-yield pass
+    on a multimodal corpus (crawls re-fetch the same image/audio under
+    many URLs). Digest-groupBy over md5(payload): the shuffle carries
+    (16-byte digest, id, size) rows, the payload column itself never
+    moves — at 100 TB that is the difference between shuffling
+    kilobyte keys and shuffling the corpus. `reclaimable_bytes` prices
+    the win before anyone commits to the rewrite; the near-dup
+    complement is `multimodal_phash_dedup` (perceptual), exactly like
+    llm_dedup_exact vs llm_dedup_near on text. NULL payloads are
+    excluded on both engines (no digest to compare). The full digest
+    inventory is reported (is_dup flags the duplicate groups) so the
+    oracle comparison is non-vacuous at every test SF — the HAVING cut
+    is the consumer's one-line filter."""
+    b = binarize_documents(spark, sf_dir).filter(F.col("payload").isNotNull())
+    return (
+        b.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            (F.count(F.lit(1)) > 1).alias("is_dup"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.min("payload_bytes").cast("bigint").alias("payload_bytes"),
+            (F.sum("payload_bytes") - F.min("payload_bytes")).cast("bigint").alias("reclaimable_bytes"),
+        )
+    )

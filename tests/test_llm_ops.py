@@ -1337,3 +1337,26 @@ def test_minhash_estimator_calibration_on_fixture(spark):
     errs = [abs(est[k] - true[k]) for k in common]
     assert sum(errs) / len(errs) <= 0.2
     assert max(errs) <= 0.7
+
+
+def test_multimodal_bytes_dedup_planted_copies(spark, monkeypatch):
+    """Planted byte-identical payloads collapse to one digest group:
+    lowest id kept, reclaimable = (n-1) * payload size."""
+    from nova_pulsar_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(7, "same payload bytes"), (3, "same payload bytes"), (9, "unique")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(M, "binarize_documents", lambda _s, _d: docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("payload_bytes"),
+    ))
+    rows = {r.payload_md5: r for r in M.multimodal_dedup_bytes(spark, "unused").collect()}
+    dup = [r for r in rows.values() if r.is_dup]
+    assert len(dup) == 1 and len(rows) == 2
+    assert dup[0].n_copies == 2 and dup[0].keep_id == 3
+    assert dup[0].reclaimable_bytes == dup[0].payload_bytes
+    uniq = [r for r in rows.values() if not r.is_dup][0]
+    assert uniq.reclaimable_bytes == 0
