@@ -67,6 +67,7 @@ HEADLINE = [
     "llm_dedup_winnow",
     "llm_mix_apply",
     "llm_judge_quality",
+    "llm_quality_gate",
     "llm_dedup_keep_best",
     "llm_simsearch_batch",
     "llm_dedup_rate_by_source",
