@@ -1530,3 +1530,82 @@ def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "n_true bigint, n_candidates bigint, n_found bigint, recall double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup dashboard: every tier's yield in one frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_report",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + f""",
+    ws AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
+    verified AS (
+      SELECT c.doc_a FROM cand c
+      JOIN ws a ON a.doc_id = c.doc_a
+      JOIN ws b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, len(t) - {SUBSTR_K} + 2),
+          i -> md5(array_to_string(list_slice(t, i, i + {SUBSTR_K} - 1), ' '))))) AS g
+      FROM toks WHERE len(t) >= {SUBSTR_K}),
+    gcounts AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    span AS (
+      SELECT doc_id,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 5 >= COUNT(*) AS mostly_dup
+      FROM grams JOIN gcounts USING (g) GROUP BY doc_id)
+    SELECT 'exact_removable_docs' AS tier,
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n
+    FROM (SELECT COUNT(*) AS c FROM documents WHERE text IS NOT NULL GROUP BY md5(text)) t
+    WHERE c > 1
+    UNION ALL
+    SELECT 'lsh_candidate_pairs', CAST(COUNT(*) AS BIGINT) FROM cand
+    UNION ALL
+    SELECT 'verified_dup_pairs', CAST(COUNT(*) AS BIGINT) FROM verified
+    UNION ALL
+    SELECT 'mostly_dup_span_docs', CAST(COALESCE(SUM(CASE WHEN mostly_dup THEN 1 ELSE 0 END), 0) AS BIGINT) FROM span
+    """,
+    doc="Dedup dashboard: one row per tier — exact removable docs, LSH "
+    "candidate pairs, verified duplicate pairs, mostly-boilerplate docs "
+    "(the numbers a corpus owner reads before committing the rewrite)",
+)
+def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary a pipeline owner reads before any destructive pass:
+    each dedup tier's yield, computed from the SAME shared stages the
+    per-tier operators use (digest groupBy; the cached banded-LSH
+    candidate stage; exact verify on candidates only; the span index)
+    — so the dashboard costs little more than the most expensive tier
+    and never introduces a new scale risk. Counts are collected
+    driver-side (four scalars) and emitted as a literal frame, the
+    same pattern as llm_dedup_lsh_recall."""
+    d = load_table(spark, sf_dir, "documents")
+    exact_removable = (
+        d.filter(F.col("text").isNotNull())
+        .groupBy(F.md5(F.col("text").cast("binary")))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)))
+        .first()[0]
+    )
+    _, cand, ws = dedup_candidates(spark, sf_dir)
+    n_cand = cand.count()
+    n_verified = _pair_jaccard(cand, ws).filter(F.col("jaccard") >= 0.8).count()
+    n_span = (
+        substring_span_stats(d).filter(F.col("mostly_dup")).count()
+    )
+    rows = [
+        ("exact_removable_docs", int(exact_removable)),
+        ("lsh_candidate_pairs", int(n_cand)),
+        ("verified_dup_pairs", int(n_verified)),
+        ("mostly_dup_span_docs", int(n_span)),
+    ]
+    return spark.createDataFrame(rows, "tier string, n bigint")

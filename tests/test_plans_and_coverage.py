@@ -297,7 +297,7 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_dedup_substring_scrub", "llm_winnowing", "llm_simsearch_rrf",
         "llm_dedup_winnow", "llm_bpe_encode", "llm_dedup_incremental", "llm_judge_quality",
         "llm_mix_apply", "llm_simsearch_prefiltered", "llm_simsearch_ivfpq",
-        "llm_quality_gate", "llm_dedup_lsh_recall",
+        "llm_quality_gate", "llm_dedup_lsh_recall", "llm_dedup_report",
     ]
     regs = all_queries()
     problems = {}
