@@ -755,7 +755,7 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT lang, n, s, ss,
              CAST(s AS DOUBLE) / n AS mu,
-             SQRT(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+             SQRT(GREATEST(0.0, CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) AS sd
       FROM st)
     SELECT b.doc_id, b.lang, b.x AS n_chars, m.mu AS lang_mean,
            (b.x - m.mu) / NULLIF(m.sd, 0) AS zscore
@@ -790,7 +790,7 @@ def llm_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = st.select(
         "lang",
         mu.alias("mu"),
-        F.sqrt(F.col("ss").cast("double") / F.col("n") - mu * mu).alias("sd"),
+        F.sqrt(F.greatest(F.lit(0.0), F.col("ss").cast("double") / F.col("n") - mu * mu)).alias("sd"),
     )
     return base.join(F.broadcast(m), "lang").select(
         "doc_id",

@@ -73,6 +73,11 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cents(F.col("value"), 100).alias("day_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # Two consumers (bounds branch + the spine join) — checkpoint the
+    # per-(user, day) aggregate so `events` is scanned and aggregated
+    # once, not twice. At 100 TB |users × days| is orders of magnitude
+    # smaller than |events|, so materializing this frame is the cheap side.
+    daily = daily.localCheckpoint(eager=False)
     bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
@@ -205,26 +210,39 @@ def ts_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     Work is 7× the distinct (user, day) pairs — linear in input and
     embarrassingly parallel, where the naive `day BETWEEN d-6 AND d`
     join is quadratic pressure on a single range dimension at 100 TB.
+
+    Scan-once shape (r4 rewrite; the r2/r3 plan scanned events 3× —
+    roll, daily, and bounds branches — with no ReusedExchange): the
+    explode carries the window OFFSET k, `groupBy(wday, user_id).
+    agg(min(k))` dedups during the first (map-side-combinable)
+    shuffle, then one tiny per-day aggregation derives BOTH counts —
+    active_7d = rows, active_1d = rows with k0 = 0 — with no
+    count-distinct Expand. The [d0, d1] bounds filter is a global
+    window over the per-day frame (|days| rows — a calendar, small at
+    any corpus scale), so no third branch back to the fact table.
+    Measured at sf0.1: 1 parquet scan vs 3, equal-or-faster warm.
     """
     e = load_table(spark, sf_dir, "events")
-    pairs = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
-    bounds = pairs.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    expanded = pairs.select(
-        "user_id",
-        F.explode(
-            F.expr(f"sequence(day, day + interval {ROLL_DAYS - 1} day, interval 1 day)")
-        ).alias("wday"),
+    exp = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .select("user_id", "day", F.explode(F.expr(f"sequence(0, {ROLL_DAYS - 1})")).alias("k"))
+        .select("user_id", "k", F.expr("day + make_dt_interval(k)").alias("wday"))
     )
-    roll = (
-        expanded.crossJoin(F.broadcast(bounds))
-        .filter(F.col("wday").between(F.col("d0"), F.col("d1")))
-        .groupBy(F.col("wday").alias("day"))
-        .agg(F.countDistinct("user_id").alias("active_7d"))
+    g = exp.groupBy("wday", "user_id").agg(F.min("k").alias("k0"))
+    per_day = g.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("active_7d"),
+        F.sum(F.when(F.col("k0") == 0, 1).otherwise(0)).alias("active_1d"),
     )
-    daily = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("active_1d"))
-    return roll.join(daily, "day", "left").select(
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    obs_day = F.when(F.col("active_1d") > 0, F.col("day"))
+    out = per_day.select(
+        "*",
+        F.min(obs_day).over(wall).alias("d0"),
+        F.max(obs_day).over(wall).alias("d1"),
+    )
+    return out.filter(F.col("day").between(F.col("d0"), F.col("d1"))).select(
         "day",
-        F.coalesce(F.col("active_1d"), F.lit(0)).cast("bigint").alias("active_1d"),
+        F.col("active_1d").cast("bigint").alias("active_1d"),
         F.col("active_7d").cast("bigint").alias("active_7d"),
     )
 

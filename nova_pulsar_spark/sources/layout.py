@@ -91,6 +91,57 @@ def compact_dir(spark: SparkSession, path: str, target_file_bytes: int = 128 * 1
 import json
 
 
+def _shard_checksum_agg(key_col: str):
+    """Order-independent per-shard stats: row count + SUM of 60-bit md5
+    prefixes of the key (the dq_checksum idiom, exact in DECIMAL(38,0))."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) * 268435456L"
+                f" + CAST(conv(substring(md5(CAST({key_col} AS STRING)), 9, 7), 16, 10) AS BIGINT)"
+            ).cast("decimal(38,0)")
+        ).cast("string").alias("checksum"),
+    ]
+
+
+def _hadoop_path(spark: SparkSession, directory: str, name: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(directory, name)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _fs_write_text_atomic(spark: SparkSession, directory: str, name: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so the
+    export works on any scheme Spark can write to (hdfs://, s3a://,
+    file://), not just the driver's local disk. Tmp + rename: atomic on
+    HDFS/local; on object stores the rename is copy+delete but the tmp
+    name still keeps readers from ever opening a partial manifest."""
+    fs, dest = _hadoop_path(spark, directory, name)
+    _, tmp = _hadoop_path(spark, directory, name + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    fs.rename(tmp, dest)
+
+
+def _fs_read_text(spark: SparkSession, directory: str, name: str) -> str:
+    fs, p = _hadoop_path(spark, directory, name)
+    stream = fs.open(p)
+    try:
+        n = fs.getFileStatus(p).getLen()
+        buf = bytearray(n)
+        stream.readFully(0, buf)
+        return bytes(buf).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def write_training_shards(
     df: DataFrame, path: str, key_col: str, n_shards: int
 ) -> dict:
@@ -114,17 +165,14 @@ def write_training_shards(
     shard = F.expr(f"crc32(CAST({key_col} AS STRING)) % {n_shards}").cast("int")
     out = df.withColumn("shard", shard).repartition(n_shards, F.col("shard"))
     out.write.partitionBy("shard").mode("overwrite").parquet(path)
+    # Manifest stats come from a READ-BACK of the written files, not the
+    # input lineage — the manifest pins what is actually on disk, so a
+    # lost task / partial write is caught at export time, not training time.
+    spark = df.sparkSession
     stats = (
-        out.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr(
-                    f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) * 268435456L"
-                    f" + CAST(conv(substring(md5(CAST({key_col} AS STRING)), 9, 7), 16, 10) AS BIGINT)"
-                ).cast("decimal(38,0)")
-            ).cast("string").alias("checksum"),
-        )
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(*_shard_checksum_agg(key_col))
         .collect()
     )
     manifest = {
@@ -135,10 +183,7 @@ def write_training_shards(
             for r in stats
         },
     }
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    os.rename(tmp, os.path.join(path, "_manifest.json"))
+    _fs_write_text_atomic(spark, path, "_manifest.json", json.dumps(manifest, sort_keys=True))
     return manifest
 
 
@@ -147,22 +192,13 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     manifest. Returns {shard: problem} — empty means intact. The scan
     reads only the key column (column pruning), so verification I/O is
     a fraction of the data."""
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_fs_read_text(spark, path, "_manifest.json"))
     key_col = manifest["key_col"]
     actual = {
         str(r["shard"]): (r["n_rows"], r["checksum"])
         for r in spark.read.parquet(path)
         .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr(
-                    f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT) * 268435456L"
-                    f" + CAST(conv(substring(md5(CAST({key_col} AS STRING)), 9, 7), 16, 10) AS BIGINT)"
-                ).cast("decimal(38,0)")
-            ).cast("string").alias("checksum"),
-        )
+        .agg(*_shard_checksum_agg(key_col))
         .collect()
     }
     problems: dict = {}

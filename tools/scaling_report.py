@@ -33,12 +33,19 @@ from nova_pulsar_spark.session import get_spark  # noqa: E402
 RUNS = 3
 
 
+def _run(df) -> None:
+    # noop write materializes EVERY output column; count() lets Catalyst
+    # prune computed columns and under-measures map-only queries 4-5x
+    # (see docs/SCALE.md pitfalls) — same timing method as bench.py.
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _best(fn, spark, sf_dir: str) -> float:
-    fn(spark, sf_dir).count()  # warm (plan + scan caches)
+    _run(fn(spark, sf_dir))  # warm (plan + scan caches)
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        _run(fn(spark, sf_dir))
         best = min(best, time.time() - t0)
     return best
 
