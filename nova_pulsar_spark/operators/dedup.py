@@ -150,6 +150,17 @@ MINHASH_SQL_CTES = (
 )
 
 
+def band_sigs(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): each doc's full-band signature — the LSH
+    bucket key. Shared by candidate generation and the cap-loss audit."""
+    return mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
+            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
+        ).alias("sig")
+    )
+
+
 def lsh_candidates(mh: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b) from (doc_id, seed, mh)
     signatures — the bucket self-join that replaces all-pairs: only
@@ -163,12 +174,7 @@ def lsh_candidates(mh: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFr
     templated boilerplate better handled by exact dedup upstream).
     Default ON (``MAX_BUCKET``); pass ``None`` to disable.
     """
-    bands = mh.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
-        F.concat(
-            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))),
-            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))),
-        ).alias("sig")
-    )
+    bands = band_sigs(mh)
     if max_bucket is not None:
         ok = (
             bands.groupBy("band", "sig")
@@ -1484,15 +1490,24 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.s, b.s)) * {SETSIM_DEN}
             >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * {SETSIM_NUM}),
+    cand_all AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
     counts AS (
       SELECT (SELECT COUNT(*) FROM truth) AS n_true,
              (SELECT COUNT(*) FROM cand) AS n_candidates,
              (SELECT COUNT(*) FROM truth t JOIN cand c
-                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found)
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found,
+             (SELECT COUNT(*) FROM truth t JOIN cand_all c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found_uncapped)
     SELECT CAST(n_true AS BIGINT) AS n_true,
            CAST(n_candidates AS BIGINT) AS n_candidates,
            CAST(n_found AS BIGINT) AS n_found,
-           CAST(n_found AS DOUBLE) / NULLIF(n_true, 0) AS recall
+           CAST(n_found AS DOUBLE) / NULLIF(n_true, 0) AS recall,
+           CAST(n_found_uncapped AS BIGINT) AS n_found_uncapped,
+           CAST(n_found_uncapped - n_found AS BIGINT) AS n_missed_by_cap,
+           CAST(n_found_uncapped AS DOUBLE) / NULLIF(n_true, 0) AS recall_uncapped
     FROM counts
     """,
     doc=f"LSH index-quality audit: candidate recall against the exact "
@@ -1511,24 +1526,85 @@ def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale) — an independent derivation, so a lossless-filter bug in
     the Spark truth side would surface as a mismatch here.
     One-row output: |truth|, |candidates|, |truth ∩ candidates|,
-    recall. Missed pairs are typically sub-threshold-band agreement
-    (raise bands/rows) or capped hot buckets (raise the cap or accept
-    the documented trade)."""
+    recall — then the CAP-LOSS split: re-running the bucket join with
+    the cap OFF prices how much of the miss is the hot-bucket cap
+    specifically (`n_missed_by_cap` = uncapped hits − capped hits)
+    versus plain band-selectivity misses (`n_true − n_found_uncapped`).
+    The uncapped join exists only inside this audit (run it on a
+    sample at production scale); every production query keeps the cap.
+    Per-band dropped-bucket mass is the companion op
+    `llm_dedup_lsh_cap_loss`."""
     docs = load_table(spark, sf_dir, "documents")
     truth = (
         setsim_prefix_pairs(docs)
         .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     )
-    _, cand, _ = dedup_candidates(spark, sf_dir)
-    truth = truth.localCheckpoint()  # two consumers: count + intersection
+    mh, cand, _ = dedup_candidates(spark, sf_dir)
+    truth = truth.localCheckpoint()  # three consumers: count + two semijoins
     cand = cand.localCheckpoint()
+    cand_all = lsh_candidates(mh, max_bucket=None)
     found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    found_all = truth.join(cand_all, ["doc_a", "doc_b"], "left_semi")
     n_true = truth.count()
     n_cand = cand.count()
     n_found = found.count()
-    row = [(n_true, n_cand, n_found, (float(n_found) / n_true) if n_true else None)]
+    n_found_all = found_all.count()
+    row = [
+        (
+            n_true,
+            n_cand,
+            n_found,
+            (float(n_found) / n_true) if n_true else None,
+            n_found_all,
+            n_found_all - n_found,
+            (float(n_found_all) / n_true) if n_true else None,
+        )
+    ]
     return spark.createDataFrame(
-        row, "n_true bigint, n_candidates bigint, n_found bigint, recall double"
+        row,
+        "n_true bigint, n_candidates bigint, n_found bigint, recall double, "
+        "n_found_uncapped bigint, n_missed_by_cap bigint, recall_uncapped double",
+    )
+
+
+@register(
+    "llm_dedup_lsh_cap_loss",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + f""",
+    buckets AS (
+      SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_dropped,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN n * (CAST(n AS BIGINT) - 1) // 2 ELSE 0 END) AS BIGINT) AS n_pairs_dropped
+    FROM buckets GROUP BY band
+    """,
+    doc=f"Per-band hot-bucket-cap accounting: how many buckets exceed "
+    f"MAX_BUCKET={MAX_BUCKET}, the doc mass inside them, and the candidate "
+    "pairs the cap excised — the per-band ledger behind llm_dedup_lsh_recall's "
+    "n_missed_by_cap",
+)
+def llm_dedup_lsh_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap's ledger, per band: what `MAX_BUCKET` dropped and what it
+    would have cost to keep. `n_pairs_dropped` = Σ n·(n−1)/2 over
+    dropped buckets is exactly the pair fan-out the cap saved — at
+    100 TB this column is why the cap exists (one 10⁵-doc boilerplate
+    bucket = 5×10⁹ pairs), and `n_docs_dropped` is the mass to hand to
+    the exact-dedup tier instead. Cost: one groupBy over band
+    signatures reusing the shared cached signature stage — bucket
+    counts only, no pair join anywhere."""
+    mh, _, _ = dedup_candidates(spark, sf_dir)
+    b = band_sigs(mh).groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    dropped = F.col("n") > MAX_BUCKET
+    return b.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0)).cast("bigint").alias("n_docs_dropped"),
+        F.sum(F.when(dropped, F.expr("n * (CAST(n AS BIGINT) - 1) DIV 2")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_dropped"),
     )
 
 

@@ -134,10 +134,12 @@ def _fs_read_text(spark: SparkSession, directory: str, name: str) -> str:
     fs, p = _hadoop_path(spark, directory, name)
     stream = fs.open(p)
     try:
-        n = fs.getFileStatus(p).getLen()
-        buf = bytearray(n)
-        stream.readFully(0, buf)
-        return bytes(buf).decode("utf-8")
+        # IOUtils returns byte[] BY VALUE through py4j (a read-into-buffer
+        # call would mutate a Java-side copy and leave the Python bytearray
+        # empty); commons-io ships on Spark's classpath.
+        jvm = spark.sparkContext._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 

@@ -199,6 +199,44 @@ def test_embedding_lsh_prunes_candidate_space(spark, sf_dir):
     assert all(r.is_dup == (r.cosine >= 0.40) for r in cands)
 
 
+def test_lsh_cap_loss_accounting_on_planted_hot_bucket(spark, tmp_path):
+    """A planted bucket of identical boilerplate larger than MAX_BUCKET
+    must show up in the recall audit as cap loss (not as a band-
+    selectivity miss) and in the per-band cap-loss ledger with the
+    exact planted mass."""
+    from nova_pulsar_spark.operators.dedup import (
+        MAX_BUCKET,
+        llm_dedup_lsh_cap_loss,
+        llm_dedup_lsh_recall,
+    )
+
+    n_boiler = MAX_BUCKET + 6  # 70 > cap; identical text -> one bucket per band
+    boiler = ["standard header boilerplate text repeated everywhere always and forever"] * n_boiler
+    organic = [
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+        "alpha beta gamma delta epsilon zeta eta theta kappa",
+    ]
+    d = str(tmp_path / "hotcap")
+    _write_docs(spark, d, boiler + organic)
+
+    planted_pairs = n_boiler * (n_boiler - 1) // 2
+    r = llm_dedup_lsh_recall(spark, d).collect()[0]
+    # every planted pair is exact-truth AND found by uncapped LSH, but
+    # dropped by the cap -> attributed to the cap, not to the bands
+    assert r.n_missed_by_cap == planted_pairs
+    assert r.n_found_uncapped == r.n_found + planted_pairs
+    assert r.recall_uncapped > r.recall
+    # the organic near-dup pair still survives the capped path
+    assert r.n_found >= 1
+
+    ledger = {row.band: row for row in llm_dedup_lsh_cap_loss(spark, d).collect()}
+    assert len(ledger) == 4  # one row per band
+    for row in ledger.values():
+        assert row.n_buckets_dropped == 1
+        assert row.n_docs_dropped == n_boiler
+        assert row.n_pairs_dropped == planted_pairs
+
+
 def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     """The LSH skew mitigation: a boilerplate bucket (many identical
     docs) explodes quadratically; the cap excises it while organic
