@@ -1,0 +1,119 @@
+"""Persisted ANN index artifacts: build once, probe many.
+
+The IVF coarse quantizer, the PQ codebook, and the sign-LSH band table
+are INDEX artifacts, not per-query intermediates: at 100 TB they are
+built by a scheduled index job, stored next to the corpus, and read by
+every probe query until `llm_simsearch_ivf_stats` flags drift (cell
+imbalance / centroid staleness), at which point the index job re-runs.
+Through round 3 they lived in a session-local cache — correct plans,
+but the lifecycle was invisible. This module makes it real:
+
+- ``load_or_build(spark, sf_dir, kind, build)`` round-trips an index
+  frame through ``spark-warehouse/ann_index/<kind>/<corpus>-<fp>/``
+  (or ``$SPARK_GRAFT_INDEX_DIR``): hit → one parquet read, miss →
+  build, persist, read back.
+- Staleness is structural, not advisory: the directory key embeds a
+  CORPUS FINGERPRINT (sorted (name, length, mtime) of every file under
+  the source table, hashed). A regenerated or appended corpus changes
+  the fingerprint, so probes stop matching the old index and the next
+  probe triggers a rebuild — the stale index can never be silently
+  read. Old-fingerprint directories are dead data; a janitor can
+  delete them any time.
+- All I/O goes through Spark writers + the Hadoop FileSystem API
+  (sources/layout.py helpers), so the index store works on any scheme
+  the cluster can reach (hdfs://, s3a://, file://).
+
+Write protocol: data first, ``_meta.json`` last (tmp + rename). A
+reader trusts a directory only if the meta exists AND its recorded
+fingerprint matches the current corpus — a crashed half-built index is
+invisible. Concurrent builders of the same fingerprint write the same
+deterministic content; last-writer-wins on the meta is benign.
+
+Reference parity: the reference has no ANN layer; this is part of the
+LLM-data-pipeline brief (similarity search at scale). Consumed by
+`ivf_centroids`, `pq_codebook` and `_sign_bands` in similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nova_pulsar_spark.sources.layout import _fs_read_text, _fs_write_text_atomic, _hadoop_path
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def index_root() -> str:
+    """Index store root — env-overridable so tests (and multi-tenant
+    deployments) can point builds elsewhere; read per call, not at
+    import, so a monkeypatched env var takes effect immediately."""
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(_REPO_ROOT, "spark-warehouse", "ann_index")
+    )
+
+
+def corpus_fingerprint(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> str:
+    """16-hex digest of the source table's file inventory: sorted
+    (basename, length, mtime) triples. No data scan — a metadata-only
+    listing, exactly what an index job can afford to check per probe
+    batch. Any rewrite, append or regeneration perturbs it."""
+    fs, p = _hadoop_path(spark, sf_dir, f"{table}.parquet")
+    entries: list[tuple[str, int, int]] = []
+
+    def walk(path) -> None:
+        for st in fs.listStatus(path):
+            if st.isDirectory():
+                walk(st.getPath())
+            else:
+                entries.append((st.getPath().getName(), st.getLen(), st.getModificationTime()))
+
+    root = fs.getFileStatus(p)
+    if root.isDirectory():
+        walk(p)
+    else:
+        entries.append((root.getPath().getName(), root.getLen(), root.getModificationTime()))
+    entries.sort()
+    return hashlib.md5(json.dumps(entries).encode()).hexdigest()[:16]
+
+
+def _index_dir(sf_dir: str, kind: str, fp: str) -> str:
+    name = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    return os.path.join(index_root(), kind, f"{name}-{fp}")
+
+
+def load_or_build(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], DataFrame],
+    table: str = "embeddings",
+) -> DataFrame:
+    """Return the persisted index frame for (corpus, kind), building it
+    if absent or stale. The returned frame reads FROM THE STORE (so
+    its lineage is one parquet scan, never the build computation)."""
+    fp = corpus_fingerprint(spark, sf_dir, table)
+    dest = _index_dir(sf_dir, kind, fp)
+    data_path = os.path.join(dest, "data")
+    fresh = False
+    try:
+        meta = json.loads(_fs_read_text(spark, dest, "_meta.json"))
+        fresh = meta.get("fingerprint") == fp
+    except Exception:
+        fresh = False
+    if not fresh:
+        build().write.mode("overwrite").parquet(data_path)
+        _fs_write_text_atomic(
+            spark,
+            dest,
+            "_meta.json",
+            json.dumps(
+                {"kind": kind, "source": os.path.join(sf_dir, f"{table}.parquet"), "fingerprint": fp},
+                sort_keys=True,
+            ),
+        )
+    return spark.read.parquet(data_path)

@@ -27,7 +27,7 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
@@ -97,37 +97,47 @@ _CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(label, cemb) coarse-quantizer centroids, computed ONCE per
-    (session, sf_dir) and cached — the "index build" of the IVF
-    pattern. Per-query probing reads the cached frame instead of
-    re-running the 64× posexplode aggregation; at cluster scale the
-    same frame is a persisted table rebuilt on corpus refresh.
+    """(label, cemb) coarse-quantizer centroids — the "index build" of
+    the IVF pattern, PERSISTED through the ann_index store (build once,
+    probe many; rebuilt automatically when the corpus fingerprint
+    changes — see operators/ann_index.py for the lifecycle). The
+    session-local cache on top just saves the store read per query.
 
     Per-(label, dim) mean uses a vec_id-ordered sequential fold so the
-    result is deterministic under any partitioning.
+    result is deterministic under any partitioning; parquet round-trips
+    IEEE doubles bit-exactly, so a loaded index probes identically to a
+    freshly built one (oracle-pinned).
     """
+    from nova_pulsar_spark.operators.ann_index import load_or_build
+
     key = (id(spark), sf_dir)
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
-    e = load_table(spark, sf_dir, "embeddings")
-    centdim = (
-        e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
-        .select("vec_id", "label", (F.col("i") + 1).alias("i"), F.col("val").cast("double").alias("v"))
-        .groupBy("label", "i")
-        .agg(
-            (
-                F.expr(
-                    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
-                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-                / F.count(F.lit(1))
-            ).alias("c")
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        centdim = (
+            e.select("vec_id", "label", F.posexplode("embedding").alias("i", "val"))
+            .select(
+                "vec_id", "label", (F.col("i") + 1).alias("i"), F.col("val").cast("double").alias("v")
+            )
+            .groupBy("label", "i")
+            .agg(
+                (
+                    F.expr(
+                        "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), s -> s.v), "
+                        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
         )
-    )
-    cent = centdim.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cemb")
-    ).cache()
+        return centdim.groupBy("label").agg(
+            F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").alias("cemb")
+        )
+
+    cent = load_or_build(spark, sf_dir, "ivf_centroids", build).cache()
     _CENTROID_CACHE[key] = cent
     return cent
 
@@ -245,23 +255,33 @@ _BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
-    """(vec_id, band, sig) sign-LSH index frame, computed once per
-    (session, corpus) and cached — the persisted "index table" both the
-    candidate-pair join and the range-search probe read. The 32-fold
-    sign computation is the expensive map work; the checkpoint
-    materializes it exactly once per corpus."""
+    """(vec_id, band, sig) sign-LSH index frame — the "index table"
+    both the candidate-pair join and the range-search probe read. With
+    ``sf_dir`` given (a named corpus) it is PERSISTED through the
+    ann_index store — built once, read from parquet by every probe,
+    rebuilt when the corpus fingerprint changes; the session cache on
+    top saves the store read per query. For ad-hoc frames (sf_dir
+    None — e.g. a streaming micro-batch probing against itself) it is
+    localCheckpoint-materialized for the session only."""
     key = (id(spark), sf_dir) if sf_dir is not None else None
     if key is not None and key in _BANDS_CACHE:
         return _BANDS_CACHE[key]
-    sigs = e.select("vec_id", _signs_spark().alias("signs"))
-    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    bands = sigs.crossJoin(F.broadcast(bands_tbl)).select(
-        "vec_id",
-        "band",
-        F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
-    ).localCheckpoint()
-    if key is not None:
-        _BANDS_CACHE[key] = bands
+
+    def build() -> DataFrame:
+        sigs = e.select("vec_id", _signs_spark().alias("signs"))
+        bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+        return sigs.crossJoin(F.broadcast(bands_tbl)).select(
+            "vec_id",
+            "band",
+            F.substring(F.col("signs"), F.col("band") * BAND_BITS + 1, BAND_BITS).alias("sig"),
+        )
+
+    if key is None:
+        return build().localCheckpoint()
+    from nova_pulsar_spark.operators.ann_index import load_or_build
+
+    bands = load_or_build(spark, sf_dir, "sign_bands", build)
+    _BANDS_CACHE[key] = bands
     return bands
 
 
@@ -992,6 +1012,42 @@ def llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """``[m][k][dim]`` PQ codebook, persisted through the ann_index
+    store. The "training" here is the deterministic k-seed selection
+    (production swaps in `kmeans_iterate` per subspace — same artifact
+    shape); what matters is the LIFECYCLE: the codebook is built once
+    per corpus, stored as (kidx, m, sub) rows, and every encode/probe
+    reads the stored rows — PQ codes are only decodable against the
+    exact codebook that produced them, so the codebook must version
+    with the corpus, which the fingerprint key enforces. Bounded
+    collect: PQ_M × PQ_K = 32 rows."""
+    from nova_pulsar_spark.operators.ann_index import load_or_build
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        seeds = (
+            e.orderBy("vec_id")
+            .limit(PQ_K)
+            .select(
+                (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("kidx"),
+                "embedding",
+            )
+        )
+        ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+        return seeds.crossJoin(ms).select(
+            "m",
+            "kidx",
+            F.expr(
+                f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), x -> CAST(x AS DOUBLE))"
+            ).alias("sub"),
+        )
+
+    rows = load_or_build(spark, sf_dir, "pq_codebook", build).collect()
+    by_mk = {(r["m"], r["kidx"]): [float(x) for x in r["sub"]] for r in rows}
+    return [[by_mk[(m, k)] for k in range(PQ_K)] for m in range(PQ_M)]
+
+
 def pq_adc_scores(corpus: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, adc_d2, true_d2) PQ encode + ADC scoring of any
     subset of the embeddings table (codebook + query distance table are
@@ -999,26 +1055,22 @@ def pq_adc_scores(corpus: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
     matter the subset — the property IVF-PQ relies on when ADC runs
     only inside probed cells)."""
     e = load_table(spark, sf_dir, "embeddings")
-    seed_rows = e.orderBy("vec_id").limit(PQ_K).select("vec_id", "embedding").collect()
+    books = pq_codebook(spark, sf_dir)  # persisted index artifact
     qvec = [
         float(x)
         for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0]
     ]
-    # codebook: seeds' subvectors; ADC table: query-to-centroid subspace
-    # distances, folded in the SAME sequential order as the SQL twin
-    books: list[list[list[float]]] = []  # [m][k][dim]
+    # ADC table: query-to-centroid subspace distances, folded in the
+    # SAME sequential order as the SQL twin (query-time, not an artifact)
     dtab: list[list[float]] = []  # [m][k]
     for m in range(PQ_M):
-        row_b, row_d = [], []
-        for r in seed_rows:
-            sub = [float(x) for x in r["embedding"][m * PQ_SUB : (m + 1) * PQ_SUB]]
-            row_b.append(sub)
+        row_d = []
+        for sub in books[m]:
             acc = 0.0
             for i in range(PQ_SUB):
                 diff = qvec[m * PQ_SUB + i] - sub[i]
                 acc = acc + diff * diff
             row_d.append(acc)
-        books.append(row_b)
         dtab.append(row_d)
 
     def sub_sqd(m: int, sub_lit: str) -> str:

@@ -1,0 +1,112 @@
+"""The persisted ANN index lifecycle: build once → probe from the
+store → rebuild only when the corpus fingerprint changes.
+
+Covers operators/ann_index.py plus its consumers in similarity.py
+(ivf_centroids, pq_codebook, _sign_bands)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from nova_pulsar_spark.operators import similarity as S
+from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, index_root, load_or_build
+
+
+def _write_emb(spark, path, seed, n=12):
+    rows = [
+        (
+            i,
+            [0.1 + ((i * 7 + d * 3 + seed) % 10) / 10.0 for d in range(S.DIM)],
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def _clear_session_caches():
+    S._CENTROID_CACHE.clear()
+    S._BANDS_CACHE.clear()
+    S._EMB_CAND_CACHE.clear()
+
+
+def test_index_builds_loads_and_rebuilds_on_stale_corpus(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    d = str(tmp_path / "corpus")
+    _write_emb(spark, d, seed=0)
+
+    fp1 = corpus_fingerprint(spark, d)
+    cent1 = {r.label: list(r.cemb) for r in S.ivf_centroids(spark, d).collect()}
+    store1 = os.path.join(index_root(), "ivf_centroids", f"corpus-{fp1}")
+    assert os.path.exists(os.path.join(store1, "_meta.json"))
+    data_files = sorted(glob.glob(os.path.join(store1, "data", "*.parquet")))
+    assert data_files
+    mtimes = [os.path.getmtime(f) for f in data_files]
+
+    # fresh probe (session cache cleared) READS the store: identical
+    # centroids, data files untouched
+    _clear_session_caches()
+    cent1b = {r.label: list(r.cemb) for r in S.ivf_centroids(spark, d).collect()}
+    assert cent1b == cent1
+    assert [os.path.getmtime(f) for f in data_files] == mtimes
+
+    # corpus regeneration (different rows AND row count -> different
+    # file length) => new fingerprint => the stale index is never read
+    _write_emb(spark, d, seed=5, n=13)
+    fp2 = corpus_fingerprint(spark, d)
+    assert fp2 != fp1
+    _clear_session_caches()
+    cent2 = {r.label: list(r.cemb) for r in S.ivf_centroids(spark, d).collect()}
+    assert cent2 != cent1
+    store2 = os.path.join(index_root(), "ivf_centroids", f"corpus-{fp2}")
+    assert os.path.exists(os.path.join(store2, "_meta.json"))
+
+
+def test_pq_codebook_and_sign_bands_round_trip_store(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    d = str(tmp_path / "corpus")
+    _write_emb(spark, d, seed=1)
+
+    books = S.pq_codebook(spark, d)
+    assert len(books) == S.PQ_M and all(len(b) == S.PQ_K for b in books)
+    assert all(len(sub) == S.PQ_SUB for b in books for sub in b)
+    # loaded-from-store call returns the identical codebook
+    assert S.pq_codebook(spark, d) == books
+    assert os.path.exists(os.path.join(index_root(), "pq_codebook"))
+
+    e = S.load_table(spark, d, "embeddings")
+    bands = S._sign_bands(spark, e, d)
+    assert bands.count() == 12 * S.N_BANDS
+    assert os.path.exists(os.path.join(index_root(), "sign_bands"))
+    # band sigs loaded from the store match a fresh in-memory build
+    stored = {(r.vec_id, r.band): r.sig for r in bands.collect()}
+    adhoc = {(r.vec_id, r.band): r.sig for r in S._sign_bands(spark, e, None).collect()}
+    assert stored == adhoc
+
+
+def test_half_built_index_is_invisible(spark, tmp_path, monkeypatch):
+    """Data without _meta.json (a crashed build) must trigger a clean
+    rebuild, not be trusted."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    d = str(tmp_path / "corpus")
+    _write_emb(spark, d, seed=2)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(1, "x")], "k bigint, v string")
+
+    out1 = load_or_build(spark, d, "probe_kind", build)
+    assert calls["n"] == 1 and out1.count() == 1
+    # meta intact -> load, no rebuild
+    load_or_build(spark, d, "probe_kind", build).count()
+    assert calls["n"] == 1
+    # simulate crash: meta gone, data still there -> rebuild
+    fp = corpus_fingerprint(spark, d)
+    os.remove(os.path.join(index_root(), "probe_kind", f"corpus-{fp}", "_meta.json"))
+    load_or_build(spark, d, "probe_kind", build).count()
+    assert calls["n"] == 2
