@@ -179,5 +179,54 @@ def main(out_dir: str) -> None:
     print(f"edge-case sf_dir written to {out_dir}")
 
 
+def write_skew_documents(
+    spark, out_dir: str, n_docs: int = 500, boiler_frac: float = 0.2, seed: int = 7
+) -> None:
+    """The hot-bucket ADVERSARY: a documents table where one boilerplate
+    template dominates ``boiler_frac`` of the corpus (the real-world
+    shape: cookie banners, ToS footers, scraped nav chrome) and the
+    organic remainder draws words Zipf-style with planted near-dup
+    sibling pairs. Uncapped banded LSH goes quadratic on the template
+    bucket (n·(n−1)/2 pairs from that one signature); the MAX_BUCKET
+    cap must keep the candidate count near-linear in n_docs while the
+    organic siblings keep matching. Deterministic per seed.
+    """
+    import random
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+    template = (
+        "subscribe to our newsletter for the latest updates terms of "
+        "service apply all rights reserved contact us privacy policy"
+    )
+    vocab = [f"w{r}" for r in range(1, 201)]
+    weights = [1.0 / r for r in range(1, 201)]  # Zipf-ish rank weights
+    n_boiler = int(n_docs * boiler_frac)
+    rows: list[tuple] = []
+    for i in range(n_docs):
+        if i < n_boiler:
+            text = template
+        elif i % 2 == 1 and rows and rows[-1][0] == i - 1 and i - 1 >= n_boiler:
+            # near-dup sibling of the previous organic doc: one word swapped
+            words = rows[-1][1].split()
+            words[5] = rng.choice(vocab)
+            text = " ".join(words)
+        else:
+            text = " ".join(rng.choices(vocab, weights=weights, k=12))
+        rows.append((i, text, "en", "web", len(text)))
+    _write(
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+    print(f"skew documents ({n_docs} docs, {n_boiler} boilerplate) written to {out_dir}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/edgecase_sf")
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        spark = get_spark("skew-gen")
+        spark.sparkContext.setLogLevel("ERROR")
+        write_skew_documents(spark, sys.argv[2] if len(sys.argv) > 2 else "/tmp/skew_sf")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/edgecase_sf")
