@@ -262,6 +262,86 @@ def fn_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_duration_format",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) // 1000000 AS dur_s,
+             CAST(EPOCH_US(MAX(ts)) AS BIGINT) // 1000000 AS last_s
+      FROM events GROUP BY user_id),
+    g AS (SELECT CAST(EPOCH_US(MAX(ts)) AS BIGINT) // 1000000 AS now_s FROM events),
+    base AS (
+      SELECT p.user_id, p.dur_s, g.now_s - p.last_s AS age_s
+      FROM per_user p CROSS JOIN g)
+    SELECT user_id, dur_s,
+      CASE WHEN dur_s < 60 THEN CAST(dur_s AS VARCHAR) || 's'
+           WHEN dur_s < 3600 THEN CAST(dur_s // 60 AS VARCHAR) || 'm ' || CAST(dur_s % 60 AS VARCHAR) || 's'
+           WHEN dur_s < 86400 THEN CAST(dur_s // 3600 AS VARCHAR) || 'h ' || CAST((dur_s % 3600) // 60 AS VARCHAR) || 'm'
+           ELSE CAST(dur_s // 86400 AS VARCHAR) || 'd ' || CAST((dur_s % 86400) // 3600 AS VARCHAR) || 'h'
+      END AS duration_str,
+      CASE WHEN age_s < 60 THEN CAST(age_s AS VARCHAR) || ' seconds ago'
+           WHEN age_s < 3600 THEN CAST(age_s // 60 AS VARCHAR) || ' minutes ago'
+           ELSE CAST(age_s // 3600 AS VARCHAR) || ' hours ago'
+      END AS updated_str,
+      '~' || CAST((dur_s + 59) // 60 AS VARCHAR) || ' minutes' AS eta_str
+    FROM base
+    """,
+    doc="F16: humanized durations — '8m 45s' runtime, '15 seconds ago' "
+    "recency, '~15 minutes' ETA (commands/pulsar-status.md:58-87 shapes)",
+)
+def fn_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's status surface humanizes every duration three
+    ways (`/root/reference/commands/pulsar-status.md:58-87`):
+    `Duration: 8m 45s`, `Updated: 15 seconds ago`, `Estimated
+    remaining: ~15 minutes`. Generalized over events: per-user span →
+    duration_str (s / m s / h m / d h tiers), recency vs the corpus
+    clock (MAX ts — deterministic, no wall clock) → updated_str, and
+    a ceil-minutes ETA. All integer epoch-seconds arithmetic (DIV/%)
+    so both engines render identical strings; one groupBy(user_id)
+    plus a broadcast of the 1-row global clock — scan-bound at any SF.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000)
+        .cast("bigint")
+        .alias("dur_s"),
+        (F.unix_micros(F.max("ts")) / 1_000_000).cast("bigint").alias("last_s"),
+    )
+    g = e.agg((F.unix_micros(F.max("ts")) / 1_000_000).cast("bigint").alias("now_s"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("dur_s")
+    a = F.col("age_s")
+    duration_str = (
+        F.when(d < 60, F.concat(s(d), F.lit("s")))
+        .when(d < 3600, F.concat(s(F.expr("dur_s DIV 60")), F.lit("m "), s(d % 60), F.lit("s")))
+        .when(
+            d < 86400,
+            F.concat(s(F.expr("dur_s DIV 3600")), F.lit("h "), s(F.expr("(dur_s % 3600) DIV 60")), F.lit("m")),
+        )
+        .otherwise(
+            F.concat(s(F.expr("dur_s DIV 86400")), F.lit("d "), s(F.expr("(dur_s % 86400) DIV 3600")), F.lit("h"))
+        )
+    )
+    updated_str = (
+        F.when(a < 60, F.concat(s(a), F.lit(" seconds ago")))
+        .when(a < 3600, F.concat(s(F.expr("age_s DIV 60")), F.lit(" minutes ago")))
+        .otherwise(F.concat(s(F.expr("age_s DIV 3600")), F.lit(" hours ago")))
+    )
+    eta_str = F.concat(F.lit("~"), s(F.expr("(dur_s + 59) DIV 60")), F.lit(" minutes"))
+    return (
+        per_user.crossJoin(F.broadcast(g))
+        .withColumn("age_s", F.col("now_s") - F.col("last_s"))
+        .select(
+            "user_id",
+            "dur_s",
+            duration_str.alias("duration_str"),
+            updated_str.alias("updated_str"),
+            eta_str.alias("eta_str"),
+        )
+    )
+
+
+@register(
     "fn_cond_null",
     sql="""
     SELECT

@@ -54,13 +54,17 @@ def _shingles_expr():
     Catalyst does not CSE a split() inside transform() lambdas, so
     inlining it re-tokenizes the document per shingle (~9× slower).
     """
-    # NULL text: size(NULL) is NULL but greatest() IGNORES NULLs on
-    # Spark (-> 1 -> one phantom '' shingle) while DuckDB's greatest
-    # propagates it (-> no rows). Emit an empty array instead so the
-    # document vanishes identically on both engines.
+    # Degenerate docs (NULL text or < 3 words) have NO 3-word shingles
+    # and must vanish from the shingle index on BOTH engines — they are
+    # the exact-dedup tier's job. The DuckDB twins get this for free
+    # (the out-of-range subscript makes the lone shingle NULL and
+    # list_distinct drops NULLs); Spark's concat_ws would instead emit
+    # a phantom short shingle, which pair-joins hid (singleton buckets)
+    # but bucket-level audits like llm_dedup_lsh_cap_loss expose — so
+    # emit an empty array explicitly (r4 fix).
     return F.expr(
-        "CASE WHEN ws IS NULL THEN CAST(array() AS ARRAY<STRING>) ELSE "
-        "array_distinct(transform(sequence(1, greatest(size(ws) - 2, 1)), "
+        "CASE WHEN ws IS NULL OR size(ws) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        "array_distinct(transform(sequence(1, size(ws) - 2), "
         "i -> concat_ws(' ', slice(ws, i, 3)))) END"
     )
 
