@@ -117,3 +117,29 @@ def load_or_build(
             ),
         )
     return spark.read.parquet(data_path)
+
+
+def gc_stale(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> list[str]:
+    """The store janitor: delete every index directory belonging to
+    this corpus whose fingerprint no longer matches the live one;
+    returns the removed paths. Always safe to run — probes only ever
+    read the directory keyed by the CURRENT fingerprint (which is kept),
+    so the janitor can race builds and probes without coordination; at
+    cluster scale this is the nightly cleanup beside the index job."""
+    fp = corpus_fingerprint(spark, sf_dir, table)
+    name = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    keep = f"{name}-{fp}"
+    root = index_root()
+    fs, rootp = _hadoop_path(spark, root, ".")
+    removed: list[str] = []
+    if not fs.exists(rootp):
+        return removed
+    for kind_st in fs.listStatus(rootp):
+        if not kind_st.isDirectory():
+            continue
+        for entry in fs.listStatus(kind_st.getPath()):
+            base = entry.getPath().getName()
+            if base.startswith(f"{name}-") and base != keep:
+                fs.delete(entry.getPath(), True)
+                removed.append(str(entry.getPath()))
+    return removed

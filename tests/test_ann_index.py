@@ -10,7 +10,12 @@ import os
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.operators import similarity as S
-from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, index_root, load_or_build
+from nova_pulsar_spark.operators.ann_index import (
+    corpus_fingerprint,
+    gc_stale,
+    index_root,
+    load_or_build,
+)
 
 
 def _write_emb(spark, path, seed, n=12):
@@ -63,6 +68,16 @@ def test_index_builds_loads_and_rebuilds_on_stale_corpus(spark, tmp_path, monkey
     assert cent2 != cent1
     store2 = os.path.join(index_root(), "ivf_centroids", f"corpus-{fp2}")
     assert os.path.exists(os.path.join(store2, "_meta.json"))
+
+    # janitor: removes exactly the stale fingerprint dir, keeps the live
+    # one, and the live index still loads afterwards
+    removed = gc_stale(spark, d)
+    assert any(f"corpus-{fp1}" in p for p in removed)
+    assert not os.path.exists(store1)
+    assert os.path.exists(os.path.join(store2, "_meta.json"))
+    _clear_session_caches()
+    assert {r.label: list(r.cemb) for r in S.ivf_centroids(spark, d).collect()} == cent2
+    assert gc_stale(spark, d) == []  # idempotent
 
 
 def test_pq_codebook_and_sign_bands_round_trip_store(spark, tmp_path, monkeypatch):

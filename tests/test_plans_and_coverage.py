@@ -298,6 +298,8 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_dedup_winnow", "llm_bpe_encode", "llm_dedup_incremental", "llm_judge_quality",
         "llm_mix_apply", "llm_simsearch_prefiltered", "llm_simsearch_ivfpq",
         "llm_quality_gate", "llm_dedup_lsh_recall", "llm_dedup_report",
+        "llm_dedup_lsh_cap_loss", "fn_duration_format", "llm_quality_zscore",
+        "ts_gapfill", "ts_rolling_active",
     ]
     regs = all_queries()
     problems = {}
