@@ -91,6 +91,9 @@ HEADLINE = [
     "llm_dedup_semdedup",
     "llm_bm25_score",
     "cdc_snapshot_diff",
+    "llm_dedup_lsh_cap_loss",
+    "fn_duration_format",
+    "ts_funnel",
 ]
 
 

@@ -6,7 +6,12 @@ order-insensitive values (exact; floats compared bit-exact after
 normalization, which our decimal-exact aggregation idiom makes
 possible). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--out FILE] [sf_dir] [query ...]
+
+``--out FILE`` additionally writes the PASS/FAIL lines + summary to
+FILE — the per-round sweep artifact (ORACLE_SWEEP_r{N}.txt /
+EDGE_SWEEP_r{N}.txt) that lets the judge diff the driver's 50-query
+sample against the full registry surface without re-running Spark.
 """
 
 from __future__ import annotations
@@ -121,8 +126,19 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:]) if sys.argv[1:] and not os.path.isdir(sys.argv[1]) else None)
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:]) if len(args) > 1 else (set(args) if args and not os.path.isdir(args[0]) else None)
+    lines: list[str] = []
+
+    def emit(msg: str) -> None:
+        print(msg)
+        lines.append(msg)
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -138,32 +154,35 @@ def main() -> int:
             sdf = rq.fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception:
-            print(f"FAIL {name}: spark side raised\n{traceback.format_exc()}")
+            emit(f"FAIL {name}: spark side raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
         if rq.sql is None:
             nonscalar = _driver_strict_problems(spdf, spdf.iloc[0:0])
             if nonscalar:
-                print(f"FAIL {name}: " + "; ".join(nonscalar[:3]))
+                emit(f"FAIL {name}: " + "; ".join(nonscalar[:3]))
                 n_fail += 1
             else:
-                print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+                emit(f"ROWS-ONLY {name}: {len(spdf)} rows")
                 n_rows_only += 1
             continue
         try:
             opdf = con.execute(rq.sql).fetchdf()
         except Exception:
-            print(f"FAIL {name}: oracle side raised\n{traceback.format_exc()}")
+            emit(f"FAIL {name}: oracle side raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
         problems = compare(spdf, opdf)
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems[:3]))
+            emit(f"FAIL {name}: " + "; ".join(problems[:3]))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spdf)} rows)")
+            emit(f"PASS {name} ({len(spdf)} rows)")
             n_pass += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    emit(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
     return 1 if n_fail else 0
 
 
