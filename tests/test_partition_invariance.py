@@ -1,0 +1,42 @@
+"""Partition-count invariance: the engine's exact-arithmetic idioms
+(decimal-exact sums, sequential folds, explicit tie-breaks) promise
+BIT-IDENTICAL results under any partitioning — the property that makes
+results reproducible when a 100 TB job reruns with different
+parallelism, AQE coalescing, or after executor loss. Pin it by running
+float-sensitive queries under 32 vs 3 shuffle partitions and comparing
+collected rows exactly."""
+
+from nova_pulsar_spark.registry import all_queries
+
+# Queries chosen for partition-order sensitivity if the arithmetic were
+# naive: float aggregations (pricing_summary, corr, cov, zscore), a
+# windowed LOCF over a shuffled spine (ts_gapfill), per-group argmax
+# tie-breaks (topk_per_group), and exact quantiles.
+KEYS = [
+    "pricing_summary",
+    "agg_corr_exact",
+    "agg_cov_matrix",
+    "llm_quality_zscore",
+    "ts_gapfill",
+    "topk_per_group",
+    "quantiles_exact",
+]
+
+
+def _rows(spark, key, sf):
+    df = all_queries()[key].fn(spark, sf)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_results_bit_identical_across_shuffle_partitions(spark, sf_dir):
+    regs = all_queries()
+    assert all(k in regs for k in KEYS)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = {k: _rows(spark, k, sf_dir) for k in KEYS}
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for k in KEYS:
+            assert _rows(spark, k, sf_dir) == base[k], f"{k} diverged under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
