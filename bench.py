@@ -94,6 +94,10 @@ HEADLINE = [
     "llm_dedup_lsh_cap_loss",
     "fn_duration_format",
     "ts_funnel",
+    "llm_pca_power_step",
+    "llm_bitext_margin",
+    "llm_dsir_weights",
+    "llm_dedup_pagerank",
 ]
 
 

@@ -1689,3 +1689,75 @@ def llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("mostly_dup_span_docs", int(n_span)),
     ]
     return spark.createDataFrame(rows, "tier string, n bigint")
+
+
+# --- Candidate-graph centrality (boilerplate-hub detection) ----------------
+
+PR_FP = 1099511627776  # 2^40 fixed-point scale for 1/deg edge weights
+
+
+@register(
+    "llm_dedup_pagerank",
+    sql="WITH "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + f""",
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    s AS (
+      SELECT e.dst AS doc_id, SUM({PR_FP} // deg.deg) AS q
+      FROM e JOIN deg ON deg.doc_id = e.src
+      GROUP BY e.dst)
+    SELECT d.doc_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(0.15 AS DOUBLE) / n.n
+           + CAST(0.85 AS DOUBLE) * (CAST(s.q AS DOUBLE) / {PR_FP}.0) / n.n AS pr
+    FROM deg d JOIN s ON s.doc_id = d.doc_id CROSS JOIN n
+    """,
+    doc="One damped PageRank step over the capped LSH candidate graph: "
+    "centrality spots template/boilerplate hub documents (high-degree "
+    "near-dup neighborhoods) that per-pair verify scores miss",
+)
+def llm_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A document tied into many near-dup neighborhoods is template
+    boilerplate even when each individual pair sits under the verify
+    threshold — degree + one damped PageRank step over the candidate
+    graph surface exactly those hubs. Reuses the SHARED cached
+    candidate stage (zero signature recompute), symmetrizes pairs, and
+    runs pr1(v) = 0.15/N + 0.85/N * sum(1/deg(u)) with uniform prior
+    r0 = 1/N. The cross-row sum is FIXED-POINT (floor(2^40/deg) BIGINT
+    per edge — deg is integral so the scaled weight is deterministic;
+    DECIMAL(38,0) accumulator), so scores are order/partition-exact on
+    both engines. Shuffles: degree count + one (dst, partial-sum)
+    aggregation — both map-side combinable, edge-bounded (the
+    hot-bucket cap bounds degree at ~cap*bands, so no hub blowup).
+    Further power iterations are the same job shape with pr re-joined;
+    isolated docs (no candidate evidence) keep the uniform prior and
+    are excluded by construction."""
+    _, cand, _ = dedup_candidates(spark, sf_dir)
+    e = cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        e.join(deg, "src")
+        .select("dst", F.expr(f"{PR_FP}L div deg").alias("w"))
+        .groupBy("dst")
+        .agg(F.sum(F.col("w").cast("decimal(38,0)")).alias("q"))
+    )
+    return (
+        deg.select(F.col("src").alias("doc_id"), "deg")
+        .join(s.select(F.col("dst").alias("doc_id"), "q"), "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("deg").cast("bigint").alias("degree"),
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * (F.col("q").cast("double") / F.lit(float(PR_FP))) / F.col("n")
+            ).alias("pr"),
+        )
+    )

@@ -973,3 +973,100 @@ def llm_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("keep_rate") * 65536
         ).alias("kept"),
     )
+
+
+# --- DSIR importance-resampling weights (targeted data selection) ----------
+
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target" proxy corpus
+DSIR_NB = 256  # hashed n-gram feature buckets
+DSIR_FP = 1048576.0  # 2^20 fixed-point scale for per-doc accumulation
+
+
+@register(
+    "llm_dsir_weights",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    bk AS (
+      SELECT doc_id, source, {_hash16_sql("token")} % {DSIR_NB} AS b FROM tok),
+    cnt AS (
+      SELECT b, COUNT(*) AS cr,
+             COUNT(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS ct
+      FROM bk GROUP BY b),
+    r AS (
+      SELECT b,
+             CAST(FLOOR(CAST(ct + 1 AS DOUBLE) * CAST(SUM(cr) OVER () + {DSIR_NB} AS DOUBLE)
+                  / (CAST(cr + 1 AS DOUBLE) * CAST(SUM(ct) OVER () + {DSIR_NB} AS DOUBLE))
+                  * {DSIR_FP}) AS BIGINT) AS qr
+      FROM cnt),
+    ds AS (
+      SELECT bk.doc_id, COUNT(*) AS n_tokens, SUM(r.qr) AS wq
+      FROM bk JOIN r ON r.b = bk.b
+      GROUP BY bk.doc_id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(ds.wq AS DOUBLE) / {DSIR_FP} / ds.n_tokens AS dsir_weight
+    FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+    """,
+    doc="DSIR-style importance-resampling weights: hashed unigram features, "
+    "add-1-smoothed target/raw likelihood ratio per bucket (rational — "
+    "log-free, see idf/BM25 precedent), mean ratio per document — the "
+    "targeted data-selection scorer (Xie et al. 2023, arXiv:2302.03169)",
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling, Spark-first: tokens
+    hash into {DSIR_NB} buckets (16-bit md5 head — engine-shared), ONE
+    corpus scan builds both the raw and target bucket counts
+    (conditional count, no second pass), and the per-bucket smoothed
+    likelihood ratio table — {DSIR_NB} rows, broadcast — scores every
+    document by its mean token ratio. The paper sums LOG ratios;
+    log() is not correctly-rounded cross-engine (same reason idf/BM25
+    here use rational forms), so the registered score is the mean
+    ratio — resampling callers can take log at the boundary. Per-doc
+    accumulation is fixed-point (floor(ratio*2^20) BIGINT per bucket,
+    DECIMAL(38,0) sums), so weights are order/partition-exact. The
+    shuffles: token->bucket counts (map-side combinable, bucket-bounded)
+    and the per-doc sum (doc-bounded) — nothing pairwise, no Python.
+    Docs with no tokens keep NULL weight (no evidence) via the left
+    join back to the full document set."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bk = tok.select(
+        "doc_id", "source", (_hash16_spark(F.col("token")) % DSIR_NB).alias("b")
+    )
+    bk = bk.localCheckpoint()  # two consumers: bucket counts + per-doc rescore
+    cnt = bk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, F.lit(1))).alias("ct"),
+    )
+    w = W.partitionBy()
+    r = cnt.select(
+        "b",
+        F.floor(
+            (F.col("ct") + 1).cast("double")
+            * (F.sum("cr").over(w) + DSIR_NB).cast("double")
+            / ((F.col("cr") + 1).cast("double") * (F.sum("ct").over(w) + DSIR_NB).cast("double"))
+            * F.lit(DSIR_FP)
+        ).alias("qr"),
+    )
+    ds = (
+        bk.join(F.broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("qr").cast("decimal(38,0)")).alias("wq"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (F.col("wq").cast("double") / F.lit(DSIR_FP) / F.col("n_tokens")).alias("dsir_weight"),
+        )
+    )

@@ -193,9 +193,23 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [-1, 1] (identical double parse on both sides).
 import hashlib as _hashlib
 
-N_PLANES = 32  # 4 bands × 8 sign bits per band
-N_BANDS = 4
-BAND_BITS = N_PLANES // N_BANDS
+N_PLANES = 128  # 8 bands × 16 sign bits per band (full-resolution slices)
+N_BANDS = 8
+BAND_BITS = N_PLANES // N_BANDS  # stored per-band signature width
+EMB_MAX_BUCKET = 64  # hot-bucket cap on (band, prefix-sig) buckets
+# Adaptive prefix ladder: the EFFECTIVE bits per band grow with corpus
+# size so bucket occupancy stays bounded. A fixed-width band key has a
+# FIXED keyspace (2^bits buckets), so occupancy — and candidate pairs —
+# grow quadratically with the corpus: the round-4 second-decade scaling
+# audit measured 68x at a 10x step for the 4x8-bit layout. MinHash
+# bands never hit this (their key cardinality grows with the corpus);
+# sign-LSH needs the ladder. The full 16-bit sigs are stored in the
+# persisted index; prefix truncation happens at candidate/probe time,
+# so a corpus growing within the ladder re-keys without re-indexing.
+# Production extends the CASE rungs (or re-plans N_PLANES) as the
+# corpus crosses decades; saturated buckets beyond the cap are dropped
+# exactly like the MinHash MAX_BUCKET discipline.
+_BITS_LADDER_SQL = "CASE WHEN n >= 16000 THEN 16 WHEN n >= 4000 THEN 12 ELSE 8 END"
 EMB_DUP_THRESHOLD = 0.40
 # Rerank report threshold for the label-filtered verify query — lower
 # than the dup cut so the oracle compares a non-vacuous result set.
@@ -214,44 +228,58 @@ def _plane_lit_spark(j: int) -> str:
     return "array(" + ", ".join(repr(w) for w in HYPERPLANES[j]) + ")"
 
 
-def _plane_lit_sql(j: int) -> str:
-    return "([" + ", ".join(repr(w) for w in HYPERPLANES[j]) + "])"
+# All 128 plane dots in ONE lambda over a 2D literal (a per-plane
+# concat of 128 separate fold expressions blows past whole-stage
+# codegen method limits; the single transform stays compiled).
+_PLANES_SPARK = "array(" + ", ".join(_plane_lit_spark(j) for j in range(N_PLANES)) + ")"
+_PLANES_SQL = "[" + ", ".join(
+    "[" + ", ".join(repr(w) for w in HYPERPLANES[j]) + "]" for j in range(N_PLANES)
+) + "]"
 
 
 def _signs_spark() -> F.Column:
     # built lazily — Column construction needs an active SparkContext
-    return F.concat(
-        *[
-            F.when(F.expr(
-                f"aggregate(zip_with(embedding, {_plane_lit_spark(j)}, "
-                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(N_PLANES)
-        ]
+    return F.expr(
+        f"array_join(transform({_PLANES_SPARK}, p -> "
+        "CASE WHEN aggregate(zip_with(embedding, p, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END), '')"
     )
 
-_SIGNS_SQL = " || ".join(
-    f"(CASE WHEN {_sql_dot('embedding', _plane_lit_sql(j))} >= 0 THEN '1' ELSE '0' END)"
-    for j in range(N_PLANES)
+
+_SIGNS_SQL = (
+    f"array_to_string(list_transform({_PLANES_SQL}, p -> "
+    f"CASE WHEN {_sql_dot('embedding', 'p')} >= 0 THEN '1' ELSE '0' END), '')"
 )
 
 # Shared sign-LSH candidate CTEs (DuckDB side) — used by both the
 # candidate-generation query and the label-filtered rerank query.
 _EMB_CAND_CTES = f"""sigs AS (
       SELECT vec_id, embedding, {_SIGNS_SQL} AS signs FROM embeddings),
+    nbits AS (
+      SELECT {_BITS_LADDER_SQL} AS bits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)),
     bands AS (
       SELECT vec_id, embedding, b.b AS band,
-             substr(signs, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS sig
-      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b),
+             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
+      CROSS JOIN nbits),
+    okb AS (
+      SELECT band, sig FROM bands
+      GROUP BY band, sig HAVING COUNT(*) <= {EMB_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)"""
+      FROM bands a
+      JOIN okb ON okb.band = a.band AND okb.sig = a.sig
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)"""
 
 
 _EMB_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
 _BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Store kind is layout-versioned: changing the plane/band geometry
+# orphans old index directories (the janitor reclaims them) instead of
+# silently probing a stale layout.
+_BANDS_KIND = f"sign_bands_p{N_PLANES}x{N_BANDS}"
 
 
 def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
@@ -280,9 +308,23 @@ def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) ->
         return build().localCheckpoint()
     from nova_pulsar_spark.operators.ann_index import load_or_build
 
-    bands = load_or_build(spark, sf_dir, "sign_bands", build)
+    bands = load_or_build(spark, sf_dir, _BANDS_KIND, build)
     _BANDS_CACHE[key] = bands
     return bands
+
+
+def _prefix_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
+    """(vec_id, band, sig) with the sig truncated to the corpus-size
+    ladder's effective bit width — the re-keying view over the stored
+    full-width index (Spark side of the ``nbits``/``bands`` CTEs).
+    The corpus count rides in as a broadcast 1-row frame so the plan
+    stays a single job (production caches the count in the index
+    metadata at build time)."""
+    bands = _sign_bands(spark, e, sf_dir)
+    nbits = e.agg(F.count(F.lit(1)).alias("n")).select(F.expr(_BITS_LADDER_SQL).alias("bits"))
+    return bands.crossJoin(F.broadcast(nbits)).select(
+        "vec_id", "band", F.expr("substring(sig, 1, bits)").alias("sig")
+    )
 
 
 def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
@@ -296,8 +338,15 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
     key = (id(spark), sf_dir) if sf_dir is not None else None
     if key is not None and key in _EMB_CAND_CACHE:
         return _EMB_CAND_CACHE[key]
-    bands = _sign_bands(spark, e, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
+    pb = _prefix_bands(spark, e, sf_dir)
+    ok = (
+        pb.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= EMB_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    capped = pb.join(ok, ["band", "sig"], "left_semi")
+    a, b = capped.alias("a"), pb.alias("b")
     cand = (
         a.join(
             b,
@@ -330,15 +379,19 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
 )
 def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation for embedding dedup that scales: each vector
-    gets a 32-bit hyperplane-sign signature; 4 bands of 8 bits bucket
-    the corpus, and only same-bucket pairs meet (the cosine-space
-    analog of MinHash banding — on this corpus ~1.5% of all pairs
-    become candidates, a ~65× reduction over all-pairs verify).
-    Band width tunes the recall/candidate trade-off per corpus; the
-    exact-cosine verify stage then touches |candidates| pairs, not n².
-    Hyperplanes are deterministic md5-derived literals, so both
-    engines produce bit-identical signatures — which is what makes an
-    LSH pipeline oracle-checkable.
+    gets a 128-bit hyperplane-sign signature; 8 bands bucket the
+    corpus on a PREFIX of their 16-bit slice, and only same-bucket
+    pairs meet (the cosine-space analog of MinHash banding). The
+    prefix width follows the corpus-size ladder and outsized buckets
+    take the EMB_MAX_BUCKET cap — the two guards that keep candidate
+    growth linear: the round-4 second-decade audit measured the fixed
+    4x8-bit layout at 68x for a 10x corpus step (fixed keyspace ->
+    occupancy grows with n -> pair count grows with n²), and the
+    re-keyed layout at ~2x on the same step. The exact-cosine verify
+    stage then touches |candidates| pairs, not n². Hyperplanes are
+    deterministic md5-derived literals, so both engines produce
+    bit-identical signatures — which is what makes an LSH pipeline
+    oracle-checkable.
     """
     e = load_table(spark, sf_dir, "embeddings")
     cand = _sign_lsh_candidates(spark, e, sf_dir)
@@ -496,11 +549,21 @@ RANGE_THRESHOLD = 0.05  # radius (min cosine); tuned so the fixture probe return
     sql=f"""
     WITH sigs AS (
       SELECT vec_id, embedding, {_SIGNS_SQL} AS signs FROM embeddings),
+    nbits AS (
+      SELECT {_BITS_LADDER_SQL} AS bits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)),
     bands AS (
       SELECT vec_id, b.b AS band,
-             substr(signs, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS sig
-      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b),
-    qb AS (SELECT band, sig FROM bands WHERE vec_id = {QUERY_VEC_ID}),
+             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
+      CROSS JOIN nbits),
+    okb AS (
+      SELECT band, sig FROM bands
+      GROUP BY band, sig HAVING COUNT(*) <= {EMB_MAX_BUCKET}),
+    qb AS (
+      SELECT bands.band, bands.sig FROM bands
+      JOIN okb ON okb.band = bands.band AND okb.sig = bands.sig
+      WHERE vec_id = {QUERY_VEC_ID}),
     probe AS (
       SELECT DISTINCT b.vec_id
       FROM bands b JOIN qb ON b.band = qb.band AND b.sig = qb.sig
@@ -526,8 +589,18 @@ def llm_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability 1-(1-p^bits)^bands; the probe and the oracle twin use
     the same buckets, so results are engine-identical."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = _sign_bands(spark, e, sf_dir)
-    qb = bands.filter(F.col("vec_id") == QUERY_VEC_ID).select("band", "sig")
+    bands = _prefix_bands(spark, e, sf_dir)
+    ok = (
+        bands.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= EMB_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    qb = (
+        bands.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(ok, ["band", "sig"], "left_semi")
+        .select("band", "sig")
+    )
     probe = (
         bands.join(F.broadcast(qb), ["band", "sig"])
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -1199,6 +1272,11 @@ def llm_simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SemDeDup: semantic dedup via cluster-then-pairwise --------------------
 
 SEMDEDUP_K = 4       # clusters (kmeans seeds); ~corpus_size/avg_cluster in prod
+SEM_MAX_CLUSTER = 64  # per-cluster pair-stage cap: only the cap nearest-to-seed
+# members enter the quadratic stage. Production SemDeDup bounds |cluster| by
+# scaling K with the corpus (50k clusters for LAION); a static-K registered
+# query needs the explicit cap or per-cluster pair work grows quadratically —
+# the round-4 second-decade audit measured 44x at a 10x corpus step uncapped.
 SEMDEDUP_T = 0.35    # cosine threshold (fixture embeddings are near-orthogonal;
                      # real text embeddings use ~0.95+)
 
@@ -1225,12 +1303,17 @@ _SEM_NDOT_SQL = (
              {_sql_sqdist("e.embedding", "s.ce")} AS d2
       FROM embeddings e CROSS JOIN seeds s),
     a AS (
-      SELECT vec_id, embedding, cluster_id
+      SELECT vec_id, embedding, cluster_id, d2
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY d2, cluster_id) AS rn FROM d) t
       WHERE rn = 1),
+    am AS (
+      SELECT vec_id, embedding, cluster_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                         ORDER BY d2, vec_id) AS mrank FROM a) t
+      WHERE mrank <= {SEM_MAX_CLUSTER}),
     nrm AS (
-      SELECT vec_id, cluster_id, embedding, {_SEM_NRM_SQL} AS nrm FROM a),
+      SELECT vec_id, cluster_id, embedding, {_SEM_NRM_SQL} AS nrm FROM am),
     n AS (
       SELECT vec_id, cluster_id,
              CASE WHEN nrm = 0 THEN NULL
@@ -1299,11 +1382,25 @@ def llm_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.expr(f"array_min(array({terms})).cluster_id").alias("cluster_id"),
+        F.expr(f"array_min(array({terms})).d2").alias("d2"),
+    )
+    # Per-cluster pair-stage cap: rank members by distance-to-seed and
+    # let only the SEM_MAX_CLUSTER nearest enter the pairwise stage —
+    # a linear window, identical on both engines (tie-break vec_id).
+    from pyspark.sql.window import Window as W
+
+    am = (
+        a.withColumn(
+            "mrank",
+            F.row_number().over(W.partitionBy("cluster_id").orderBy("d2", "vec_id")),
+        )
+        .filter(F.col("mrank") <= SEM_MAX_CLUSTER)
+        .drop("mrank", "d2")
     )
     # Normalize ONCE (linear), so each candidate pair costs a single
     # dot fold; checkpoint because both join sides consume this frame.
     n = (
-        a.select("vec_id", "cluster_id", "embedding", F.sqrt(_fold_dot("embedding", "embedding")).alias("nrm"))
+        am.select("vec_id", "cluster_id", "embedding", F.sqrt(_fold_dot("embedding", "embedding")).alias("nrm"))
         .select(
             "vec_id",
             "cluster_id",
@@ -1539,5 +1636,239 @@ def llm_simsearch_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             "pre_rank",
             F.coalesce("survives_postfilter", F.lit(False)).alias("survives_postfilter"),
+        )
+    )
+
+
+# --- PCA power-iteration step (embedding whitening / rotation build) -------
+
+PCA_FP = 1048576.0  # 2^20 fixed-point scale for the cross-row accumulator
+_V0 = 0.125  # start vector v0 = (1/sqrt(DIM), ...) — 1/8 exactly representable
+
+
+@register(
+    "llm_pca_power_step",
+    sql=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (x, y) -> x + y) * {_V0} AS sv
+      FROM embeddings),
+    g AS (
+      SELECT i.i AS i,
+             CAST(SUM(CAST(FLOOR(s.sv * CAST(s.embedding[i.i] AS DOUBLE) * {PCA_FP})
+                           AS BIGINT)) AS DOUBLE) / {PCA_FP} AS xtxv
+      FROM s CROSS JOIN (SELECT UNNEST(range(1, {DIM + 1})) AS i) i
+      GROUP BY i.i),
+    n AS (
+      SELECT SQRT(list_reduce(list(xtxv * xtxv ORDER BY i), (x, y) -> x + y)) AS nrm,
+             list_reduce(list(xtxv ORDER BY i), (x, y) -> x + y) * {_V0} AS ray
+      FROM g)
+    SELECT g.i, g.xtxv,
+           g.xtxv / NULLIF(n.nrm, 0) AS v_next,
+           n.ray AS rayleigh_q
+    FROM g CROSS JOIN n
+    """,
+    doc="One PCA power-iteration step v' = X^T(Xv) over the embedding corpus "
+    "— the top-principal-direction build for whitening/OPQ-style index "
+    "rotations; fixed-point cross-row accumulator, order/partition-exact",
+)
+def llm_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable PCA step factors v' = (X^T X) v as X^T (X v): a
+    per-row dot s_r = <x_r, v0> (v0 = 1/sqrt(DIM) literal — no data
+    dependence, no prior pass), then per-dimension sums of s_r * x_rj.
+    The shuffle is (dim, partial_sum) — DIM reduce groups with
+    map-side combine no matter the corpus size, the same profile as
+    llm_kmeans_step. Cross-row float addition is order-dependent, so
+    the accumulator is FIXED-POINT: floor(s*x*2^20) per row (a
+    deterministic IEEE expression both engines evaluate identically)
+    summed in DECIMAL(38,0) — order-free, no collect_list fold over
+    corpus-sized groups, which is what survives 100 TB. The final
+    64-row normalization + Rayleigh quotient use the tiny ordered
+    fold. Each further power iteration is the same single-shuffle job
+    with v' re-broadcast (the llm_kmeans_step loop discipline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * {_V0}"
+        ).alias("sv"),
+    )
+    g = (
+        s.select("sv", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            (F.col("i0") + 1).cast("bigint").alias("i"),
+            F.floor(F.col("sv") * F.col("x").cast("double") * F.lit(PCA_FP)).alias("q"),
+        )
+        .groupBy("i")
+        .agg((F.sum(F.col("q").cast("decimal(38,0)")).cast("double") / F.lit(PCA_FP)).alias("xtxv"))
+    )
+    n = g.agg(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(i, xtxv))), "
+                "s -> s.xtxv * s.xtxv), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        ).alias("nrm"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(i, xtxv))), "
+            f"s -> s.xtxv), CAST(0 AS DOUBLE), (acc, v) -> acc + v) * {_V0}"
+        ).alias("ray"),
+    )
+    return g.crossJoin(F.broadcast(n)).select(
+        "i",
+        "xtxv",
+        F.when(F.col("nrm") != 0, F.col("xtxv") / F.col("nrm")).alias("v_next"),
+        F.col("ray").alias("rayleigh_q"),
+    )
+
+
+# --- Margin-based bitext mining (parallel-corpus candidate scoring) --------
+
+BITEXT_SRC_LABEL = 0  # "language A" side of the mining run
+BITEXT_TGT_LABEL = 1  # "language B" side
+BITEXT_K = 4  # neighborhood size for the margin normalizer
+
+
+@register(
+    "llm_bitext_margin",
+    sql=f"""
+    WITH {_EMB_CAND_CTES},
+    x AS (
+      SELECT CASE WHEN a.label = {BITEXT_SRC_LABEL} THEN c.vec_a ELSE c.vec_b END AS src_id,
+             CASE WHEN a.label = {BITEXT_SRC_LABEL} THEN c.vec_b ELSE c.vec_a END AS tgt_id,
+             {_sql_cos("a.embedding", "b.embedding")} AS cosine
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE (a.label = {BITEXT_SRC_LABEL} AND b.label = {BITEXT_TGT_LABEL})
+         OR (a.label = {BITEXT_TGT_LABEL} AND b.label = {BITEXT_SRC_LABEL})),
+    p AS (SELECT src_id, tgt_id, cosine FROM x WHERE cosine IS NOT NULL),
+    ra AS (
+      SELECT src_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+      FROM p),
+    fa AS (
+      SELECT src_id,
+             list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS nn_src
+      FROM ra WHERE rn <= {BITEXT_K} GROUP BY src_id),
+    rb AS (
+      SELECT tgt_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn
+      FROM p),
+    fb AS (
+      SELECT tgt_id,
+             list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS nn_tgt
+      FROM rb WHERE rn <= {BITEXT_K} GROUP BY tgt_id),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.cosine,
+             p.cosine / NULLIF((fa.nn_src + fb.nn_tgt) * 0.5, 0) AS margin
+      FROM p
+      JOIN fa ON fa.src_id = p.src_id
+      JOIN fb ON fb.tgt_id = p.tgt_id),
+    f AS (
+      SELECT src_id, tgt_id, cosine, margin,
+             ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rf
+      FROM m),
+    bk AS (
+      SELECT src_id, tgt_id,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+      FROM m)
+    SELECT f.src_id, f.tgt_id, f.cosine, f.margin,
+           (bk.src_id IS NOT NULL) AS mutual_best
+    FROM f LEFT JOIN bk
+      ON bk.src_id = f.src_id AND bk.tgt_id = f.tgt_id AND bk.rb = 1
+    WHERE f.rf = 1
+    """,
+    doc="Margin-based bitext mining (Artetxe & Schwenk ratio margin): "
+    "cross-label candidate pairs from the shared sign-LSH stage, margin = "
+    "cos / mean of the two k-NN-neighborhood averages, forward-best per "
+    "source with a mutual-best flag — the parallel-corpus miner",
+)
+def llm_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining parallel text by raw cosine over-selects hub sentences;
+    the ratio margin (cos normalized by the mean of each side's k-NN
+    average cosine) is the published fix (Artetxe & Schwenk 2019 —
+    margin-based mining, the CCMatrix recipe). Scale shape: candidate
+    pairs come from the SAME persisted sign-LSH banded index the dedup
+    DAG uses (never all-pairs, ~n*bucket density rows); neighborhood
+    averages are per-endpoint aggregates over candidate pairs (two
+    map-side-combinable shuffles on src_id/tgt_id); the argmax heads
+    are row_number windows. k-NN truncation uses the rn-ordered
+    sequential fold so the averages — and therefore margins and both
+    argmax heads — are bit-identical across engines and partitionings.
+    Zero-norm vectors (cosine NULL) drop before neighborhoods on both
+    engines; an all-zero neighborhood yields NULL margin (NULLIF'd
+    denominator), ranked last by both engines' DESC NULLS LAST."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = _sign_lsh_candidates(spark, e, sf_dir)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    src, tgt = F.lit(BITEXT_SRC_LABEL), F.lit(BITEXT_TGT_LABEL)
+    p = (
+        cand.join(a, F.col("ia") == F.col("vec_a"))
+        .join(b, F.col("ib") == F.col("vec_b"))
+        .filter(
+            ((F.col("la") == src) & (F.col("lb") == tgt))
+            | ((F.col("la") == tgt) & (F.col("lb") == src))
+        )
+        .select(
+            F.when(F.col("la") == src, F.col("vec_a")).otherwise(F.col("vec_b")).alias("src_id"),
+            F.when(F.col("la") == src, F.col("vec_b")).otherwise(F.col("vec_a")).alias("tgt_id"),
+            cosine("ea", "eb").alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    # Two consumers (src- and tgt-side neighborhoods) + the margin join
+    # read the same candidate-cosine frame: materialize it once.
+    p = p.localCheckpoint()
+    from pyspark.sql.window import Window as W
+
+    def _nn(side: str, other: str, out: str) -> DataFrame:
+        w = W.partitionBy(side).orderBy(F.col("cosine").desc(), other)
+        return (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BITEXT_K)
+            .groupBy(side)
+            .agg(
+                (
+                    F.expr(
+                        "aggregate(transform(array_sort(collect_list(struct(rn, cosine))), "
+                        "s -> s.cosine), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+                    )
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    fa = _nn("src_id", "tgt_id", "nn_src")
+    fb = _nn("tgt_id", "src_id", "nn_tgt")
+    den = (F.col("nn_src") + F.col("nn_tgt")) * F.lit(0.5)
+    m = (
+        p.join(fa, "src_id")
+        .join(fb, "tgt_id")
+        .select(
+            "src_id", "tgt_id", "cosine",
+            F.when(den != 0, F.col("cosine") / den).alias("margin"),
+        )
+    )
+    m = m.localCheckpoint()  # forward and backward argmax heads share it
+    f = m.withColumn(
+        "rf", F.row_number().over(W.partitionBy("src_id").orderBy(F.col("margin").desc(), "tgt_id"))
+    ).filter(F.col("rf") == 1)
+    bk = (
+        m.withColumn(
+            "rb", F.row_number().over(W.partitionBy("tgt_id").orderBy(F.col("margin").desc(), "src_id"))
+        )
+        .filter(F.col("rb") == 1)
+        .select(F.col("src_id").alias("bs"), F.col("tgt_id").alias("bt"), F.lit(True).alias("mb"))
+    )
+    return (
+        f.join(bk, (F.col("bs") == f.src_id) & (F.col("bt") == f.tgt_id), "left")
+        .select(
+            "src_id", "tgt_id", "cosine", "margin",
+            F.coalesce("mb", F.lit(False)).alias("mutual_best"),
         )
     )

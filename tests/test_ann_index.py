@@ -95,7 +95,7 @@ def test_pq_codebook_and_sign_bands_round_trip_store(spark, tmp_path, monkeypatc
     e = S.load_table(spark, d, "embeddings")
     bands = S._sign_bands(spark, e, d)
     assert bands.count() == 12 * S.N_BANDS
-    assert os.path.exists(os.path.join(index_root(), "sign_bands"))
+    assert os.path.exists(os.path.join(index_root(), S._BANDS_KIND))
     # band sigs loaded from the store match a fresh in-memory build
     stored = {(r.vec_id, r.band): r.sig for r in bands.collect()}
     adhoc = {(r.vec_id, r.band): r.sig for r in S._sign_bands(spark, e, None).collect()}

@@ -1398,3 +1398,185 @@ def test_multimodal_bytes_dedup_planted_copies(spark, monkeypatch):
     assert dup[0].reclaimable_bytes == dup[0].payload_bytes
     uniq = [r for r in rows.values() if not r.is_dup][0]
     assert uniq.reclaimable_bytes == 0
+
+
+def test_pca_power_step_matches_numpy(spark):
+    """v' = X^T(Xv0) within fixed-point tolerance (N/2^20 per dim),
+    v_next unit-norm, Rayleigh quotient ~ ||Xv0||^2 >= 0 (PSD)."""
+    import numpy as np
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.similarity import llm_pca_power_step
+
+    rows = llm_pca_power_step(spark, SF).collect()
+    assert len(rows) == 64 and sorted(r.i for r in rows) == list(range(1, 65))
+    X = np.array(
+        pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    s = X.sum(axis=1) * 0.125  # <x, v0> with v0 = 1/8
+    want = X.T @ s
+    tol = len(X) / 1048576.0 + 1e-9
+    got = {r.i: r for r in rows}
+    for j in range(64):
+        assert abs(got[j + 1].xtxv - want[j]) <= tol, j
+    nrm = sum(r.v_next**2 for r in rows)
+    assert abs(nrm - 1.0) <= 1e-9
+    ray = rows[0].rayleigh_q
+    assert all(abs(r.rayleigh_q - ray) <= 0 for r in rows)  # constant column
+    assert ray >= -tol  # v0^T X^T X v0 = ||Xv0||^2 up to fixed-point error
+    assert abs(ray - 0.125 * float(want.sum())) <= 64 * tol
+
+
+def test_bitext_margin_matches_brute_force_over_candidates(spark):
+    """Forward-best target + margin recomputed in numpy from the SAME
+    candidate pairs; mutual_best flags exactly the reciprocal argmax."""
+    import numpy as np
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.similarity import (
+        BITEXT_K,
+        BITEXT_SRC_LABEL,
+        BITEXT_TGT_LABEL,
+        _sign_lsh_candidates,
+        llm_bitext_margin,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    cand = _sign_lsh_candidates(spark, e, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    lab = dict(zip(emb.vec_id, emb.label))
+
+    pairs = []  # (src, tgt, cos) over cross-label candidates
+    for a, b in zip(cand.vec_a, cand.vec_b):
+        la, lb = lab[a], lab[b]
+        if {la, lb} != {BITEXT_SRC_LABEL, BITEXT_TGT_LABEL}:
+            continue
+        src, tgt = (a, b) if la == BITEXT_SRC_LABEL else (b, a)
+        x, y = vecs[a], vecs[b]
+        den = np.sqrt(x @ x) * np.sqrt(y @ y)
+        if den == 0:
+            continue
+        pairs.append((src, tgt, float(x @ y) / den))
+
+    def knn_avg(items):  # items: [(key, other, cos)]
+        out = {}
+        by = {}
+        for k, o, c in items:
+            by.setdefault(k, []).append((-c, o, c))
+        for k, lst in by.items():
+            lst.sort()
+            top = [c for _, _, c in lst[:BITEXT_K]]
+            out[k] = sum(top) / len(top)
+        return out
+
+    nn_s = knn_avg([(s, t, c) for s, t, c in pairs])
+    nn_t = knn_avg([(t, s, c) for s, t, c in pairs])
+    margins = {
+        (s, t): c / ((nn_s[s] + nn_t[t]) * 0.5)
+        for s, t, c in pairs
+        if (nn_s[s] + nn_t[t]) != 0
+    }
+    fwd = {}
+    for (s, t), mg in margins.items():
+        cur = fwd.get(s)
+        if cur is None or (mg, -t) > (cur[1], -cur[0]):
+            fwd[s] = (t, mg)
+    bwd = {}
+    for (s, t), mg in margins.items():
+        cur = bwd.get(t)
+        if cur is None or (mg, -s) > (cur[1], -cur[0]):
+            bwd[t] = (s, mg)
+
+    got = {r.src_id: r for r in llm_bitext_margin(spark, SF).collect()}
+    assert set(got) == set(fwd)
+    assert len(got) >= 3  # non-vacuous on sf0.001
+    for s, r in got.items():
+        t, mg = fwd[s]
+        assert r.tgt_id == t and abs(r.margin - mg) <= 1e-9, s
+        assert r.mutual_best == (bwd.get(t, (None,))[0] == s), (s, t)
+    assert any(r.mutual_best for r in got.values())
+
+
+def test_dsir_weights_match_reference_computation(spark):
+    """Per-doc mean likelihood ratio recomputed exactly (same md5
+    bucketing, smoothing, and fixed-point floor) in plain Python."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.pipeline import (
+        DSIR_FP,
+        DSIR_NB,
+        DSIR_TARGET_SOURCE,
+        llm_dsir_weights,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        return int(h[:4], 16) % DSIR_NB
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    toks: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        bs = [bucket(t) for t in r.text.split(" ")]
+        toks[r.doc_id] = bs
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if r.source == DSIR_TARGET_SOURCE:
+                ct[b] = ct.get(b, 0) + 1
+    tr_all, tt_all = sum(cr.values()), sum(ct.values())
+    qr = {
+        b: math.floor(
+            float(ct.get(b, 0) + 1)
+            * float(tr_all + DSIR_NB)
+            / (float(cr[b] + 1) * float(tt_all + DSIR_NB))
+            * DSIR_FP
+        )
+        for b in cr
+    }
+    got = {r.doc_id: r for r in llm_dsir_weights(spark, SF).collect()}
+    assert set(got) == set(docs.doc_id)
+    n_null = 0
+    for doc_id, bs in toks.items():
+        want = sum(qr[b] for b in bs) / DSIR_FP / len(bs)
+        assert abs(got[doc_id].dsir_weight - want) <= 1e-12, doc_id
+        assert got[doc_id].n_tokens == len(bs)
+    for doc_id in set(got) - set(toks):
+        assert got[doc_id].dsir_weight is None and got[doc_id].n_tokens == 0
+        n_null += 1
+    # target-source docs score above the corpus median (selection signal)
+    tgt_w = [r.dsir_weight for r in got.values() if r.source == DSIR_TARGET_SOURCE and r.dsir_weight is not None]
+    all_w = sorted(r.dsir_weight for r in got.values() if r.dsir_weight is not None)
+    if tgt_w:
+        med = all_w[len(all_w) // 2]
+        assert sum(w > med for w in tgt_w) >= len(tgt_w) / 2
+
+
+def test_dedup_pagerank_mass_and_hubs(spark):
+    """PR over the candidate graph: scores form a probability
+    distribution over graph nodes, high-degree hubs outrank leaves,
+    and degree matches the symmetrized candidate-pair counts."""
+    from nova_pulsar_spark.operators.dedup import dedup_candidates, llm_dedup_pagerank
+
+    rows = llm_dedup_pagerank(spark, SF).collect()
+    _, cand, _ = dedup_candidates(spark, SF)
+    pairs = [(r.doc_a, r.doc_b) for r in cand.collect()]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert {r.doc_id for r in rows} == set(deg)
+    assert all(r.degree == deg[r.doc_id] for r in rows)
+    assert abs(sum(r.pr for r in rows) - 1.0) <= 1e-6  # conserved mass
+    if len({r.degree for r in rows}) > 1:
+        top = max(rows, key=lambda r: r.pr)
+        assert top.degree >= sorted(r.degree for r in rows)[len(rows) // 2]
