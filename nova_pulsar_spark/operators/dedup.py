@@ -752,6 +752,7 @@ SIMHASH64_BITS = 60
 SIMHASH64_BANDS = 4
 SIMHASH64_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS  # 15
 SIMHASH64_HAMMING_T = 12
+SIMHASH64_MAX_BUCKET = 64  # hot-band cap (fixed 2^15 keyspace per band)
 
 _SH64_NIB_SQL = " + ".join(
     f"(strpos('{_HEX}', substr(md5(token), {i}, 1)) - 1) * {16 ** (15 - i)}"
@@ -786,10 +787,15 @@ _SH64_BAND_SELECTS = "\n      UNION ALL\n      ".join(
       SELECT doc_id, CAST({_SH64_RECOMBINE_SQL} AS BIGINT) AS sig FROM bits),
     bands AS (
       {_SH64_BAND_SELECTS}),
+    okb AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {SIMHASH64_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN okb ON okb.band_idx = a.band_idx AND okb.band_val = a.band_val
+      JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id <> b.doc_id),
     scored AS (
@@ -803,8 +809,8 @@ _SH64_BAND_SELECTS = "\n      UNION ALL\n      ".join(
     FROM scored WHERE rnk = 1
     """,
     doc=f"Banded {SIMHASH64_BITS}-bit SimHash nearest neighbor: 4x{SIMHASH64_BAND_BITS}-bit "
-    "band blocking generates candidates (agree on >= 1 band), full-signature "
-    "Hamming argmin per doc — the SimHash scale path, never all-pairs, O(n) output",
+    "band blocking generates candidates (agree on >= 1 band), hot-band cap, "
+    "full-signature Hamming argmin per doc — the SimHash scale path, never all-pairs",
 )
 def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 16-bit SimHash's documented scale extension, implemented: a
@@ -814,8 +820,13 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     band; wider radii trade recall exactly like MinHash banding), and
     popcount-of-XOR verify ONLY on banded candidates. All integer
     shift/and/xor — bit-identical across engines. The band self-join
-    shuffles (band_idx, 15-bit value) keys; hot bands would take the
-    same `max_bucket` cap as the MinHash path."""
+    shuffles (band_idx, 15-bit value) keys, and hot bands take the
+    SIMHASH64_MAX_BUCKET cap — a 15-bit band value is a FIXED keyspace
+    (32768 buckets), so without the cap occupancy and candidate pairs
+    grow n²/keyspace once the corpus outgrows it (the same failure the
+    second-decade audit measured on the fixed-width sign-LSH layout);
+    identical-fingerprint boilerplate clusters saturate a bucket at
+    any size and belong to exact dedup upstream."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
     h = F.md5(F.col("token").cast("binary"))
@@ -854,7 +865,14 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     for br in band_rows[1:]:
         bands = bands.unionByName(br)
     bands = bands.localCheckpoint(eager=False)
-    a, b = bands.alias("a"), bands.alias("b")
+    ok = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= SIMHASH64_MAX_BUCKET)
+        .select("band_idx", "band_val")
+    )
+    capped = bands.join(ok, ["band_idx", "band_val"], "left_semi")
+    a, b = capped.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
