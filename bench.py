@@ -98,6 +98,7 @@ HEADLINE = [
     "llm_bitext_margin",
     "llm_dsir_weights",
     "llm_dedup_pagerank",
+    "llm_contamination_rate",
 ]
 
 

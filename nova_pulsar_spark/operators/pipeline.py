@@ -1070,3 +1070,98 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wq").cast("double") / F.lit(DSIR_FP) / F.col("n_tokens")).alias("dsir_weight"),
         )
     )
+
+
+# --- Per-document contamination rate (the decontamination report) ----------
+
+CONTAM_FRAC_HI = 0.5  # >= half the doc's shingles in the benchmark -> drop
+CONTAM_FRAC_LO = 0.1  # partial overlap -> flag for review
+
+
+@register(
+    "llm_contamination_rate",
+    sql=f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({_SHINGLES_SQL}) AS shingle
+      FROM documents WHERE doc_id < {N_BENCHMARK_DOCS}),
+    ds AS (
+      SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS shingle
+      FROM documents WHERE doc_id >= {N_BENCHMARK_DOCS}),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ds GROUP BY doc_id),
+    ov AS (
+      SELECT d.doc_id, COUNT(*) AS n_overlap
+      FROM ds d JOIN bench b ON d.shingle = b.shingle
+      GROUP BY d.doc_id)
+    SELECT c.doc_id,
+           CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN t.n_shingles IS NULL THEN NULL
+                ELSE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_shingles
+           END AS overlap_frac,
+           CASE WHEN t.n_shingles IS NULL THEN 'no_signal'
+                WHEN CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= {CONTAM_FRAC_HI} THEN 'contaminated'
+                WHEN CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_shingles >= {CONTAM_FRAC_LO} THEN 'partial'
+                ELSE 'clean' END AS tier
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {N_BENCHMARK_DOCS}) c
+    LEFT JOIN tot t ON t.doc_id = c.doc_id
+    LEFT JOIN ov o ON o.doc_id = c.doc_id
+    """,
+    doc="Per-document contamination RATE: fraction of a doc's distinct "
+    "3-gram shingles found in the benchmark set, tiered into "
+    "clean/partial/contaminated/no_signal — the decontamination decision "
+    "report (llm_contamination gives raw counts; this is the policy head)",
+)
+def llm_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report released alongside model evals: not just which docs
+    touch the benchmark (llm_contamination's count head) but what
+    FRACTION of each doc overlaps, tiered for the drop/review/keep
+    decision. Same scale shape as the count head — benchmark shingles
+    broadcast, corpus scanned once; per-doc shingle totals come from a
+    map-side size(array_distinct(...)) (no extra shuffle), so the only
+    exchanges are the matched-rows count and the final left join on
+    doc_id. Docs too short to shingle (< 3 words / NULL text) report
+    tier 'no_signal' with NULL fraction on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))) "
+            "ELSE array() END"
+        )
+    )
+    with_ws = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    bench = (
+        with_ws.filter(F.col("doc_id") < N_BENCHMARK_DOCS)
+        .select(F.explode(shingles).alias("s"))
+        .select(F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+    corpus = with_ws.filter(F.col("doc_id") >= N_BENCHMARK_DOCS).select(
+        "doc_id", shingles.alias("sh")
+    )
+    corpus = corpus.localCheckpoint()  # totals + overlap probe both read it
+    totals = corpus.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+    ov = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_sh = F.col("n_shingles")
+    n_ov = F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+    frac = F.when(n_sh > 0, n_ov.cast("double") / n_sh)
+    return (
+        totals.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_ov.alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            F.when(n_sh == 0, F.lit("no_signal"))
+            .when(frac >= CONTAM_FRAC_HI, F.lit("contaminated"))
+            .when(frac >= CONTAM_FRAC_LO, F.lit("partial"))
+            .otherwise(F.lit("clean"))
+            .alias("tier"),
+        )
+    )

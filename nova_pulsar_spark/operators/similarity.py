@@ -1872,3 +1872,54 @@ def llm_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mb", F.lit(False)).alias("mutual_best"),
         )
     )
+
+
+def pca_top_component(
+    spark: SparkSession, sf_dir: str, iters: int = 12
+) -> tuple[list[float], list[float]]:
+    """Full power-iteration loop built from the llm_pca_power_step
+    machinery — the whitening/OPQ-rotation INDEX BUILD. Not registered
+    as a query (iterative; no closed-form SQL twin — pytest-pinned,
+    the lloyd-loop policy).
+
+    Each iteration is ONE distributed job with the step's shape: the
+    current direction v (DIM floats — tiny) is inlined as a literal,
+    s = <x, v> is a per-row fold, and the only shuffle carries DIM
+    fixed-point partial-sum groups. The driver normalizes the DIM-
+    vector and re-broadcasts; the Rayleigh quotient per iteration
+    gives the convergence trace (monotone for PSD X^T X up to
+    fixed-point error).
+
+    Returns (unit top component, rayleigh quotient per iteration)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    import math
+
+    v = [1.0 / math.sqrt(DIM)] * DIM
+    ray_hist: list[float] = []
+    for _ in range(iters):
+        vlit = "array(" + ", ".join(repr(float(x)) for x in v) + ")"
+        s = e.select(
+            F.expr(
+                f"aggregate(zip_with(embedding, {vlit}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("sv"),
+            "embedding",
+        )
+        g = (
+            s.select("sv", F.posexplode("embedding").alias("i0", "x"))
+            .select(
+                F.col("i0").alias("i"),
+                F.floor(F.col("sv") * F.col("x").cast("double") * F.lit(PCA_FP)).alias("q"),
+            )
+            .groupBy("i")
+            .agg((F.sum(F.col("q").cast("decimal(38,0)")).cast("double") / F.lit(PCA_FP)).alias("w"))
+        )
+        rows = {r["i"]: r["w"] for r in g.collect()}  # DIM floats — bounded
+        w = [rows.get(i, 0.0) for i in range(DIM)]
+        ray_hist.append(sum(a * b for a, b in zip(v, w)))
+        nrm = math.sqrt(sum(x * x for x in w))
+        if nrm == 0:
+            break
+        v = [x / nrm for x in w]
+    return v, ray_hist

@@ -1637,3 +1637,43 @@ def test_dedup_pagerank_mass_and_hubs(spark):
     if len({r.degree for r in rows}) > 1:
         top = max(rows, key=lambda r: r.pr)
         assert top.degree >= sorted(r.degree for r in rows)[len(rows) // 2]
+
+
+def test_pca_power_iteration_converges_to_top_eigenvector(spark, tmp_path):
+    """The full power loop converges to numpy's dominant eigenvector
+    (planted-spike corpus — the sf fixtures' spectrum is deliberately
+    flat, where power iteration needs O(100) passes) and the Rayleigh
+    trace is non-decreasing on the real fixture too."""
+    import numpy as np
+    import pandas as pd
+
+    from nova_pulsar_spark.operators.similarity import DIM, pca_top_component
+
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(DIM)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.standard_normal(120) * 3.0, u) + 0.1 * rng.standard_normal((120, DIM))
+    d = str(tmp_path / "spiked")
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(120, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in X],
+            "label": np.zeros(120, dtype=np.int32),
+        }
+    ).to_parquet(f"{d}/embeddings.parquet")
+    v, rays = pca_top_component(spark, d, iters=10)
+    Xd = np.array([r.astype(np.float64) for r in pd.read_parquet(f"{d}/embeddings.parquet")["embedding"]])
+    evals, evecs = np.linalg.eigh(Xd.T @ Xd)
+    align = abs(float(np.asarray(v) @ evecs[:, -1]))
+    assert align >= 0.999, align  # same direction up to sign
+    assert abs(rays[-1] - float(evals[-1])) <= 1e-3 * float(evals[-1])
+    # monotone up, at the fixed-point accumulator's error scale
+    # (floor(s*x*2^20) loses < n_rows/2^20 per dimension sum)
+    fp_tol = 120 / 1048576.0 * 10
+    assert all(b >= a - fp_tol for a, b in zip(rays, rays[1:]))
+    # real fixture: flat spectrum, but the trace must still be monotone
+    _, rf = pca_top_component(spark, SF, iters=5)
+    assert all(b >= a - fp_tol for a, b in zip(rf, rf[1:]))
