@@ -1923,3 +1923,83 @@ def pca_top_component(
             break
         v = [x / nrm for x in w]
     return v, ray_hist
+
+
+# --- Incremental embedding dedup (new batch vs stored ANN index) -----------
+
+EMB_INCR_MOD = 5  # vec_id % 5 == 0 models the "new crawl" batch
+
+
+@register(
+    "llm_dedup_embedding_incremental",
+    sql=f"""
+    WITH {_EMB_CAND_CTES},
+    pairs AS (
+      SELECT vec_a, vec_b FROM cand
+      WHERE (vec_a % {EMB_INCR_MOD} = 0) <> (vec_b % {EMB_INCR_MOD} = 0)),
+    norm AS (
+      SELECT CASE WHEN vec_a % {EMB_INCR_MOD} = 0 THEN vec_a ELSE vec_b END AS batch_vec,
+             CASE WHEN vec_a % {EMB_INCR_MOD} = 0 THEN vec_b ELSE vec_a END AS index_vec
+      FROM pairs),
+    scored AS (
+      SELECT n.batch_vec, n.index_vec,
+             {_sql_cos("a.embedding", "b.embedding")} AS cosine
+      FROM norm n
+      JOIN embeddings a ON a.vec_id = n.batch_vec
+      JOIN embeddings b ON b.vec_id = n.index_vec),
+    best AS (
+      SELECT batch_vec, index_vec, cosine,
+             ROW_NUMBER() OVER (PARTITION BY batch_vec
+                                ORDER BY cosine DESC, index_vec) AS rn
+      FROM scored WHERE cosine IS NOT NULL)
+    SELECT batch_vec, index_vec AS matched_index_vec, cosine,
+           cosine >= {EMB_DUP_THRESHOLD} AS is_dup
+    FROM best WHERE rn = 1
+    """,
+    doc="Incremental embedding dedup: new-batch vectors probe the stored "
+    "sign-LSH band index, exact cosine on batch-vs-index candidates only, "
+    "best index match per batch vector — the ANN-side daily-crawl pattern",
+)
+def llm_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN mirror of llm_dedup_incremental: the historical corpus
+    keeps the PERSISTED sign-LSH band index (operators/ann_index.py
+    lifecycle); a new batch computes signatures for its vectors only
+    and probes the stored buckets, so cost scales with the batch,
+    never the corpus. The split is modeled as vec_id % 5 == 0; the
+    shared capped candidate stage plays the stored index, restricted
+    to batch-vs-index pairs. Best match per batch vector is an
+    explicit row_number argmax (cosine DESC, index_vec) — the
+    tie-deterministic form; zero-norm probes (NULL cosine) drop before
+    ranking on both engines. The ladder + hot-bucket cap stay ON: a
+    saturated historical bucket would otherwise bill every new crawl
+    for its fan-out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = _sign_lsh_candidates(spark, e, sf_dir)
+    is_batch = lambda c: c % EMB_INCR_MOD == 0  # noqa: E731
+    norm = cand.filter(is_batch(F.col("vec_a")) != is_batch(F.col("vec_b"))).select(
+        F.when(is_batch(F.col("vec_a")), F.col("vec_a")).otherwise(F.col("vec_b")).alias("batch_vec"),
+        F.when(is_batch(F.col("vec_a")), F.col("vec_b")).otherwise(F.col("vec_a")).alias("index_vec"),
+    )
+    a = e.select(F.col("vec_id").alias("batch_vec"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("index_vec"), F.col("embedding").alias("eb"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        norm.join(a, "batch_vec")
+        .join(b, "index_vec")
+        .select("batch_vec", "index_vec", cosine("ea", "eb").alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("batch_vec").orderBy(F.col("cosine").desc(), "index_vec")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_vec",
+            F.col("index_vec").alias("matched_index_vec"),
+            "cosine",
+            (F.col("cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )

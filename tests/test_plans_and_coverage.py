@@ -300,7 +300,7 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_quality_gate", "llm_dedup_lsh_recall", "llm_dedup_report",
         "llm_dedup_lsh_cap_loss", "fn_duration_format", "llm_quality_zscore",
         "ts_gapfill", "ts_rolling_active",
-        "llm_pca_power_step", "llm_bitext_margin", "llm_dsir_weights", "llm_dedup_pagerank", "llm_contamination_rate",
+        "llm_pca_power_step", "llm_bitext_margin", "llm_dsir_weights", "llm_dedup_pagerank", "llm_contamination_rate", "llm_dedup_embedding_incremental",
     ]
     regs = all_queries()
     problems = {}
