@@ -2003,3 +2003,131 @@ def llm_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+# --- Cap-loss ledgers for the round-4 caps ---------------------------------
+
+
+@register(
+    "llm_dedup_embedding_cap_loss",
+    sql=f"""
+    WITH sigs AS (
+      SELECT vec_id, {_SIGNS_SQL} AS signs FROM embeddings),
+    nbits AS (
+      SELECT {_BITS_LADDER_SQL} AS bits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)),
+    bands AS (
+      SELECT vec_id, b.b AS band,
+             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
+      CROSS JOIN nbits),
+    buckets AS (
+      SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > {EMB_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_dropped,
+           CAST(SUM(CASE WHEN n > {EMB_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT) AS n_vecs_dropped,
+           CAST(SUM(CASE WHEN n > {EMB_MAX_BUCKET} THEN n * (CAST(n AS BIGINT) - 1) // 2 ELSE 0 END) AS BIGINT) AS n_pairs_dropped
+    FROM buckets GROUP BY band
+    """,
+    doc=f"Per-band sign-LSH hot-bucket-cap accounting at the active ladder "
+    f"rung: buckets over EMB_MAX_BUCKET={EMB_MAX_BUCKET}, the vector mass "
+    "inside them, and the candidate pairs excised — the embedding mirror of "
+    "llm_dedup_lsh_cap_loss",
+)
+def llm_dedup_embedding_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH cap's ledger, priced at the CURRENT ladder rung
+    (the same prefix the candidate stage keys on — a ledger at the
+    stored 16-bit width would claim losses the 8-bit rung never
+    takes). Σ n·(n−1)/2 over dropped buckets is the fan-out the cap
+    saved; n_vecs_dropped is the mass that belongs to exact/byte dedup
+    upstream. One groupBy over the shared persisted band index —
+    bucket counts only, no pair join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pb = _prefix_bands(spark, e, sf_dir)
+    b = pb.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    dropped = F.col("n") > EMB_MAX_BUCKET
+    return b.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0)).cast("bigint").alias("n_vecs_dropped"),
+        F.sum(F.when(dropped, F.expr("n * (CAST(n AS BIGINT) - 1) DIV 2")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_dropped"),
+    )
+
+
+@register(
+    "llm_semdedup_cap_loss",
+    sql=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cluster_id, embedding AS ce
+      FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+    d AS (
+      SELECT e.vec_id, s.cluster_id,
+             {_sql_sqdist("e.embedding", "s.ce")} AS d2
+      FROM embeddings e CROSS JOIN seeds s),
+    a AS (
+      SELECT vec_id, cluster_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster_id) AS rn FROM d) t
+      WHERE rn = 1),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n FROM a GROUP BY cluster_id)
+    SELECT cluster_id, CAST(n AS BIGINT) AS n_members,
+           CAST(LEAST(n, {SEM_MAX_CLUSTER}) AS BIGINT) AS n_in_pair_stage,
+           CAST(GREATEST(n - {SEM_MAX_CLUSTER}, 0) AS BIGINT) AS n_excluded,
+           CAST(n * (CAST(n AS BIGINT) - 1) // 2
+                - LEAST(n, {SEM_MAX_CLUSTER}) * (CAST(LEAST(n, {SEM_MAX_CLUSTER}) AS BIGINT) - 1) // 2
+                AS BIGINT) AS n_pairs_saved
+    FROM sizes
+    """,
+    doc=f"Per-cluster SemDeDup cap accounting: members vs the "
+    f"SEM_MAX_CLUSTER={SEM_MAX_CLUSTER} pair-stage window, excluded tail, "
+    "and the pairwise work the cap saved — the SemDeDup mirror of the "
+    "LSH cap ledgers",
+)
+def llm_semdedup_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the per-cluster cap costs and saves, per cluster: the
+    excluded tail (farthest-from-seed members — production re-clusters
+    with a larger K when this column grows) and the avoided pair
+    fan-out n·(n−1)/2 − cap·(cap−1)/2. Same driver-inlined seed
+    assignment as the dedup itself (map-only), then one K-row count —
+    the audit is strictly cheaper than the op it audits."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(SEMDEDUP_K).select("vec_id", "embedding").collect()
+
+    def lit_arr(vec) -> str:
+        return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
+
+    def sqd(seed_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(embedding, {seed_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    terms = ", ".join(
+        f"struct({sqd(lit_arr(r['embedding']))} AS d2, "
+        f"CAST({int(r['vec_id'])} AS BIGINT) AS cluster_id)"
+        for r in seed_rows
+    )
+    sizes = (
+        e.select(F.expr(f"array_min(array({terms})).cluster_id").alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.col("n")
+    kept = F.least(n, F.lit(SEM_MAX_CLUSTER))
+    # integer DIV, not float /: n*(n-1)/2 through a double silently
+    # loses exactness past 2^53 (clusters of ~10^8 at corpus scale)
+    return sizes.select(
+        "cluster_id",
+        n.cast("bigint").alias("n_members"),
+        kept.cast("bigint").alias("n_in_pair_stage"),
+        F.greatest(n - SEM_MAX_CLUSTER, F.lit(0)).cast("bigint").alias("n_excluded"),
+        F.expr(
+            f"CAST(n * (CAST(n AS BIGINT) - 1) DIV 2"
+            f" - LEAST(n, {SEM_MAX_CLUSTER}) * (CAST(LEAST(n, {SEM_MAX_CLUSTER}) AS BIGINT) - 1) DIV 2"
+            " AS BIGINT)"
+        ).alias("n_pairs_saved"),
+    )
