@@ -20,6 +20,12 @@ KEYS = [
     "ts_gapfill",
     "topk_per_group",
     "quantiles_exact",
+    # round-4 fixed-point accumulators: cross-row float sums quantized
+    # to DECIMAL — exactly the class partitioning would break if naive
+    "llm_pca_power_step",
+    "llm_dsir_weights",
+    "llm_dedup_pagerank",
+    "llm_bitext_margin",
 ]
 
 
