@@ -372,3 +372,75 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --- Winsorization (per-group exact-quantile outlier clipping) -------------
+
+
+@register(
+    "dq_winsorize",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+      FROM ranked GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value IS NULL THEN NULL
+                ELSE LEAST(GREATEST(e.value, b.p05), b.p95) END AS value_w,
+           COALESCE(e.value < b.p05, FALSE) AS clipped_low,
+           COALESCE(e.value > b.p95, FALSE) AS clipped_high
+    FROM events e LEFT JOIN b ON b.event_type = e.event_type
+    """,
+    doc="Winsorization: clip each event's value to its group's exact "
+    "[p05, p95] (type-1 rank-arithmetic quantiles), flagging which tail was "
+    "clipped — the outlier-robust normalization step feature pipelines run "
+    "before aggregation",
+)
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers poison means and z-scores; winsorizing to exact
+    per-group percentile bounds is the deterministic fix (dropping
+    rows changes counts; clipping preserves them). Bounds use the
+    quantiles_exact rank idiom — type-1 quantile at ceil(q*n) via
+    integer rank arithmetic, NULL values excluded from ranking on both
+    engines (ASC NULL placement differs between them) — then broadcast
+    back: the bounds table is |group|-sized, so the corpus never
+    shuffles; the clip is a map-side LEAST/GREATEST over non-NULL
+    inputs (the NULL-argument divergence class never arises). NULL
+    values pass through unclipped with both flags false."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    r = (
+        e.filter(F.col("value").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type").orderBy("value", "event_id")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    )
+
+    def at_rank(num: int):
+        target = F.floor((F.lit(num) * F.col("n") + 19) / 20).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value")))
+
+    b = r.groupBy("event_type").agg(at_rank(1).alias("p05"), at_rank(19).alias("p95"))
+    return (
+        e.join(F.broadcast(b), "event_type", "left")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("value").isNotNull(),
+                F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")),
+            ).alias("value_w"),
+            F.coalesce(F.col("value") < F.col("p05"), F.lit(False)).alias("clipped_low"),
+            F.coalesce(F.col("value") > F.col("p95"), F.lit(False)).alias("clipped_high"),
+        )
+    )
