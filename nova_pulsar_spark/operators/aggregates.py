@@ -772,3 +772,94 @@ def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("var_x", "var_y", "n", "cov")
         .orderBy("var_x", "var_y")
     )
+
+
+# --- Higher moments (skewness / kurtosis) from decimal-exact sums ----------
+
+
+@register(
+    "agg_skew_kurtosis",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value * value * value AS DECIMAL(30,3))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,2)) ) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type),
+    r AS (
+      SELECT event_type, n,
+             s1 / n AS mean_v, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+      FROM s),
+    m AS (
+      SELECT event_type, n, mean_v,
+             r2 - mean_v * mean_v AS m2,
+             r3 - 3 * mean_v * r2 + 2 * mean_v * mean_v * mean_v AS m3,
+             r4 - 4 * mean_v * r3 + 6 * mean_v * mean_v * r2
+                - 3 * mean_v * mean_v * mean_v * mean_v AS m4
+      FROM r)
+    SELECT event_type, CAST(n AS BIGINT) AS n, mean_v,
+           m3 / NULLIF(m2 * SQRT(m2), 0) AS skew_g1,
+           m4 / NULLIF(m2 * m2, 0) - 3 AS kurt_excess
+    FROM m
+    """,
+    doc="Exact per-group skewness and excess kurtosis: four raw moments in "
+    "ONE decimal-exact aggregate (order/partition-insensitive), closed-form "
+    "central moments — the distribution-shape profile behind outlier policy",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew/kurtosis decide winsorization and transform policy, but the
+    built-in skewness()/kurtosis() aggregates are float-accumulation
+    order-dependent (different per partitioning AND per engine). Same
+    discipline as agg_corr_exact widened to 3rd/4th moments: all four
+    raw sums accumulate in DECIMAL within a single map-side-combined
+    aggregate. Fractional precision is deliberately LOW (v^3 at 3dp,
+    v^4 at 2dp): the decimal->double conversion of the final sum is
+    only engine-identical while the scaled integer stays under 2^53
+    (a DECIMAL(38,8) v^4 sum diverged in the last ulp between engines
+    — measured, not theoretical), so precision is spent on integer
+    headroom, not fraction digits. Central moments are then a fixed
+    IEEE expression over those exact inputs — identical everywhere. Population g1 = m3/m2^1.5 and
+    excess g2 = m4/m2^2 - 3; constant groups (m2 = 0) yield NULL on
+    both engines via the guarded denominator."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(24,4)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(30,3)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,2)")).cast("double").alias("s4"),
+    )
+    r = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_v"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    mean = F.col("mean_v")
+    m = r.select(
+        "event_type",
+        "n",
+        "mean_v",
+        (F.col("r2") - mean * mean).alias("m2"),
+        (F.col("r3") - F.lit(3) * mean * F.col("r2") + F.lit(2) * mean * mean * mean).alias("m3"),
+        (
+            F.col("r4")
+            - F.lit(4) * mean * F.col("r3")
+            + F.lit(6) * mean * mean * F.col("r2")
+            - F.lit(3) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    den1, den2 = m2 * F.sqrt(m2), m2 * m2
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "mean_v",
+        F.when(den1 != 0, F.col("m3") / den1).alias("skew_g1"),
+        (F.when(den2 != 0, F.col("m4") / den2) - F.lit(3)).alias("kurt_excess"),
+    )
