@@ -444,3 +444,78 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("value") > F.col("p95"), F.lit(False)).alias("clipped_high"),
         )
     )
+
+
+# --- Benford first-digit drift (fraud / synthetic-data detector) -----------
+
+# log10(1 + 1/d) as literals: log() is not correctly rounded cross-engine,
+# so the expected frequencies are compile-time constants, not runtime math.
+_BENFORD = {
+    "1": 0.3010299956639812, "2": 0.17609125905568124, "3": 0.12493873660829992,
+    "4": 0.09691001300805642, "5": 0.07918124604762482, "6": 0.06694678963061322,
+    "7": 0.05799194697768673, "8": 0.05115252244738129, "9": 0.04575749056067514,
+}
+_BENFORD_SQL = "CASE g.digit " + " ".join(
+    f"WHEN '{d}' THEN {v!r}" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "dq_benford",
+    sql=f"""
+    WITH f AS (
+      SELECT event_type,
+             regexp_extract(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS digit
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, digit, COUNT(*) AS n_obs
+      FROM f WHERE digit <> '' GROUP BY event_type, digit),
+    t AS (SELECT event_type, SUM(n_obs) AS n_grp FROM g GROUP BY event_type)
+    SELECT g.event_type, g.digit, CAST(g.n_obs AS BIGINT) AS n_obs,
+           CAST(g.n_obs AS DOUBLE) / t.n_grp AS obs_frac,
+           {_BENFORD_SQL} AS exp_frac,
+           CAST(g.n_obs AS DOUBLE) / t.n_grp - {_BENFORD_SQL} AS deviation
+    FROM g JOIN t ON t.event_type = g.event_type
+    """,
+    doc="Benford first-digit audit per group: observed vs expected "
+    "log10(1+1/d) leading-digit frequencies (literal constants — log-free at "
+    "runtime) — the classic fabricated/synthetic-numeric-data detector",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organic multiplicative measures follow Benford's law; fabricated
+    or template-generated numbers don't — per-group first-digit
+    deviation is the cheap screen. The digit comes from the DECIMAL
+    rendering (both engines format DECIMAL(18,2) identically — raw
+    DOUBLE formatting diverges on scientific notation), first nonzero
+    char via the same regex. One count shuffle on (group, digit) with
+    map-side combine; totals are a 9-row-per-group rollup; expected
+    frequencies are inlined literals so no runtime log(). Negative
+    values contribute their magnitude digit (the sign never matches
+    [1-9]); zeros carry no leading digit and drop on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    digit = F.regexp_extract(
+        F.col("value").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    )
+    g = (
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = g.groupBy("event_type").agg(F.sum("n_obs").alias("n_grp"))
+    exp_frac = F.lit(None).cast("double")
+    for d, v in _BENFORD.items():
+        exp_frac = F.when(F.col("digit") == d, F.lit(v)).otherwise(exp_frac)
+    obs = F.col("n_obs").cast("double") / F.col("n_grp")
+    return (
+        g.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            obs.alias("obs_frac"),
+            exp_frac.alias("exp_frac"),
+            (obs - exp_frac).alias("deviation"),
+        )
+    )
