@@ -210,3 +210,30 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round4_scorers_broadcast_their_small_tables(spark):
+    """The round-4 selection scorers join corpus-sized streams against
+    bounded tables (256-bucket DSIR ratios, per-group winsorize bounds,
+    9-digit-per-group Benford totals): every one must plan broadcast,
+    never a sort-merge shuffle of the corpus side."""
+    for name in ("llm_dsir_weights", "dq_winsorize", "dq_benford"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_pca_power_step_is_partial_then_final_dim_groups(spark):
+    """v' = X^T(Xv): the per-dimension fixed-point sum must plan as
+    partial (map-side) then final HashAggregate — the shuffle carries
+    DIM partial-sum groups, not corpus rows."""
+    p = _plan(spark, "llm_pca_power_step")
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pagerank_mass_aggregation_is_map_side_combined(spark):
+    """The PageRank step's per-destination mass sum and the degree
+    count both plan with partial aggregation (edge-bounded shuffles)."""
+    p = _plan(spark, "llm_dedup_pagerank")
+    assert "partial_sum" in p and "partial_count" in p
