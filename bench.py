@@ -99,6 +99,9 @@ HEADLINE = [
     "llm_dsir_weights",
     "llm_dedup_pagerank",
     "llm_contamination_rate",
+    "dq_winsorize",
+    "dq_benford",
+    "agg_skew_kurtosis",
 ]
 
 
