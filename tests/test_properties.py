@@ -223,3 +223,34 @@ def test_substring_scrub_always_removes_planted_cross_doc_span(spark, a_extra, s
     # non-span tokens survive in order (span tokens are unique, extras may repeat)
     assert [t for t in out[1].clean_text.split(" ") if t] == a_extra
     assert [t for t in out[2].clean_text.split(" ") if t] == b_extra
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    ctype=st.sampled_from([0, 2]),
+    data=st.data(),
+)
+def test_stdlib_png_decoder_roundtrips_any_filter_mix(w, h, ctype, data):
+    """decode(encode(pixels)) recovers exact dimensions and mean for
+    arbitrary 8-bit gray/RGB images under any per-row mix of the
+    None/Sub/Up filters the writer supports."""
+    from nova_pulsar_spark.operators.multimodal import _decode_png_stdlib
+    from tests.test_llm_ops import _make_png
+
+    ch = 1 if ctype == 0 else 3
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+    )
+    filters = data.draw(st.lists(st.sampled_from([0, 1, 2]), min_size=h, max_size=h))
+    got_w, got_h, got_mean = _decode_png_stdlib(_make_png(w, h, px, ctype, filters))
+    assert (got_w, got_h) == (w, h)
+    if ch == 1:
+        want = sum(px) / (w * h)
+    else:
+        want = sum(
+            (px[i] * 19595 + px[i + 1] * 38470 + px[i + 2] * 7471) >> 16
+            for i in range(0, len(px), 3)
+        ) / (w * h)
+    assert got_mean == want
