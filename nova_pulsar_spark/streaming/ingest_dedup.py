@@ -112,3 +112,62 @@ def near_dup_stream(doc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Embedding (ANN) ingest dedup: sign-LSH buckets as stream state --------
+
+EMB_STREAM_BITS = 8  # fixed claim rung: a stream cannot know final corpus
+# size, so buckets are claimed at the ladder's base width; the batch
+# compaction that folds stream state into the persisted index re-keys to
+# the corpus-appropriate rung (operators/similarity.py ladder).
+
+EMB_NEARDUP_OUT_SCHEMA = "band int, sig string, vec_id long, first_vec long, is_new boolean"
+
+
+def embedding_band_signatures(vecs: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) from a (vec_id, embedding) frame — row-local
+    (one transform lambda over the hyperplane literals; no groupBy, so
+    it composes with the single stateful operator downstream). Uses the
+    SAME md5-derived hyperplanes as the batch index, so stream claims
+    and batch probes agree on buckets at the claim rung."""
+    from nova_pulsar_spark.operators.similarity import BAND_BITS, N_BANDS as EMB_BANDS, _signs_spark
+
+    sigs = vecs.select(F.col("vec_id").alias("doc_id"), _signs_spark().alias("signs"))
+    band_cols = [
+        F.substring(F.col("signs"), b * BAND_BITS + 1, EMB_STREAM_BITS).alias(f"b{b}")
+        for b in range(EMB_BANDS)
+    ]
+    wide = sigs.select("doc_id", *band_cols)
+    stack = ", ".join(f"{b}, b{b}" for b in range(EMB_BANDS))
+    return wide.selectExpr("doc_id", f"stack({EMB_BANDS}, {stack}) AS (band, sig)").select(
+        "doc_id", F.col("band").cast("int").alias("band"), "sig"
+    )
+
+
+def embedding_near_dup_stream(vec_stream: DataFrame) -> DataFrame:
+    """The ANN mirror of ``near_dup_stream``: every arriving embedding
+    either claims its sign-LSH buckets or collides with the vector
+    that owns them — incremental embedding dedup at ingest, state =
+    the band index, checkpoint-recoverable. ``vec_stream`` needs
+    (vec_id, embedding); output is EMB_NEARDUP_OUT_SCHEMA in update
+    mode. Shares ``_claim_bucket`` (claim-CAS semantics) with the text
+    path — the state layout is identical, only the signature family
+    differs."""
+    out = (
+        embedding_band_signatures(vec_stream)
+        .groupBy("band", "sig")
+        .applyInPandasWithState(
+            _claim_bucket,
+            outputStructType=NEARDUP_OUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return out.select(
+        "band",
+        "sig",
+        F.col("doc_id").alias("vec_id"),
+        F.col("first_doc").alias("first_vec"),
+        "is_new",
+    )

@@ -1062,3 +1062,73 @@ def test_streaming_near_dup_index_across_microbatches(spark, tmp_path):
     bdocs = spark.createDataFrame([(1, base)], "doc_id long, text string")
     batch_sigs = {(r.band, r.sig) for r in band_signatures(bdocs).collect()}
     assert {(r.band, r.sig) for r in hits2} <= batch_sigs
+
+
+def test_streaming_embedding_near_dup_index_across_microbatches(spark, tmp_path):
+    """ANN mirror of the text ingest-dedup index: batch 1 indexes a
+    vector's sign-LSH buckets; after restart-with-checkpoint an
+    identical-direction vector arriving in batch 2 collides on EVERY
+    band (is_new=false, first_vec = the original), and stream buckets
+    match the batch-side signature family."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from nova_pulsar_spark.operators.similarity import DIM, N_BANDS as EMB_BANDS
+    from nova_pulsar_spark.streaming.ingest_dedup import (
+        embedding_band_signatures,
+        embedding_near_dup_stream,
+    )
+
+    src = str(tmp_path / "vecs_in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = [(1.0 if i % 3 == 0 else -0.5) for i in range(DIM)]
+    other = [(-1.0 if i % 2 == 0 else 0.25) for i in range(DIM)]
+
+    def write_vec(name, vec_id, emb):
+        with open(os.path.join(src, name), "w") as f:
+            f.write(_json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+
+    def run_available_now():
+        got: list = []
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            embedding_near_dup_stream(stream)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    write_vec("b1.json", 1, base)
+    first = run_available_now()
+    assert len(first) == EMB_BANDS and all(r.is_new and r.first_vec == 1 for r in first)
+
+    write_vec("b2.json", 2, base)  # identical direction -> same sigs everywhere
+    write_vec("b3.json", 3, other)
+    second = run_available_now()
+    hits = [r for r in second if r.vec_id == 2]
+    assert len(hits) == EMB_BANDS and all(
+        not r.is_new and r.first_vec == 1 for r in hits
+    )  # collided with the checkpointed index on every band
+    assert any(r.vec_id == 3 and r.is_new for r in second)  # fresh claims
+
+    # stream/batch signature parity at the claim rung
+    batch_sigs = {
+        (r.band, r.sig)
+        for r in embedding_band_signatures(
+            spark.createDataFrame([(1, base)], schema)
+        ).collect()
+    }
+    assert {(r.band, r.sig) for r in first} == batch_sigs
