@@ -719,3 +719,86 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("bigint").alias("n_days"),
         )
     )
+
+
+# --- Autocorrelation function (seasonality / dependence screen) ------------
+
+ACF_LAGS = 3
+
+
+def _acf_lag_sql(lag: int) -> str:
+    return f"""
+    SELECT event_type, {lag} AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                     * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)) <> 0
+                THEN CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                     / (SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                        * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+           END AS acf
+    FROM (SELECT event_type, x, LAG(x, {lag}) OVER (PARTITION BY event_type
+                                                    ORDER BY ts, event_id) AS y
+          FROM cents)
+    WHERE y IS NOT NULL
+    GROUP BY event_type"""
+
+
+@register(
+    "ts_acf",
+    sql="""
+    WITH cents AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL)
+    """
+    + "\n    UNION ALL\n".join(_acf_lag_sql(k) for k in range(1, ACF_LAGS + 1)),
+    doc=f"Exact autocorrelation at lags 1..{ACF_LAGS} per event series "
+    "(cents-integer Pearson over (x_t, x_t-lag) pairs, decimal accumulators) "
+    "— the seasonality/dependence screen behind window-size choices",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF decides rolling-window widths and seasonality hypotheses;
+    the float-naive estimator is accumulation-order-dependent, so this
+    one runs on cents integers (value canonicalized through
+    DECIMAL(18,2) — the agg_corr_exact discipline) with DECIMAL(38,0)
+    moment sums and one closed-form IEEE division per (series, lag).
+    One window pass per lag computes the shifted pair stream
+    (partitioned by series, tie-broken ordering), then a map-side-
+    combinable 5-moment aggregate; lags are a compile-time constant,
+    so the whole ACF is ~{ACF_LAGS} linear passes. Degenerate series
+    (constant either side) yield NULL via the guarded denominator."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    outs = []
+    for k in range(1, ACF_LAGS + 1):
+        p = cents.withColumn("y", F.lag("x", k).over(w)).filter(F.col("y").isNotNull())
+        s = p.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        )
+        den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        outs.append(
+            s.select(
+                "event_type",
+                F.lit(k).alias("lag"),
+                F.col("n").cast("bigint").alias("n"),
+                F.when(den != 0, num / den).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -26,6 +26,7 @@ KEYS = [
     "llm_dsir_weights",
     "llm_dedup_pagerank",
     "llm_bitext_margin",
+    "ts_acf",
 ]
 
 
