@@ -519,3 +519,80 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs - exp_frac).alias("deviation"),
         )
     )
+
+
+# --- Referential-integrity orphan audit (whole-schema FK sweep) -------------
+
+# (edge label, child table, fk column, parent table, pk column)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS fk_edge,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE k IS NULL), 0) AS BIGINT) AS n_null_fk,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE k IS NOT NULL AND NOT hit), 0) AS BIGINT)
+             AS n_orphans,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE k IS NOT NULL AND NOT hit), 0) AS DOUBLE)
+             / NULLIF(SUM(cnt) FILTER (WHERE k IS NOT NULL), 0) AS orphan_frac
+    FROM (SELECT {fk} AS k, COUNT(*) AS cnt,
+                 EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = {fk}) AS hit
+          FROM {child} GROUP BY {fk})"""
+
+
+@register(
+    "dq_referential",
+    sql="\n    UNION ALL\n".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+    doc="Referential-integrity audit over every FK edge of the star schema: "
+    "per-edge child rows, NULL FKs, orphan count and orphan fraction — the "
+    "batch-ingest gate that catches partial loads before they poison joins",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A partial parent-table load silently turns inner joins into row
+    drops; this audit measures every FK edge in one sweep. Scale shape
+    per edge: the child collapses to (fk, count) FIRST — a map-side-
+    combinable groupBy whose reduce side is keyed by distinct FK
+    values, not rows — then a left join against the parent's pk column
+    (Spark dedups the build side via the aggregate; parent pks are
+    unique anyway) and a 1-row rollup. The 100 TB child table never
+    moves: only its distinct-key census does. NULL FKs are counted,
+    never treated as orphans (ANSI: NULL fails no FK)."""
+    outs = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        j = c.join(p.withColumn("hit", F.lit(True)), "k", "left").withColumn(
+            "hit", F.coalesce(F.col("hit"), F.lit(False))
+        )
+        nonnull = F.col("k").isNotNull()
+        orphan = F.sum(F.when(nonnull & ~F.col("hit"), F.col("cnt")))
+        outs.append(
+            j.agg(
+                F.lit(edge).alias("fk_edge"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum(F.when(~nonnull, F.col("cnt"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.coalesce(orphan, F.lit(0)).cast("bigint").alias("n_orphans"),
+                (
+                    F.coalesce(orphan, F.lit(0)).cast("double")
+                    / F.nullif(F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0))
+                ).alias("orphan_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
