@@ -802,3 +802,96 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- Holt double-exponential smoothing (level + trend) ----------------------
+
+
+@register(
+    "ts_holt",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1000 AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
+    fold AS (
+      SELECT event_type, len(ms) AS n_hours, ms[len(ms)] AS last_mean,
+             list_reduce(
+               list_transform(ms, v -> [v, CAST(0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * x[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                 + CAST(0.5 AS DOUBLE) * acc[2]]) AS h
+      FROM series)
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, last_mean,
+           h[1] AS level, h[2] AS trend, h[1] + h[2] AS forecast_1
+    FROM fold ORDER BY event_type
+    """,
+    doc="Holt double-exponential smoothing (alpha=beta=0.5) over the hourly "
+    "mean series per event type: final level + trend and the one-step "
+    "forecast — EWMA's trend-aware upgrade, same calendar-bounded fold",
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method needs BOTH running level and running trend,
+    so the fold carries a [l, b] ARRAY accumulator — Spark's
+    ``aggregate`` takes any accumulator type; DuckDB's ``list_reduce``
+    requires accumulator type == element type, so the twin lifts each
+    mean into the same [v, 0] pair first (``list_transform``). A
+    STRUCT accumulator is NOT usable here: DuckDB evaluates struct-
+    returning lambda fields sequentially and rebinds ``acc`` in place,
+    so the second field's ``acc.l`` reads the NEW level (verified on
+    duckdb in-container; arrays are immutable values and don't alias).
+    The per-step arithmetic is written in the identical association
+    order on both engines and alpha=beta=0.5 are exact binary
+    fractions: bit-identical doubles out. Scale shape is ts_ewma's:
+    one map-side-combinable groupBy over the raw events (decimal-exact
+    hourly means, the only corpus-sized pass), then a per-type fold
+    over a calendar-bounded array — collect_list holds hours, not
+    events. Series init: level = first mean, trend = 0 (the fold's
+    first element IS the initial accumulator on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 1000, 0).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000
+            ).alias("m")
+        )
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(bucket_ts, m))), s -> s.m)").alias("ms")
+    )
+    fold = F.expr(
+        "aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), "
+        "array(element_at(ms, 1), CAST(0 AS DOUBLE)), "
+        "(acc, x) -> array("
+        "CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * (acc[0] + acc[1]), "
+        "CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x "
+        "+ CAST(0.5 AS DOUBLE) * (acc[0] + acc[1])) - acc[0]) "
+        "+ CAST(0.5 AS DOUBLE) * acc[1]))"
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("ms").cast("bigint").alias("n_hours"),
+            F.element_at("ms", -1).alias("last_mean"),
+            fold.alias("h"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "last_mean",
+            F.element_at("h", 1).alias("level"),
+            F.element_at("h", 2).alias("trend"),
+            (F.element_at("h", 1) + F.element_at("h", 2)).alias("forecast_1"),
+        )
+        .orderBy("event_type")
+    )
