@@ -1085,3 +1085,82 @@ def llm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(True))
     )
     return d.select("doc_id", reason.alias("drop_reason"), keep.alias("keep"))
+
+
+# --- Tokenizer vocab coverage curve -----------------------------------------
+
+_COVERAGE_KS = (10, 100, 1000, 10000)
+_COVERAGE_KMAX = max(_COVERAGE_KS)
+
+
+@register(
+    "llm_token_coverage",
+    sql=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_occ,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size FROM cnt),
+    top AS (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM cnt ORDER BY n DESC, token LIMIT {_COVERAGE_KMAX}),
+    cum AS (
+      SELECT rnk, SUM(n) OVER (ORDER BY rnk
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covered
+      FROM top),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(LEAST(ks.k, tot.vocab_size) AS BIGINT) AS k_eff,
+           CAST(cum.covered AS BIGINT) AS covered_occ,
+           tot.total_occ, tot.vocab_size,
+           CAST(cum.covered AS DOUBLE) / tot.total_occ AS coverage_frac
+    FROM ks CROSS JOIN tot
+    JOIN cum ON cum.rnk = LEAST(ks.k, tot.vocab_size)
+    """,
+    doc="Tokenizer vocab-coverage curve: fraction of all token occurrences "
+    "covered by the top-K vocabulary at K in "
+    f"{_COVERAGE_KS} — the Zipf head/tail economics behind vocab-size choices",
+)
+def llm_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How big a vocabulary buys how much coverage is THE tokenizer-
+    design question (the Zipf curve answers 'do we need 32k or 100k
+    entries'). Scale shape: token counts are one map-side-combinable
+    groupBy (the only corpus-sized pass — the reduce side is keyed by
+    distinct tokens, not occurrences); the top-K_max head comes out as
+    TakeOrderedAndProject (per-partition heads, no global sort); the
+    rank/cumsum window then runs over a CONSTANT-bounded 10k-row frame
+    — its single-partition layout is a rollup artifact, not a scale
+    smell. Totals ride a 1-row broadcast cross join. All counts stay
+    BIGINT; one final double division. K beyond the vocabulary clamps
+    to the full-vocab row (coverage 1.0) so the curve keeps all its
+    points on tiny corpora; deterministic tie-break (count DESC,
+    token ASC) on both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnt = d.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.sum("n").cast("bigint").alias("total_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    top = cnt.orderBy(F.col("n").desc(), "token").limit(_COVERAGE_KMAX)
+    wr = W.orderBy(F.col("n").desc(), "token")
+    cum = top.select(
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("n").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("covered"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k")
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("rnk") == F.least(F.col("k"), F.col("vocab_size")))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.least(F.col("k"), F.col("vocab_size")).cast("bigint").alias("k_eff"),
+            F.col("covered").cast("bigint").alias("covered_occ"),
+            "total_occ",
+            "vocab_size",
+            (F.col("covered").cast("double") / F.col("total_occ")).alias("coverage_frac"),
+        )
+    )
