@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
         dataquality,
         extras,
         aggregates,
+        graphs,
         dedup,
         joins,
         multimodal,
