@@ -102,6 +102,9 @@ HEADLINE = [
     "dq_winsorize",
     "dq_benford",
     "agg_skew_kurtosis",
+    "graph_triangles",
+    "llm_token_coverage",
+    "ts_holt",
 ]
 
 
