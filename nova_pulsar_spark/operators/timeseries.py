@@ -895,3 +895,105 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- One-step-ahead forecast backtest (Holt vs naive) -----------------------
+
+
+@register(
+    "ts_forecast_backtest",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1000 AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
+    fold AS (
+      SELECT event_type, len(ms) AS n_hours,
+             list_reduce(
+               list_transform(ms, v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                        CAST(0 AS DOUBLE), v]),
+               (acc, x) -> [
+                 CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * x[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                 + CAST(0.5 AS DOUBLE) * acc[2],
+                 acc[3] + ABS(x[1] - (acc[1] + acc[2])),
+                 acc[4] + ABS(x[1] - acc[5]),
+                 x[1]]) AS h
+      FROM series)
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           CASE WHEN n_hours > 1 THEN h[3] / CAST(n_hours - 1 AS DOUBLE) END AS mae_holt,
+           CASE WHEN n_hours > 1 THEN h[4] / CAST(n_hours - 1 AS DOUBLE) END AS mae_naive,
+           CASE WHEN n_hours > 1
+                THEN CAST(1 AS DOUBLE) - h[3] / NULLIF(h[4], CAST(0 AS DOUBLE)) END AS skill
+    FROM fold ORDER BY event_type
+    """,
+    doc="Rolling-origin one-step-ahead backtest per series: Holt(0.5, 0.5) "
+    "forecast MAE vs the naive last-value MAE and the resulting skill score "
+    "— the honesty check every forecasting operator should ship with",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A smoother is only worth deploying if it beats persistence —
+    this backtest scores Holt's one-step forecast (made BEFORE each
+    update, so it is a true rolling-origin evaluation, no leakage)
+    against the naive carry-forward, in the SAME single fold: the
+    array accumulator carries [level, trend, holt_abs_err, naive_
+    abs_err, prev_value] (array, not struct — DuckDB struct lambdas
+    rebind acc in place, see ts_holt). Scale shape unchanged from
+    ts_ewma/ts_holt: one map-side-combinable hourly rollup over the
+    corpus, then calendar-bounded per-series folds; adding two error
+    accumulators costs nothing. skill > 0 means Holt beats naive;
+    single-point series yield NULL metrics (no forecastable step)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 1000, 0).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000
+            ).alias("m")
+        )
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(bucket_ts, m))), s -> s.m)").alias("ms")
+    )
+    fold = F.expr(
+        "aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), "
+        "array(element_at(ms, 1), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), "
+        "CAST(0 AS DOUBLE), element_at(ms, 1)), "
+        "(acc, x) -> array("
+        "CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * (acc[0] + acc[1]), "
+        "CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x "
+        "+ CAST(0.5 AS DOUBLE) * (acc[0] + acc[1])) - acc[0]) "
+        "+ CAST(0.5 AS DOUBLE) * acc[1], "
+        "acc[2] + ABS(x - (acc[0] + acc[1])), "
+        "acc[3] + ABS(x - acc[4]), "
+        "x))"
+    )
+    n1 = F.col("n_hours") > 1
+    den = (F.col("n_hours") - 1).cast("double")
+    return (
+        series.select(
+            "event_type",
+            F.size("ms").cast("bigint").alias("n_hours"),
+            fold.alias("h"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.when(n1, F.element_at("h", 3) / den).alias("mae_holt"),
+            F.when(n1, F.element_at("h", 4) / den).alias("mae_naive"),
+            F.when(
+                n1,
+                F.lit(1).cast("double")
+                - F.element_at("h", 3) / F.nullif(F.element_at("h", 4), F.lit(0).cast("double")),
+            ).alias("skill"),
+        )
+        .orderBy("event_type")
+    )
