@@ -113,11 +113,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     b2 = basket.select(F.col("o"), F.col("p").alias("q"))
+    # Three consumers (degree census, orientation join, edge count) —
+    # checkpoint so the basket pair-gen runs once, not per consumer.
     edges = (
         basket.join(b2, ["o"])
         .filter(F.col("p") < F.col("q"))
         .select(F.col("p").alias("a"), F.col("q").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -128,6 +131,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # Three consumers again (both wedge sides + the closing probe).
     oriented = (
         edges.join(da, "a")
         .join(db, "b")
@@ -136,6 +140,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
         )
+        .localCheckpoint(eager=False)
     )
     e2 = oriented.select(
         F.col("src"), F.col("dst").alias("dst2"), F.col("dst_deg").alias("dst_deg2")
