@@ -2131,3 +2131,144 @@ def llm_semdedup_cap_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_pairs_saved"),
     )
+
+
+# --- IVF index-quality audit ---------------------------------------------
+# The ANN mirror of llm_dedup_lsh_recall: before trusting a pruned
+# probe path at 100 TB you measure recall@k against exact brute-force
+# truth on a query sample. NQ queries is the SAMPLE — at production
+# scale the panel is drawn per index build, the corpus side unchanged.
+IVF_NQ = 16  # query panel: vec_id < IVF_NQ
+IVF_NPROBE = 2  # cells scanned per query (same as llm_simsearch_ivf)
+
+_CENTDIM_SQL = f"""
+    idx AS (SELECT UNNEST(range(1, {DIM + 1})) AS i),
+    centdim AS (
+      SELECT e.label, idx.i AS i,
+             list_reduce(list(CAST(e.embedding[idx.i] AS DOUBLE) ORDER BY e.vec_id), (a, b) -> a + b)
+               / COUNT(*) AS c
+      FROM embeddings e CROSS JOIN idx
+      GROUP BY e.label, idx.i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cemb FROM centdim GROUP BY label)"""
+
+
+@register(
+    "llm_simsearch_ivf_recall",
+    sql=f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {IVF_NQ}),
+    {_CENTDIM_SQL.strip()},
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT qs.qid, cent.label,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                 ORDER BY {_sql_cos("cent.cemb", "qs.qe")} DESC, cent.label) AS rn
+        FROM cent CROSS JOIN qs) t WHERE rn <= {IVF_NPROBE}),
+    scored AS (
+      SELECT qs.qid, e.vec_id, e.label,
+             {_sql_cos("e.embedding", "qs.qe")} AS cosine
+      FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+    exact_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) t WHERE rn <= {TOP_K}),
+    ivf_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rn
+        FROM scored s JOIN probes p ON p.qid = s.qid AND p.label = s.label) t
+      WHERE rn <= {TOP_K}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM exact_topk) AS n_true,
+             (SELECT COUNT(*) FROM ivf_topk) AS n_ivf,
+             (SELECT COUNT(*) FROM exact_topk x JOIN ivf_topk v
+                ON v.qid = x.qid AND v.vec_id = x.vec_id) AS n_found)
+    SELECT CAST({IVF_NQ} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST({IVF_NPROBE} AS BIGINT) AS n_probe,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_ivf AS BIGINT) AS n_ivf,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_found AS DOUBLE) / NULLIF(n_true, 0) AS recall_at_k
+    FROM counts
+    """,
+    doc=f"IVF index-quality audit: recall@{TOP_K} of the nprobe={IVF_NPROBE} "
+    f"probe path against exact brute-force truth over a {IVF_NQ}-query panel "
+    "— the companion honesty metric to llm_dedup_lsh_recall, for the ANN side",
+)
+def llm_simsearch_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the IVF probe path (the ANN honesty metric —
+    cell pruning trades recall for scan cost, and the trade must be
+    PRICED before production, exactly as llm_dedup_lsh_recall prices
+    the MinHash bands and llm_dedup_embedding_cap_loss prices the
+    sign-LSH cap). Truth is brute-force top-k per query — affordable
+    because the query panel is a bounded SAMPLE (IVF_NQ broadcast
+    rows): one corpus scan scores all panel queries (corpus x NQ rows,
+    linear in the corpus), ranked per query. The IVF side reuses the
+    persisted centroid index (ivf_centroids — build once, probe many)
+    and ranks the SAME scored stream restricted to each query's
+    nprobe cells, so a recall gap isolates cell pruning specifically,
+    not scoring differences. Single-row output: panel size, k, nprobe,
+    |truth|, |ivf|, |hits|, recall@k. The per-query rank partitions
+    (NQ of them) are the audit's intentional shape — at production
+    scale the panel stays O(100) while the corpus side is the same
+    scan every probe query already does."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < IVF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", cosine("embedding", "qe").alias("cosine"))
+        .localCheckpoint(eager=False)  # two rank consumers: exact + ivf
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    )
+    exact_topk = (
+        scored.withColumn("rn", rank).filter(F.col("rn") <= TOP_K).select("qid", "vec_id")
+    )
+    cent = ivf_centroids(spark, sf_dir)
+    probes = (
+        cent.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(cosine("cemb", "qe").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("qid", "label")
+    )
+    ivf_topk = (
+        scored.join(F.broadcast(probes), ["qid", "label"])
+        .withColumn("rn", rank)
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    exact_topk = exact_topk.localCheckpoint(eager=False)  # count + semijoin
+    ivf_topk = ivf_topk.localCheckpoint(eager=False)
+    n_true = exact_topk.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_ivf = ivf_topk.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
+    n_found = (
+        exact_topk.join(ivf_topk, ["qid", "vec_id"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            F.lit(IVF_NQ).cast("bigint").alias("n_queries"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.lit(IVF_NPROBE).cast("bigint").alias("n_probe"),
+            "n_true",
+            "n_ivf",
+            "n_found",
+            (F.col("n_found").cast("double") / F.nullif(F.col("n_true"), F.lit(0))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
