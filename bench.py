@@ -105,6 +105,11 @@ HEADLINE = [
     "graph_triangles",
     "llm_token_coverage",
     "ts_holt",
+    "llm_simsearch_ivf_recall",
+    "topk_skyline",
+    "graph_components",
+    "graph_jaccard_edges",
+    "ts_holt_winters",
 ]
 
 

@@ -185,3 +185,251 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Strong-edge threshold for the component census: a co-purchase edge
+# counts only when the pair co-occurs in >= MIN_COPURCHASE_W orders.
+# Thresholding is the standard move for co-occurrence graphs (raw
+# single-co-occurrence edges glue everything into one giant component
+# and carry no signal); it is also what keeps the oracle twin's
+# transitive closure bounded.
+MIN_COPURCHASE_W = 2
+MAX_CC_ITERS = 64  # safety bound; compression converges in O(log n)
+
+
+@register(
+    "graph_components",
+    sql=f"""
+    WITH RECURSIVE basket AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey IS NOT NULL))
+      WHERE rn <= {MAX_BASKET}),
+    edges AS (
+      SELECT a, b FROM (
+        SELECT b1.p AS a, b2.p AS b, COUNT(*) AS w
+        FROM basket b1 JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY b1.p, b2.p)
+      WHERE w >= {MIN_COPURCHASE_W}),
+    sym AS (SELECT a AS s, b AS d FROM edges
+            UNION ALL SELECT b AS s, a AS d FROM edges),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.v
+      WHERE reach.r < sym.d),
+    comp AS (SELECT v, MIN(r) AS c FROM reach GROUP BY v),
+    sizes AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c),
+    hist AS (SELECT sz, COUNT(*) AS n FROM sizes GROUP BY sz)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(n AS BIGINT) AS n_components
+    FROM hist
+    """,
+    doc=f"Connected components of the strong (w>={MIN_COPURCHASE_W}) part "
+    "co-purchase graph as a size histogram — min-label propagation with "
+    "path compression (O(log n) rounds) vs a recursive-CTE oracle whose "
+    "descending-label closure independently derives the same components",
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components — the other half of the graph-census pair
+    (triangles measure local density; components measure global
+    fragmentation — dup-cluster extraction, community pre-pass, data
+    lineage islands). The Spark side is iterative min-label
+    propagation with PATH COMPRESSION: each round every vertex takes
+    the min label over itself and its neighbors (one edge-bounded
+    join + map-side-combinable groupBy), then labels jump one level
+    (l(v) <- l(l(v)), a self-join) — the compression step is what
+    turns worst-case-diameter rounds into O(log n), the
+    Kiveris-et-al. two-phase discipline in DataFrame algebra. One
+    bounded action per round probes the fixpoint (changed == 0), with
+    lazy localCheckpoint truncating lineage — the sched_rounds
+    pattern. Every shuffle is edge- or vertex-bounded; no closure is
+    ever materialized (the oracle twin derives components the
+    opposite way — a descending-label transitive closure, tractable
+    at oracle scale and independent of the Spark derivation). The
+    histogram output (size, count) is partition- and
+    iteration-order-independent: min-label fixpoints are unique."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.expr(f"slice(array_sort(collect_set(l_partkey)), 1, {MAX_BASKET})").alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    )
+    edges = (
+        pairs.select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_COPURCHASE_W)
+        .select("a", "b")
+    )
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    labels = sym.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    labels = labels.localCheckpoint(eager=False)
+    for _ in range(MAX_CC_ITERS):
+        msgs = sym.join(
+            labels.select(F.col("v").alias("u"), F.col("lbl")), "u"
+        ).select("v", "lbl")
+        cand = (
+            labels.select("v", "lbl")
+            .unionAll(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # path compression: l(v) <- l(l(v)) where the pointer resolves
+        jump = cand.select(F.col("v").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new_labels = (
+            cand.join(jump, "lbl", "left")
+            .select("v", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            labels.select("v", F.col("lbl").alias("old"))
+            .join(new_labels, "v")
+            .filter(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(F.col("sz").cast("bigint").alias("component_size"), "n_components")
+    )
+
+
+EMB_TOP_EDGES = 20  # report head: most-embedded strong edges
+
+
+@register(
+    "graph_jaccard_edges",
+    sql=f"""
+    WITH basket AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey IS NOT NULL))
+      WHERE rn <= {MAX_BASKET}),
+    edges AS (
+      SELECT DISTINCT b1.p AS a, b2.p AS b
+      FROM basket b1 JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+    nbrs AS (
+      SELECT v, list_sort(list(u)) AS ns, COUNT(*) AS d FROM (
+        SELECT a AS v, b AS u FROM edges UNION ALL SELECT b AS v, a AS u FROM edges)
+      GROUP BY v)
+    SELECT a, b, support, union_size, jaccard FROM (
+      SELECT e.a, e.b,
+             len(list_intersect(na.ns, nb.ns)) AS support,
+             na.d + nb.d - 2 - len(list_intersect(na.ns, nb.ns)) AS union_size,
+             CAST(len(list_intersect(na.ns, nb.ns)) AS DOUBLE)
+               / NULLIF(na.d + nb.d - 2 - len(list_intersect(na.ns, nb.ns)), 0) AS jaccard
+      FROM edges e JOIN nbrs na ON na.v = e.a JOIN nbrs nb ON nb.v = e.b) t
+    ORDER BY jaccard DESC NULLS LAST, support DESC, a, b LIMIT {EMB_TOP_EDGES}
+    """,
+    doc=f"Per-edge neighborhood Jaccard (edge embeddedness) for the part "
+    "co-purchase graph, top-"
+    f"{EMB_TOP_EDGES} most-embedded edges — support counted from the "
+    "m^1.5-bounded oriented triangle census, never a full neighborhood "
+    "intersect (sum-deg^2 hub blow-up)",
+)
+def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness — |N(a) ∩ N(b)| / |N(a) ∪ N(b) \\ {{a,b}}| per
+    edge — is the cohesion score behind Jaccard-graph clustering and
+    related-item mining. The naive plan intersects FULL neighbor lists
+    per edge: Σ(deg_a + deg_b) over edges = Σ deg² element
+    comparisons — quadratic at hubs, the exact blow-up the triangle
+    census dodges. Same dodge here: |N(a) ∩ N(b)| is the TRIANGLE
+    SUPPORT of the edge, so enumerate triangles once via the
+    degree-oriented compact-forward intersect (m^1.5-bounded), explode
+    each triangle to its three edges, and count per edge — support
+    costs triangle-census work, not Σ deg². The union size then comes
+    free from the degree census: deg(a) + deg(b) − 2 − support.
+    Integer counts all the way; the single final division is an exact
+    IEEE op on both engines, and the top-{EMB_TOP_EDGES} head orders
+    by (jaccard, support, a, b) — a total order, so the LIMIT is
+    deterministic. TakeOrdered keeps the head distributed (per-
+    partition heads, driver merge)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.expr(f"slice(array_sort(collect_set(l_partkey)), 1, {MAX_BASKET})").alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    )
+    edges = pairs.select("e.a", "e.b").distinct().localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # one row per triangle (src, dst, w): w ∈ N+(src) ∩ N+(dst)
+    tris = (
+        oriented.join(adj, "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_dst")), "dst")
+        .select("src", "dst", F.explode(F.array_intersect("nbrs", "nbrs_dst")).alias("w"))
+    )
+    # each triangle supports its three edges; normalize to a < b
+    def _e(x, y):
+        return F.struct(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+
+    support = (
+        tris.select(F.explode(F.array(_e(F.col("src"), F.col("dst")),
+                                      _e(F.col("src"), F.col("w")),
+                                      _e(F.col("dst"), F.col("w")))).alias("e"))
+        .groupBy("e.a", "e.b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    scored = (
+        edges.join(support, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            (F.col("da") + F.col("db") - 2 - F.coalesce("support", F.lit(0))).alias("union_size"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("support").cast("double") / F.nullif(F.col("union_size"), F.lit(0)),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc_nulls_last(), F.col("support").desc(), "a", "b"
+    ).limit(EMB_TOP_EDGES)

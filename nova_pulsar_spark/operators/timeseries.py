@@ -997,3 +997,119 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Holt-Winters additive (level + trend + seasonality) --------------------
+
+HW_PERIOD = 24  # hourly series, daily seasonality
+
+_HW_ZEROS = ", ".join(["CAST(0 AS DOUBLE)"] * (HW_PERIOD + 1))
+# DuckDB lambda body (1-based): acc = [l, b, s_cur, s_next, ..., s_last]
+_HW_LNEW_DD = (
+    "CAST(0.5 AS DOUBLE) * (x[1] - acc[3])"
+    " + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])"
+)
+# Spark lambda body (0-based [] indexing): same association order
+_HW_LNEW_SP = (
+    "CAST(0.5 AS DOUBLE) * (x - acc[2])"
+    " + CAST(0.5 AS DOUBLE) * (acc[0] + acc[1])"
+)
+
+
+@register(
+    "ts_holt_winters",
+    sql=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1000 AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
+    fold AS (
+      SELECT event_type, len(ms) AS n_hours,
+             list_reduce(
+               list_transform(ms, v -> [v, {_HW_ZEROS}]),
+               (acc, x) -> list_concat(
+                 [{_HW_LNEW_DD},
+                  CAST(0.5 AS DOUBLE) * (({_HW_LNEW_DD}) - acc[1])
+                    + CAST(0.5 AS DOUBLE) * acc[2]],
+                 list_concat(
+                   acc[4:{HW_PERIOD + 2}],
+                   [CAST(0.5 AS DOUBLE) * (x[1] - ({_HW_LNEW_DD}))
+                      + CAST(0.5 AS DOUBLE) * acc[3]]))) AS h
+      FROM series)
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           h[1] AS level, h[2] AS trend, h[3] AS season_next,
+           h[1] + h[2] + h[3] AS forecast_1
+    FROM fold ORDER BY event_type
+    """,
+    doc=f"Holt-Winters additive smoothing (alpha=beta=gamma=0.5, period="
+    f"{HW_PERIOD}) over hourly means per event type via a rotating seasonal "
+    "buffer in the fold accumulator — index-free, so the same fold runs on "
+    "both engines; one-step forecast = level + trend + next season slot",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing — the production upgrade
+    of ts_holt when the series has a seasonal cycle (hour-of-day load,
+    day-of-week traffic). The fold state is [level, trend,
+    s_1..s_P] and the seasonal index is encoded POSITIONALLY: the
+    CURRENT step's seasonal slot is always acc element 3, and each
+    step rotates the buffer (slots 2..P slide forward, the freshly
+    updated slot appends at the back) — index-free, which matters
+    because neither engine's fold lambda exposes an element index;
+    the rotation IS the modular arithmetic. Update order (l' from
+    x - s_cur; b' from l' - l; s' from x - l'), every intermediate
+    inlined in the identical association order on both engines, and
+    alpha = beta = gamma = 0.5 are exact binary fractions: the
+    doubles match bit-for-bit. Initialization: l0 = first mean,
+    b0 = 0, seasons all 0 (the lifted first element IS the initial
+    accumulator on both engines). Scale: identical to ts_holt — one
+    map-side-combinable decimal-exact groupBy over events (the only
+    corpus-sized pass), then a per-type fold over a calendar-bounded
+    hour array; the accumulator is P + 2 doubles, the per-step cost
+    O(P) array copy, n_hours * (P + 2) work per series total."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 1000, 0).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000
+            ).alias("m")
+        )
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(bucket_ts, m))), s -> s.m)").alias("ms")
+    )
+    fold = F.expr(
+        "aggregate(slice(ms, 2, greatest(size(ms) - 1, 0)), "
+        f"concat(array(element_at(ms, 1)), array_repeat(CAST(0 AS DOUBLE), {HW_PERIOD + 1})), "
+        "(acc, x) -> concat(array("
+        f"{_HW_LNEW_SP}, "
+        f"CAST(0.5 AS DOUBLE) * (({_HW_LNEW_SP}) - acc[0]) "
+        "+ CAST(0.5 AS DOUBLE) * acc[1]), "
+        f"slice(acc, 4, {HW_PERIOD - 1}), "
+        f"array(CAST(0.5 AS DOUBLE) * (x - ({_HW_LNEW_SP})) "
+        "+ CAST(0.5 AS DOUBLE) * acc[2])))"
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("ms").cast("bigint").alias("n_hours"),
+            fold.alias("h"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.element_at("h", 1).alias("level"),
+            F.element_at("h", 2).alias("trend"),
+            F.element_at("h", 3).alias("season_next"),
+            (F.element_at("h", 1) + F.element_at("h", 2) + F.element_at("h", 3)).alias(
+                "forecast_1"
+            ),
+        )
+        .orderBy("event_type")
+    )

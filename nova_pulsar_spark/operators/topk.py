@@ -104,3 +104,68 @@ def topk_best_per_key_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", "value").alias("best_event"),
         F.max("value").cast("double").alias("best_value"),
     )
+
+
+@register(
+    "topk_skyline",
+    sql="""
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+    SELECT a.p_partkey, a.p_retailprice AS price, a.p_size AS size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+    doc="2D skyline (Pareto frontier): parts not dominated on "
+    "(min retail price, max size) — sort-based O(n log n) running-max "
+    "plan vs the oracle's independent O(n^2) NOT-EXISTS derivation",
+)
+def topk_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier selection — the multi-criteria cousin of top-k
+    (Borzsony/Kossmann/Stocker's SKYLINE OF, ICDE'01): keep rows no
+    other row beats on every dimension at once (here: cheaper AND
+    bigger part). The naive formulation the oracle twin uses — a
+    dominance NOT EXISTS — is an all-pairs theta join, quadratic and
+    un-shippable at 100 TB. For 2 dimensions there is a sort-based
+    plan that is pure window algebra: group rows by price, take each
+    price group's max size, and a row is dominated iff
+      (a) some STRICTLY cheaper price group reaches its size
+          (running max over the price-sorted group spine — that row
+          dominates via strict price), or
+      (b) its OWN price group holds a strictly larger size (dominates
+          via strict size at equal price).
+    Exact duplicates on both dims tie and both survive, matching the
+    strict-somewhere dominance definition. Cost: one groupBy(price)
+    (map-side combinable to |distinct price| rows), a 1-column
+    running-max window over that compact spine, and one equi-join
+    back on price — O(n log n), no pair blow-up, skew-immune (the
+    heaviest price group still contributes one spine row). No
+    broadcast hint on the join-back: with a CONTINUOUS price dim the
+    spine approaches corpus cardinality, so AQE picks broadcast only
+    when the spine actually is small. The window's single global
+    ordering runs over the spine, not the corpus — at 100 TB you'd
+    range-partition the spine; the corpus itself never global-sorts."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+    )
+    spine = p.groupBy("price").agg(F.max("size").alias("gmax"))
+    hwm = spine.select(
+        "price",
+        "gmax",
+        F.max("gmax")
+        .over(W.orderBy("price").rowsBetween(W.unboundedPreceding, -1))
+        .alias("cheaper_hwm"),
+    )
+    return (
+        p.join(hwm, "price")
+        .filter(
+            (F.col("cheaper_hwm").isNull() | (F.col("cheaper_hwm") < F.col("size")))
+            & (F.col("size") == F.col("gmax"))
+        )
+        .select("p_partkey", "price", "size")
+    )

@@ -96,3 +96,117 @@ def test_hub_adversary_stays_bounded(spark, tmp_path):
     assert max(out.values()) ** 2 <= 4 * m, (max(out.values()), m)
     # the hub itself (degree ~500) must NOT be a high-out-degree source
     assert out.get(hub, 0) <= max(out.values())
+
+
+# --- graph_components ----------------------------------------------------
+
+from nova_pulsar_spark.operators.graphs import MIN_COPURCHASE_W, graph_components
+
+
+def _brute_components(baskets):
+    """Union-find over the strong (w >= MIN_COPURCHASE_W) edge set."""
+    from collections import Counter
+
+    w = Counter()
+    for parts in baskets:
+        capped = sorted(set(parts))[:MAX_BASKET]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1 :]:
+                w[(a, b)] += 1
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), n in w.items():
+        if n < MIN_COPURCHASE_W:
+            continue
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter as C
+
+    sizes = C(find(v) for v in parent)
+    hist = C(sizes.values())
+    return sorted(hist.items())
+
+
+def test_components_match_union_find(spark, tmp_path):
+    rng = random.Random(13)
+    parts = list(range(1, 40))
+    # repeat some baskets so a subset of edges crosses the w>=2 bar
+    base = [rng.sample(parts, rng.randint(2, 5)) for _ in range(60)]
+    baskets = base + [list(b) for b in rng.choices(base, k=25)]
+    d = str(tmp_path / "c1")
+    _write_lineitem(spark, d, baskets)
+    got = sorted(
+        (r["component_size"], r["n_components"])
+        for r in graph_components(spark, d).collect()
+    )
+    assert got == _brute_components(baskets), (got, _brute_components(baskets))
+
+
+def test_components_long_path_converges(spark, tmp_path):
+    """A 64-vertex path of strong edges: plain neighbor-min propagation
+    needs ~path-length rounds; the path-compression step must converge
+    well inside MAX_CC_ITERS and still produce the exact component."""
+    baskets = []
+    for i in range(63):
+        baskets.append([i, i + 1])
+        baskets.append([i, i + 1])  # second co-occurrence -> strong edge
+    d = str(tmp_path / "c2")
+    _write_lineitem(spark, d, baskets)
+    got = {(r["component_size"], r["n_components"]) for r in graph_components(spark, d).collect()}
+    assert got == {(64, 1)}, got
+
+
+# --- graph_jaccard_edges -------------------------------------------------
+
+from nova_pulsar_spark.operators.graphs import EMB_TOP_EDGES, graph_jaccard_edges
+
+
+def test_edge_jaccard_matches_bruteforce(spark, tmp_path):
+    """Triangle-support-derived embeddedness must equal the direct
+    neighbor-set intersect/union definition on every reported edge."""
+    rng = random.Random(29)
+    parts = list(range(1, 30))
+    baskets = [rng.sample(parts, rng.randint(2, 6)) for _ in range(80)]
+    d = str(tmp_path / "j1")
+    _write_lineitem(spark, d, baskets)
+    got = graph_jaccard_edges(spark, d).collect()
+
+    edges = set()
+    for ps in baskets:
+        capped = sorted(set(ps))[:MAX_BASKET]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1 :]:
+                edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def want(a, b):
+        inter = len(adj[a] & adj[b])
+        union = len((adj[a] | adj[b]) - {a, b})
+        return inter, union
+
+    assert len(got) == min(EMB_TOP_EDGES, len(edges))
+    for r in got:
+        inter, union = want(r["a"], r["b"])
+        assert r["support"] == inter, (r, inter)
+        assert r["union_size"] == union, (r, union)
+        if union:
+            assert abs(r["jaccard"] - inter / union) < 1e-15
+    # the head must be the true global maxima under the total order
+    all_scored = sorted(
+        ((-(want(a, b)[0] / want(a, b)[1]) if want(a, b)[1] else 0.0,
+          -want(a, b)[0], a, b) for a, b in edges)
+    )[: len(got)]
+    got_keys = [(-(r["jaccard"] or 0.0), -r["support"], r["a"], r["b"]) for r in got]
+    assert got_keys == all_scored, (got_keys[:5], all_scored[:5])

@@ -254,3 +254,36 @@ def test_stdlib_png_decoder_roundtrips_any_filter_mix(w, h, ctype, data):
             for i in range(0, len(px), 3)
         ) / (w * h)
     assert got_mean == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # price (coarse -> many ties)
+            st.integers(min_value=0, max_value=8),  # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_skyline_matches_dominance_bruteforce(spark, rows, tmp_path_factory):
+    """topk_skyline's sort-based plan must equal the quadratic
+    dominance definition on arbitrary (price, size) sets, including
+    exact duplicates (ties survive) and heavy price-group collisions."""
+    from nova_pulsar_spark.operators.topk import topk_skyline
+
+    d = str(tmp_path_factory.mktemp("sky"))
+    data = [(i, float(p), s) for i, (p, s) in enumerate(rows)]
+    spark.createDataFrame(
+        data, "p_partkey bigint, p_retailprice double, p_size int"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {r["p_partkey"] for r in topk_skyline(spark, d).collect()}
+    want = {
+        i
+        for i, (p, s) in enumerate(rows)
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for (p2, s2) in rows
+        )
+    }
+    assert got == want, (got, want, rows)

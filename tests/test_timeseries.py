@@ -436,3 +436,44 @@ def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
         else:
             assert k % DIFF_CHG_MOD == 0
             assert r["new_price"] == r["old_price"] + 1.0
+
+
+def test_holt_winters_matches_python_reference(spark, tmp_path):
+    """The rotating-buffer fold must equal the textbook indexed
+    recurrence (seasonal slot = step mod P) on a planted series with a
+    real daily cycle — pins the rotation against off-by-one drift."""
+    import math
+
+    from nova_pulsar_spark.operators.timeseries import HW_PERIOD, ts_holt_winters
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = []
+    for h in range(24 * 7):  # one week of hourly points, daily wave + drift
+        v = round(10 + 3 * math.sin(2 * math.pi * (h % 24) / 24) + 0.01 * h, 3)
+        vals.append(v)
+        rows.append((h, t0 + dt.timedelta(hours=h), 1, "click", v, None))
+    d = str(tmp_path / "hw")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = ts_holt_winters(spark, d).collect()
+    assert len(got) == 1 and got[0]["n_hours"] == 24 * 7
+
+    # textbook recurrence with explicit modular season indexing
+    P = HW_PERIOD
+    l, b, s = vals[0], 0.0, [0.0] * P
+    for i, x in enumerate(vals[1:], start=1):
+        si = i % P  # slot consumed at step i (rotation starts at slot 1)
+        l_new = 0.5 * (x - s[si]) + 0.5 * (l + b)
+        b_new = 0.5 * (l_new - l) + 0.5 * b
+        s[si] = 0.5 * (x - l_new) + 0.5 * s[si]
+        l, b = l_new, b_new
+    r = got[0]
+    n = 24 * 7
+    assert abs(r["level"] - l) < 1e-9 and abs(r["trend"] - b) < 1e-9
+    assert abs(r["season_next"] - s[n % P]) < 1e-9
+    assert abs(r["forecast_1"] - (l + b + s[n % P])) < 1e-9
+    # the seasonal signal must actually be learned (non-trivial slot)
+    assert abs(r["season_next"]) > 0.1
