@@ -110,6 +110,8 @@ HEADLINE = [
     "graph_components",
     "graph_jaccard_edges",
     "ts_holt_winters",
+    "agg_ab_ttest",
+    "agg_chi_square",
 ]
 
 

@@ -863,3 +863,170 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den1 != 0, F.col("m3") / den1).alias("skew_g1"),
         (F.when(den2 != 0, F.col("m4") / den2) - F.lit(3)).alias("kurt_excess"),
     )
+
+
+@register(
+    "agg_ab_ttest",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    st AS (
+      SELECT event_type, n, s1 / n AS mu,
+             GREATEST(CAST(0 AS DOUBLE), (s2 - s1 * s1 / n) / (n - 1)) AS var_s
+      FROM s WHERE n >= 2),
+    p AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             a.n AS n_a, b.n AS n_b, a.mu AS mean_a, b.mu AS mean_b,
+             a.var_s / a.n AS se2_a, b.var_s / b.n AS se2_b
+      FROM st a JOIN st b ON a.event_type < b.event_type)
+    SELECT group_a, group_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b, mean_a - mean_b AS mean_diff,
+           (mean_a - mean_b) / NULLIF(SQRT(se2_a + se2_b), 0) AS t_welch,
+           (se2_a + se2_b) * (se2_a + se2_b)
+             / NULLIF(se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1), 0)
+             AS df_welch
+    FROM p
+    """,
+    doc="Welch's two-sample t-test over every event-type pair: exact "
+    "decimal moment sums in one scan, closed-form t and "
+    "Welch-Satterthwaite df — the A/B-experiment readout primitive",
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B readout: does metric `value` differ between two event
+    populations? Welch's unequal-variance t is the production default
+    (never pooled-variance Student). Engine discipline is
+    agg_skew_kurtosis's: per-group n / Σv / Σv² accumulate as exact
+    DECIMALs in ONE map-side-combinable scan (the only corpus-sized
+    pass — group count is tiny, so the pairwise self-join over group
+    STATS is constant work no matter the corpus). Sample variance
+    comes from the closed form (Σv² − (Σv)²/n)/(n−1), clamped at 0
+    (float rounding can push a near-constant group fractionally
+    negative — DuckDB SQRT raises on negatives where Spark returns
+    NaN, the catalogued divergence class), and t / df are fixed IEEE
+    expressions over exact inputs written in identical association
+    order on both engines — bit-equal out. Zero-variance pairs yield
+    NULL t via the guarded denominator rather than ±inf."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(24,4)")).cast("double").alias("s2"),
+    )
+    st = s.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+        ).alias("var_s"),
+    )
+    a = st.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mean_a"),
+        (F.col("var_s") / F.col("n")).alias("se2_a"),
+    )
+    b = st.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mean_b"),
+        (F.col("var_s") / F.col("n")).alias("se2_b"),
+    )
+    p = a.join(b, F.col("group_a") < F.col("group_b"))
+    se2 = F.col("se2_a") + F.col("se2_b")
+    return p.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        ((F.col("mean_a") - F.col("mean_b")) / F.nullif(F.sqrt(se2), F.lit(0.0))).alias(
+            "t_welch"
+        ),
+        (
+            se2 * se2
+            / F.nullif(
+                F.col("se2_a") * F.col("se2_a") / (F.col("n_a") - 1)
+                + F.col("se2_b") * F.col("se2_b") / (F.col("n_b") - 1),
+                F.lit(0.0),
+            )
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "agg_chi_square",
+    sql="""
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS cohort, COUNT(*) AS o
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id % 4),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT cohort, SUM(o) AS c FROM obs GROUP BY cohort),
+    n AS (SELECT SUM(o) AS total FROM obs),
+    cells AS (
+      SELECT obs.o, rt.r, ct.c, n.total,
+             CAST(rt.r AS DOUBLE) * ct.c / n.total AS e
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (cohort) CROSS JOIN n)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(total) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST(FLOOR((o - e) * (o - e) / e * 1073741824) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1073741824 AS chi2
+    FROM cells
+    """,
+    doc="Chi-square independence test of event_type x user-cohort "
+    "(user_id % 4): observed/expected from exact integer marginals, the "
+    "(O-E)^2/E sum decimal-fixed so the reduction is order-independent — "
+    "the categorical A/B sibling of agg_ab_ttest",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association test — 'does event mix differ by
+    cohort?' — the chi-square counterpart to agg_ab_ttest's metric
+    test. Everything upstream of the final statistic is exact
+    INTEGER arithmetic: observed counts and both marginals come from
+    one map-side-combinable groupBy (cells = |types| x |cohorts|,
+    constant-sized whatever the corpus); expected = r*c/total is one
+    exact-input IEEE op per cell. The only accumulation of doubles —
+    Σ (O−E)²/E — is the order-sensitive step, so each term is cast
+    quantized fixed-point — floor(term * 2^30) into a DECIMAL(38,0)
+    sum, one division at the end (the repo's cross-row float-sum
+    idiom; a DECIMAL(38,18) cast of the raw double diverged in the
+    last ulp between the engines' double->decimal conversions —
+    measured here): partitioning, engine, and plan order cannot move
+    the result. The two tiny marginal joins are
+    broadcast-sized by construction."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    obs = e.groupBy("event_type", (F.col("user_id") % 4).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    obs = obs.localCheckpoint(eager=False)  # three consumers
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("cohort").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            "total",
+            (F.col("r").cast("double") * F.col("c") / F.col("total")).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("total").cast("bigint").alias("n_obs"),
+        (
+            F.sum(F.floor(term * 1073741824).cast("decimal(38,0)")).cast("double")
+            / F.lit(1073741824)
+        ).alias("chi2"),
+    )

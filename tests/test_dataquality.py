@@ -157,3 +157,65 @@ def test_checksum_order_invariant_and_cell_sensitive(spark, tmp_path):
     assert as_map(c1) == as_map(c2)  # order/partitioning independent
     assert as_map(c1) != as_map(c3)  # one cent flips the fingerprint
     assert as_map(c3)["N"][0] == 3   # ...but not the row count
+
+
+def test_ab_ttest_matches_statistics_module(spark, tmp_path):
+    """agg_ab_ttest vs an independent Python derivation (statistics
+    module mean/variance, then Welch's formula) on a planted two-group
+    experiment with a real effect."""
+    import datetime as dt
+    import statistics
+
+    from nova_pulsar_spark.operators.aggregates import agg_ab_ttest
+
+    va = [round(10 + 0.1 * i, 2) for i in range(40)]          # mean ~12
+    vb = [round(11 + 0.15 * (i % 7), 2) for i in range(25)]   # mean ~11.45
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", v, None) for i, v in enumerate(va)]
+    rows += [(100 + i, dt.datetime(2024, 1, 1), 1, "b", v, None) for i, v in enumerate(vb)]
+    d = str(tmp_path / "ab")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    r = agg_ab_ttest(spark, d).collect()
+    assert len(r) == 1
+    r = r[0]
+    ma, mb = statistics.fmean(va), statistics.fmean(vb)
+    sa2, sb2 = statistics.variance(va), statistics.variance(vb)
+    se2a, se2b = sa2 / len(va), sb2 / len(vb)
+    t = (ma - mb) / (se2a + se2b) ** 0.5
+    df = (se2a + se2b) ** 2 / (se2a**2 / (len(va) - 1) + se2b**2 / (len(vb) - 1))
+    assert r["n_a"] == 40 and r["n_b"] == 25
+    assert abs(r["mean_a"] - ma) < 1e-9 and abs(r["mean_b"] - mb) < 1e-9
+    assert abs(r["t_welch"] - t) < 1e-9, (r["t_welch"], t)
+    assert abs(r["df_welch"] - df) < 1e-6, (r["df_welch"], df)
+
+
+def test_chi_square_matches_python_reference(spark, tmp_path):
+    """agg_chi_square vs a hand-rolled contingency computation on a
+    planted table with a real cohort/type association."""
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.aggregates import agg_chi_square
+
+    rows = []
+    eid = 0
+    # cohort = user_id % 4; plant: type 'a' skews to cohort 0, 'b' uniform
+    plan = {("a", 0): 30, ("a", 1): 10, ("a", 2): 10, ("a", 3): 10,
+            ("b", 0): 15, ("b", 1): 15, ("b", 2): 15, ("b", 3): 15}
+    for (etype, cohort), cnt in plan.items():
+        for _ in range(cnt):
+            rows.append((eid, dt.datetime(2024, 1, 1), cohort, etype, 1.0, None))
+            eid += 1
+    d = str(tmp_path / "chi")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    r = agg_chi_square(spark, d).collect()[0]
+    n = sum(plan.values())
+    rt = {"a": 60, "b": 60}
+    ct = {c: sum(v for (t2, c2), v in plan.items() if c2 == c) for c in range(4)}
+    chi2 = sum(
+        (o - rt[t] * ct[c] / n) ** 2 / (rt[t] * ct[c] / n) for (t, c), o in plan.items()
+    )
+    assert r["n_cells"] == 8 and r["n_obs"] == n
+    assert abs(r["chi2"] - chi2) < 1e-6, (r["chi2"], chi2)
