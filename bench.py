@@ -112,6 +112,10 @@ HEADLINE = [
     "ts_holt_winters",
     "agg_ab_ttest",
     "agg_chi_square",
+    "llm_simsearch_pq_distortion",
+    "ts_acf",
+    "ts_forecast_backtest",
+    "dq_referential",
 ]
 
 

@@ -2272,3 +2272,82 @@ def llm_simsearch_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_simsearch_pq_distortion",
+    sql=f"""
+    WITH seeds AS (
+      SELECT embedding AS ce, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kidx
+      FROM embeddings ORDER BY vec_id LIMIT {PQ_K}),
+    ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    d AS (
+      SELECT e.vec_id, ms.m, s.kidx,
+             {_sql_sub_sqdist("e.embedding", "s.ce", "ms.m")} AS d2
+      FROM embeddings e CROSS JOIN ms CROSS JOIN seeds s),
+    best AS (
+      SELECT vec_id, m, MIN(d2) AS d2min FROM d GROUP BY vec_id, m),
+    pv AS (
+      SELECT vec_id, list_reduce(list(d2min ORDER BY m), (x, y) -> x + y) AS dist
+      FROM best GROUP BY vec_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST({PQ_M} AS BIGINT) AS m_subspaces,
+           CAST({PQ_K} AS BIGINT) AS k_entries,
+           CAST(SUM(CAST(FLOOR(dist * 1048576) AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(*) / 1048576 AS mean_sqerr,
+           MAX(dist) AS max_sqerr
+    FROM pv
+    """,
+    doc=f"PQ codebook-quality audit: mean/max squared reconstruction error "
+    f"of the {PQ_M}x{PQ_K} codebook over the whole corpus — prices the "
+    "compression loss the way llm_simsearch_ivf_recall prices cell pruning",
+)
+def llm_simsearch_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression honesty metric: PQ stores M small codes per
+    vector, and what that costs is the squared distance between each
+    vector and its reconstruction (nearest centroid per subspace) —
+    quantization distortion, the number a codebook must report before
+    ADC scores can be trusted (it is exactly the additive bias of an
+    ADC distance). One map-only pass: the codebook is a driver-side
+    literal (the persisted ann_index artifact), per-subspace min-d2 is
+    an `array_min` over K inlined struct terms inside codegen — no
+    join, no shuffle beyond the final 1-row aggregate, the same
+    zero-shuffle shape as llm_simsearch_pq encode. Corpus-sized float
+    sum -> the 2^-20 fixed-point idiom (floor + DECIMAL(38,0)), so
+    the mean is partition- and engine-exact; MAX over identically
+    derived doubles is order-free. Query-independent by design
+    (unlike the per-query ADC-vs-true gap): this audits the INDEX
+    artifact itself — recompute per codebook build, alarm on drift."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebook(spark, sf_dir)
+
+    def sub_sqd(m: int, sub_lit: str) -> str:
+        return (
+            f"aggregate(zip_with(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}), {sub_lit}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    def arr_lit(vals) -> str:
+        return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+    dist = None
+    for m in range(PQ_M):
+        terms = ", ".join(
+            f"struct({sub_sqd(m, arr_lit(books[m][k]))} AS d2, {k} AS kidx)"
+            for k in range(PQ_K)
+        )
+        dm = F.expr(f"array_min(array({terms})).d2")
+        dist = dm if dist is None else dist + dm
+    pv = e.select("vec_id", dist.alias("dist"))
+    return pv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(PQ_M).cast("bigint").alias("m_subspaces"),
+        F.lit(PQ_K).cast("bigint").alias("k_entries"),
+        (
+            F.sum(F.floor(F.col("dist") * 1048576).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1048576
+        ).alias("mean_sqerr"),
+        F.max("dist").alias("max_sqerr"),
+    )
