@@ -116,6 +116,7 @@ HEADLINE = [
     "ts_acf",
     "ts_forecast_backtest",
     "dq_referential",
+    "graph_degree_hist",
 ]
 
 

@@ -434,3 +434,42 @@ def graph_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc_nulls_last(), F.col("support").desc(), "a", "b"
     ).limit(EMB_TOP_EDGES)
+
+
+@register(
+    "graph_degree_hist",
+    sql=f"""
+    WITH basket AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey IS NOT NULL))
+      WHERE rn <= {MAX_BASKET}),
+    edges AS (
+      SELECT DISTINCT b1.p AS a, b2.p AS b
+      FROM basket b1 JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY d
+    """,
+    doc="Degree histogram of the part co-purchase graph from the shared "
+    "census — the skew fingerprint that justifies (or indicts) every "
+    "blocking cap; two-column output, vertex-bounded",
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree distribution is the first thing to look at before
+    trusting any co-occurrence pipeline: a heavy tail here is exactly
+    what makes naive wedge joins quadratic and is the empirical case
+    for MAX_BASKET and the orientation bound. Rides the cached
+    copurchase_census degree frame — zero marginal census cost in a
+    metrics suite — and reduces it to a |distinct degree|-row
+    histogram (map-side combinable, integer-exact)."""
+    deg = copurchase_census(spark, sf_dir)["deg"]
+    return deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices")).select(
+        F.col("d").cast("bigint").alias("degree"), "n_vertices"
+    )
