@@ -117,6 +117,7 @@ HEADLINE = [
     "ts_forecast_backtest",
     "dq_referential",
     "graph_degree_hist",
+    "llm_collocations",
 ]
 
 

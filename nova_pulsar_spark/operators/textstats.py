@@ -1164,3 +1164,94 @@ def llm_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("covered").cast("double") / F.col("total_occ")).alias("coverage_frac"),
         )
     )
+
+
+COLLOC_TOPK = 20
+
+
+@register(
+    "llm_collocations",
+    sql=f"""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT UNNEST(list_transform(range(1, greatest(len(ws), 2)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w),
+    big AS (
+      SELECT bigram, COUNT(*) AS n_ab FROM g
+      WHERE bigram IS NOT NULL
+      GROUP BY bigram HAVING COUNT(*) >= {NGRAM_MIN_COUNT}),
+    uni AS (
+      SELECT w1, COUNT(*) AS n_w
+      FROM (SELECT UNNEST(ws) AS w1 FROM w) GROUP BY w1),
+    tot AS (SELECT SUM(n_w) AS n_tokens FROM uni)
+    SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n_w AS BIGINT) AS n_a, CAST(ub.n_w AS BIGINT) AS n_b,
+           CAST(n_ab AS DOUBLE) * tot.n_tokens
+             / (CAST(ua.n_w AS DOUBLE) * ub.n_w) AS lift
+    FROM big
+    JOIN uni ua ON ua.w1 = split_part(big.bigram, ' ', 1)
+    JOIN uni ub ON ub.w1 = split_part(big.bigram, ' ', 2)
+    CROSS JOIN tot
+    ORDER BY lift DESC, bigram LIMIT {COLLOC_TOPK}
+    """,
+    doc=f"Collocation mining: top-{COLLOC_TOPK} bigrams by PMI-lift "
+    "n_ab*N/(n_a*n_b) with a min-count floor — the log-free phrase-detection "
+    "score feeding tokenizer merges and stop-phrase lists",
+)
+def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs co-occur far above chance — the collocation
+    score behind phrase detection (word2vec-style merges, multiword
+    stopword lists, tokenizer vocab curation). The score is PMI as a
+    RATIO (lift = P(ab)/(P(a)P(b)), rational in exact counts) rather
+    than its log: same ranking, no log() in either engine — the
+    catalogued not-correctly-rounded divergence class. One corpus
+    scan feeds both count tables (bigram and unigram frequencies,
+    each map-side-combinable); the floor prunes the bigram long tail
+    BEFORE the two vocabulary-bounded unigram joins (the surviving
+    head is tiny — at sf0.01, hundreds of bigrams), the scalar token
+    total broadcasts, and the head is TakeOrdered under a total order
+    (lift, bigram). NULL bigrams from 1-word docs are filtered
+    identically on both engines before grouping."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("ws")
+    )
+    d = d.localCheckpoint(eager=False)  # two consumers: bigrams + unigrams
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+        "i -> concat(get(ws, i-1), ' ', get(ws, i)))"
+    )
+    big = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= NGRAM_MIN_COUNT)
+    )
+    uni = (
+        d.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=False)  # three consumers: total + two joins
+    )
+    tot = uni.agg(F.sum("n_w").alias("n_tokens"))
+    ua = uni.select(F.col("w1").alias("wa"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w1").alias("wb"), F.col("n_w").alias("n_b"))
+    scored = (
+        big.withColumn("wa", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("wb", F.expr("split_part(bigram, ' ', 2)"))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_ab").cast("double") * F.col("n_tokens")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(COLLOC_TOPK)

@@ -303,6 +303,9 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_pca_power_step", "llm_bitext_margin", "llm_dsir_weights", "llm_dedup_pagerank", "llm_contamination_rate", "llm_dedup_embedding_incremental",
         "llm_dedup_embedding_cap_loss", "llm_semdedup_cap_loss", "dq_winsorize", "agg_skew_kurtosis", "dq_benford", "ts_acf",
         "ts_holt", "llm_token_coverage", "graph_triangles", "dq_referential", "ts_forecast_backtest",
+        "graph_components", "graph_jaccard_edges", "graph_degree_hist", "topk_skyline",
+        "llm_simsearch_ivf_recall", "llm_simsearch_pq_distortion", "ts_holt_winters",
+        "agg_ab_ttest", "agg_chi_square", "llm_collocations",
     ]
     regs = all_queries()
     problems = {}
