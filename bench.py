@@ -118,6 +118,7 @@ HEADLINE = [
     "dq_referential",
     "graph_degree_hist",
     "llm_collocations",
+    "ts_xcorr",
 ]
 
 

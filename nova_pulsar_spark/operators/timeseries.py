@@ -1113,3 +1113,117 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Lagged cross-correlation between event-type series ---------------------
+
+XCORR_LAGS = 3  # hours 0..XCORR_LAGS
+
+
+def _xcorr_lag_sql(k: int) -> str:
+    # plain BIGINT sums: DuckDB accumulates in HUGEINT (exact) and casts
+    # to DOUBLE once — the ts_acf discipline (explicit DECIMAL casts here
+    # would hit DuckDB's width-capped decimal arithmetic instead)
+    return f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           {k} AS lag_hours, CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN SQRT(CAST(COUNT(*) * SUM(a.mx * a.mx) - SUM(a.mx) * SUM(a.mx) AS DOUBLE))
+                     * SQRT(CAST(COUNT(*) * SUM(b.mx * b.mx) - SUM(b.mx) * SUM(b.mx) AS DOUBLE)) <> 0
+                THEN CAST(COUNT(*) * SUM(a.mx * b.mx) - SUM(a.mx) * SUM(b.mx) AS DOUBLE)
+                     / (SQRT(CAST(COUNT(*) * SUM(a.mx * a.mx) - SUM(a.mx) * SUM(a.mx) AS DOUBLE))
+                        * SQRT(CAST(COUNT(*) * SUM(b.mx * b.mx) - SUM(b.mx) * SUM(b.mx) AS DOUBLE)))
+           END AS xcorr
+    FROM hourly a
+    JOIN hourly b ON b.bucket_ts = a.bucket_ts + INTERVAL {k} HOUR
+                 AND a.event_type <> b.event_type
+    GROUP BY a.event_type, b.event_type"""
+
+
+@register(
+    "ts_xcorr",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
+                        / COUNT(*) / 1000 * 1024) AS BIGINT) AS mx
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+    """
+    + "\n    UNION ALL\n".join(_xcorr_lag_sql(k) for k in range(0, XCORR_LAGS + 1)),
+    doc=f"Lagged cross-correlation (hours 0..{XCORR_LAGS}) between every "
+    "ordered pair of event-type hourly series — 2^-20 fixed-point means, "
+    "integer Pearson moments; the lead/lag detection screen",
+)
+def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does one event stream LEAD another (errors now -> support
+    tickets in two hours)? Cross-correlation at small lags is the
+    screen. Alignment problem: two types never share raw timestamps,
+    so both series first land on the hourly grid (the ts_holt
+    decimal-exact hourly mean), and the mean — a double — is
+    quantized 2^-10 fixed-point (floor, the catalogued idiom — and a
+    deliberately COARSE scale: the calendar bounds n, and keeping
+    n·Σmx² under 2^53 keeps the one decimal->double cast per moment
+    engine-exact, the catalogued conversion class) so
+    every downstream moment is INTEGER arithmetic: the Pearson sums
+    accumulate in DECIMAL(38,0), order/partition-proof, one closed-
+    form IEEE division per (pair, lag). Per lag the shifted alignment
+    is an equi-join on bucket_ts + INTERVAL k (hash join on the
+    calendar-bounded hourly spine — never the raw corpus; the corpus
+    is touched once, by the grouped hourly scan). Lags are a
+    compile-time constant: XCORR_LAGS+1 spine joins total.
+    Constant series yield NULL via the guarded denominator."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("value") * 1000, 0).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000
+                * 1024
+            )
+            .cast("bigint")
+            .alias("mx")
+        )
+        .localCheckpoint(eager=False)  # 2*(XCORR_LAGS+1) join sides
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), F.col("bucket_ts").alias("ts_a"), F.col("mx").alias("xa")
+    )
+    outs = []
+    for k in range(0, XCORR_LAGS + 1):
+        b = hourly.select(
+            F.col("event_type").alias("type_b"),
+            F.col("bucket_ts").alias("ts_b"),
+            F.col("mx").alias("xb"),
+        )
+        p = a.join(
+            b,
+            (F.col("ts_b") == F.expr(f"ts_a + INTERVAL {k} HOUR"))
+            & (F.col("type_a") != F.col("type_b")),
+        )
+        s = p.groupBy("type_a", "type_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xa").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("xb").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("xa") * F.col("xa")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("xb") * F.col("xb")).cast("decimal(38,0)")).alias("syy"),
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
+        )
+        den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        outs.append(
+            s.select(
+                "type_a",
+                "type_b",
+                F.lit(k).alias("lag_hours"),
+                F.col("n").cast("bigint").alias("n"),
+                F.when(den != 0, num / den).alias("xcorr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
