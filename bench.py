@@ -119,6 +119,7 @@ HEADLINE = [
     "graph_degree_hist",
     "llm_collocations",
     "ts_xcorr",
+    "agg_mannwhitney",
 ]
 
 

@@ -1030,3 +1030,116 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1073741824)
         ).alias("chi2"),
     )
+
+
+@register(
+    "agg_mannwhitney",
+    sql="""
+    WITH h AS (
+      SELECT event_type AS t, value AS v, COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, value),
+    tys AS (SELECT DISTINCT t FROM h),
+    prs AS (
+      SELECT a.t AS ta, b.t AS tb FROM tys a JOIN tys b ON a.t < b.t),
+    hv AS (
+      SELECT prs.ta, prs.tb, h.v,
+             SUM(CASE WHEN h.t = prs.ta THEN h.c ELSE 0 END) AS ca,
+             SUM(CASE WHEN h.t = prs.tb THEN h.c ELSE 0 END) AS cb
+      FROM prs JOIN h ON h.t = prs.ta OR h.t = prs.tb
+      GROUP BY prs.ta, prs.tb, h.v),
+    r AS (
+      SELECT ta, tb, v, ca, cb,
+             COALESCE(SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb_lt
+      FROM hv),
+    agg AS (
+      SELECT ta AS group_a, tb AS group_b,
+             SUM(ca) AS n_a, SUM(cb) AS n_b,
+             SUM(ca * (2 * cumb_lt + cb)) AS u2,
+             SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tiesum
+      FROM r GROUP BY ta, tb),
+    fin AS (
+      SELECT group_a, group_b, n_a, n_b, u2, tiesum,
+             n_a + n_b AS n,
+             CAST(n_a AS DOUBLE) * n_b / 2 AS mu,
+             CAST(n_a AS DOUBLE) * n_b / 12
+               * ((n_a + n_b + 1)
+                  - CAST(tiesum AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) AS var_u
+      FROM agg)
+    SELECT group_a, group_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2 AS BIGINT) AS u2,
+           CASE WHEN SQRT(var_u) <> 0
+                THEN (CAST(u2 AS DOUBLE) / 2 - mu) / SQRT(var_u)
+           END AS z
+    FROM fin
+    """,
+    doc="Mann-Whitney U (rank-sum) test for every event-type pair, computed "
+    "HISTOGRAM-wise: U from value-bucket counts + a running sum over the "
+    "value spine — no per-row global ranking; tie-corrected normal z",
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nonparametric A/B readout (medians/distributions, robust to
+    outliers where agg_ab_ttest's means are not). Textbook U needs the
+    POOLED PER-ROW RANKING — a global sort per comparison, the exact
+    thing to avoid at 100 TB. Equivalent count form: U = #{a > b
+    pairs} + tie/2, and over the VALUE HISTOGRAM that is
+    Σ_v ca(v)·(cumB(<v) + cb(v)/2) — so the corpus is touched once
+    (the (type, value) groupBy); everything after runs on the
+    histogram spine (distinct values per pair), with one running sum
+    window per pair and integer products throughout (u2 = 2U stays
+    integral through ties; magnitudes bounded by n_a·n_b, exact in
+    BIGINT/HUGEINT at any realistic pairing). The tie-corrected
+    normal approximation z is a fixed IEEE expression over the exact
+    integers, association-identical on both engines. The type-pair
+    expansion duplicates histogram rows (T−1)× — T is the group
+    count, a constant — never the corpus."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = (
+        e.select(F.col("event_type").alias("t"), F.col("value").alias("v"))
+        .groupBy("t", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tys = h.select("t").distinct()
+    prs = tys.select(F.col("t").alias("ta")).join(
+        tys.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    hv = (
+        prs.join(h.alias("h"), (F.col("h.t") == F.col("ta")) | (F.col("h.t") == F.col("tb")))
+        .groupBy("ta", "tb", "v")
+        .agg(
+            F.sum(F.when(F.col("h.t") == F.col("ta"), F.col("c")).otherwise(F.lit(0))).alias("ca"),
+            F.sum(F.when(F.col("h.t") == F.col("tb"), F.col("c")).otherwise(F.lit(0))).alias("cb"),
+        )
+    )
+    w = W.partitionBy("ta", "tb").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = hv.withColumn("cumb_lt", F.coalesce(F.sum("cb").over(w), F.lit(0)))
+    t = F.col("ca") + F.col("cb")
+    agg = r.groupBy(F.col("ta").alias("group_a"), F.col("tb").alias("group_b")).agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cumb_lt") + F.col("cb"))).alias("u2"),
+        F.sum(t * t * t - t).alias("tiesum"),
+    )
+    mu = F.col("n_a").cast("double") * F.col("n_b") / 2
+    var_u = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12
+        * (
+            (F.col("n_a") + F.col("n_b") + 1)
+            - F.col("tiesum").cast("double")
+            / ((F.col("n_a") + F.col("n_b")).cast("double") * (F.col("n_a") + F.col("n_b") - 1))
+        )
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("u2").cast("bigint").alias("u2"),
+        F.when(
+            F.sqrt(var_u) != 0, (F.col("u2").cast("double") / 2 - mu) / F.sqrt(var_u)
+        ).alias("z"),
+    )

@@ -219,3 +219,37 @@ def test_chi_square_matches_python_reference(spark, tmp_path):
     )
     assert r["n_cells"] == 8 and r["n_obs"] == n
     assert abs(r["chi2"] - chi2) < 1e-6, (r["chi2"], chi2)
+
+
+def test_mannwhitney_matches_pair_counting(spark, tmp_path):
+    """agg_mannwhitney's histogram-spine formula vs the literal
+    pair-count definition of U (with ties) and the textbook
+    tie-corrected z, on a planted two-group sample."""
+    import datetime as dt
+
+    from nova_pulsar_spark.operators.aggregates import agg_mannwhitney
+
+    va = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0] * 3
+    vb = [2.0, 4.0, 4.0, 5.0, 6.0] * 4
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", v, None) for i, v in enumerate(va)]
+    rows += [(100 + i, dt.datetime(2024, 1, 1), 1, "b", v, None) for i, v in enumerate(vb)]
+    d = str(tmp_path / "mw")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    r = agg_mannwhitney(spark, d).collect()
+    assert len(r) == 1
+    r = r[0]
+    # literal definition: U = #{a > b} + 0.5 #{a == b}  (as 2U integer)
+    u2 = sum(2 for x in va for y in vb if x > y) + sum(1 for x in va for y in vb if x == y)
+    na, nb = len(va), len(vb)
+    n = na + nb
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(va + vb).values())
+    mu = na * nb / 2
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u2 / 2 - mu) / var**0.5
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["u2"] == u2, (r["u2"], u2)
+    assert abs(r["z"] - z) < 1e-9, (r["z"], z)
