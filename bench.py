@@ -120,6 +120,7 @@ HEADLINE = [
     "llm_collocations",
     "ts_xcorr",
     "agg_mannwhitney",
+    "agg_bootstrap_ci",
 ]
 
 

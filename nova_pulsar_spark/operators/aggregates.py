@@ -1143,3 +1143,111 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var_u) != 0, (F.col("u2").cast("double") / 2 - mu) / F.sqrt(var_u)
         ).alias("z"),
     )
+
+
+# --- Poisson bootstrap confidence interval ---------------------------------
+
+BOOT_REPS = 32
+# Poisson(1) CDF thresholds (literal doubles, identical on both
+# engines): weight w = k iff u in [P(<k), P(<=k)); tail capped at 5.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def _boot_w(u: str) -> str:
+    """CASE ladder mapping a uniform in [0,1) to a Poisson(1) draw."""
+    cases = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+_U_SPARK = (
+    "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    " / 4294967296.0)"
+)
+_U_SQL = (
+    "(CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "agg_bootstrap_ci",
+    sql=f"""
+    WITH base AS (
+      SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    expanded AS (
+      SELECT cents, {_boot_w(_U_SQL)} AS w
+      FROM base CROSS JOIN (SELECT UNNEST(range(0, {BOOT_REPS})) AS rep) reps),
+    per_rep AS (
+      SELECT rep, SUM(w) AS n_r, SUM(w * cents) AS s_r FROM (
+        SELECT cents, {_boot_w(_U_SQL)} AS w, reps.rep AS rep
+        FROM base CROSS JOIN (SELECT UNNEST(range(0, {BOOT_REPS})) AS rep) reps) t
+      GROUP BY rep),
+    means AS (
+      SELECT list_sort(list(CAST(s_r AS DOUBLE) / n_r / 100)) AS ms FROM per_rep),
+    pt AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS mean_v
+      FROM base)
+    SELECT CAST(pt.n AS BIGINT) AS n, pt.mean_v,
+           CAST({BOOT_REPS} AS BIGINT) AS boot_reps,
+           ms[2] AS ci_lo, ms[{BOOT_REPS - 1}] AS ci_hi
+    FROM means CROSS JOIN pt
+    """,
+    doc=f"Poisson-bootstrap CI for the mean event value: {BOOT_REPS} "
+    "hash-deterministic resamples in ONE map-side-combinable pass (weights "
+    "from md5-uniforms through the Poisson(1) CDF ladder), 2nd/31st order "
+    "statistics of the rep means as the interval",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars at 100 TB: the classical bootstrap resamples n rows
+    with replacement — unshippable (each resample is a corpus-sized
+    shuffle with repeats). The production form is the POISSON
+    bootstrap: each row independently contributes Poisson(1) copies
+    to each replicate, so all {BOOT_REPS} resamples ride ONE scan as
+    a (row, rep) weight — here a deterministic weight derived from
+    md5(event_id:rep) through the Poisson CDF ladder (literal
+    thresholds, identical doubles both engines; the shared-md5 idiom
+    keeps the 'randomness' engine-exact and reproducible, which a
+    production pipeline wants anyway for auditability). The expansion
+    is map-side only: partial aggregation collapses corpus x reps
+    rows to {BOOT_REPS} groups before any shuffle — the shuffle
+    carries {BOOT_REPS} rows of exact integer sums (cents BIGINT;
+    HUGEINT/decimal-exact on each engine). The interval is the
+    2nd/31st order statistics of the sorted replicate means (~94%
+    coverage at R={BOOT_REPS}; production bumps R, same plan). Rep
+    means are one IEEE division from exact integers; the sort is over
+    identically derived doubles."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "event_id", (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    base = base.localCheckpoint(eager=False)  # two consumers: reps + point est
+    expanded = base.select(
+        "event_id", "cents", F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("rep")
+    ).select("cents", "rep", F.expr(f"{_boot_w(_U_SPARK)}").alias("w"))
+    per_rep = expanded.groupBy("rep").agg(
+        F.sum("w").alias("n_r"),
+        F.sum(F.col("w") * F.col("cents")).alias("s_r"),
+    )
+    means = per_rep.agg(
+        F.expr("array_sort(collect_list(CAST(s_r AS DOUBLE) / n_r / 100))").alias("ms")
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100).alias("mean_v"),
+    )
+    return pt.crossJoin(F.broadcast(means)).select(
+        "n",
+        "mean_v",
+        F.lit(BOOT_REPS).cast("bigint").alias("boot_reps"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", BOOT_REPS - 1).alias("ci_hi"),
+    )

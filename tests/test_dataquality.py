@@ -253,3 +253,45 @@ def test_mannwhitney_matches_pair_counting(spark, tmp_path):
     assert r["n_a"] == na and r["n_b"] == nb
     assert r["u2"] == u2, (r["u2"], u2)
     assert abs(r["z"] - z) < 1e-9, (r["z"], z)
+
+
+def test_bootstrap_ci_matches_python_hash_replay(spark, tmp_path):
+    """agg_bootstrap_ci vs a pure-Python replay of the md5->Poisson
+    weight ladder and replicate means — pins the whole deterministic
+    resampling path end to end."""
+    import datetime as dt
+    import hashlib
+
+    from nova_pulsar_spark.operators.aggregates import (
+        BOOT_REPS,
+        _POIS_CDF,
+        agg_bootstrap_ci,
+    )
+
+    vals = [round(5 + 0.37 * (i % 13), 2) for i in range(200)]
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "a", v, None) for i, v in enumerate(vals)]
+    d = str(tmp_path / "boot")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    r = agg_bootstrap_ci(spark, d).collect()[0]
+
+    def w(eid, rep):
+        u = int(hashlib.md5(f"{eid}:{rep}".encode()).hexdigest()[:8], 16) / 2**32
+        for k, t in enumerate(_POIS_CDF):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for rep in range(BOOT_REPS):
+        ws = [w(i, rep) for i in range(len(vals))]
+        n_r = sum(ws)
+        s_r = sum(wi * round(v * 100) for wi, v in zip(ws, vals))
+        means.append(s_r / n_r / 100)
+    means.sort()
+    assert r["n"] == len(vals)
+    assert abs(r["mean_v"] - sum(round(v * 100) for v in vals) / len(vals) / 100) < 1e-12
+    assert abs(r["ci_lo"] - means[1]) < 1e-12, (r["ci_lo"], means[1])
+    assert abs(r["ci_hi"] - means[BOOT_REPS - 2]) < 1e-12, (r["ci_hi"], means[BOOT_REPS - 2])
+    assert r["ci_lo"] <= r["mean_v"] <= r["ci_hi"]
