@@ -1224,7 +1224,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     2nd/31st order statistics of the sorted replicate means (~94%
     coverage at R={BOOT_REPS}; production bumps R, same plan). Rep
     means are one IEEE division from exact integers; the sort is over
-    identically derived doubles."""
+    identically derived doubles. Cost note: md5 per (row, rep) is the
+    price of cross-engine-reproducible randomness (~2/3 of the
+    runtime); a production deployment that only needs
+    within-pipeline determinism swaps in xxhash64 for ~4x cheaper
+    weights with the identical plan shape."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = e.select(
         "event_id", (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
