@@ -27,6 +27,13 @@ KEYS = [
     "llm_dedup_pagerank",
     "llm_bitext_margin",
     "ts_acf",
+    # round-4 continuation: fixed-point moments / folds / hash weights
+    "agg_chi_square",
+    "ts_xcorr",
+    "ts_holt_winters",
+    "agg_mannwhitney",
+    "agg_bootstrap_ci",
+    "llm_simsearch_pq_distortion",
 ]
 
 
