@@ -119,3 +119,64 @@ def test_training_shards_roundtrip_and_tamper_detection(spark, tmp_path):
     os.remove(victim)
     problems = verify_shards(spark, out)
     assert problems, "lost shard file must be detected"
+
+
+# --- bucketed co-located joins -------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark, sf_dir):
+    """The whole point of bucketing: the fact-fact join must plan as a
+    SortMergeJoin with ZERO shuffle exchanges and ZERO sorts (both
+    sides pre-distributed and pre-sorted on disk), and produce exactly
+    the plain join's values."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.sources.bucketed import (
+        bucketed_order_lineitem_join,
+        build_bucketed_tables,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    # at test SF the dims are broadcast-sized, which would (correctly)
+    # beat the bucketed SMJ — disable broadcast so the pin exercises
+    # the co-located path the layout exists for at fact-fact scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_order_lineitem_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("HashAggregate")[-1]  # below the agg: the join subtree
+        assert "Exchange" not in join_part, join_part
+        got = {r["o_orderpriority"]: (r["n_items"], r["revenue_cents"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue_cents"])
+        for r in (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum((F.col("l_extendedprice") * 100).cast("decimal(38,0)"))
+                .cast("double")
+                .alias("revenue_cents"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+    # idempotence: a second build is a catalog hit, not a rewrite
+    t1 = build_bucketed_tables(spark, sf_dir)
+    t2 = build_bucketed_tables(spark, sf_dir)
+    assert t1 == t2
