@@ -180,3 +180,16 @@ def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark, sf_dir):
     t1 = build_bucketed_tables(spark, sf_dir)
     t2 = build_bucketed_tables(spark, sf_dir)
     assert t1 == t2
+
+    # bucket pruning: an equality predicate on the bucket key must scan
+    # exactly ONE of the 8 buckets
+    some_key = spark.table(t1[0]).select("o_orderkey").first()[0]
+    # autoBucketedScan drops bucketing when no exchange is saved; force
+    # the bucketed scan so filter-time bucket pruning is observable
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        point = spark.table(t1[0]).filter(F.col("o_orderkey") == some_key)
+        pplan = point._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in pplan, pplan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
