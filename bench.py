@@ -121,6 +121,7 @@ HEADLINE = [
     "ts_xcorr",
     "agg_mannwhitney",
     "agg_bootstrap_ci",
+    "ts_lttb",
 ]
 
 

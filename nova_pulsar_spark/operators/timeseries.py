@@ -1227,3 +1227,158 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- LTTB downsampling (largest-triangle-three-buckets) ---------------------
+
+LTTB_K = 24  # output points per series
+
+
+@register(
+    "ts_lttb",
+    sql=f"""
+    WITH RECURSIVE pts0 AS (
+      SELECT event_type, epoch_us(ts) AS xa, value AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    pts1 AS (
+      SELECT event_type, xa - MIN(xa) OVER (PARTITION BY event_type) AS x, y,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM pts0),
+    pts AS (
+      SELECT event_type, x, y, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, y) - 1 AS j
+      FROM pts1),
+    bk AS (
+      SELECT event_type, x, y,
+             CASE WHEN j = 0 THEN 0
+                  WHEN j = n - 1 THEN {LTTB_K - 1}
+                  ELSE LEAST({LTTB_K - 2},
+                             1 + CAST(FLOOR((j - 1) * {LTTB_K - 2} / (n - 2)) AS INT))
+             END AS i
+      FROM pts WHERE n > {LTTB_K}),
+    bstats AS (
+      SELECT event_type, i,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS ax,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ay
+      FROM bk GROUP BY event_type, i),
+    nexts AS (
+      SELECT event_type, i,
+             LEAD(ax) OVER (PARTITION BY event_type ORDER BY i) AS nax,
+             LEAD(ay) OVER (PARTITION BY event_type ORDER BY i) AS nay
+      FROM bstats),
+    sel(event_type, i, sx, sy) AS (
+      SELECT event_type, 0, x, y FROM bk WHERE i = 0
+      UNION ALL
+      SELECT t.event_type, t.i, t.x, t.y FROM (
+        SELECT p.event_type, p.i, p.x, p.y,
+               ROW_NUMBER() OVER (PARTITION BY p.event_type, p.i ORDER BY
+                 ABS((CAST(s.sx AS DOUBLE) - nx.nax) * (p.y - s.sy)
+                     - (CAST(s.sx AS DOUBLE) - CAST(p.x AS DOUBLE)) * (nx.nay - s.sy)) DESC,
+                 p.x DESC, p.y DESC) AS rn
+        FROM sel s
+        JOIN bk p ON p.event_type = s.event_type AND p.i = s.i + 1
+                 AND p.i <= {LTTB_K - 2}
+        JOIN nexts nx ON nx.event_type = p.event_type AND nx.i = p.i) t
+      WHERE t.rn = 1)
+    SELECT event_type, CAST(i AS BIGINT) AS seq,
+           CAST(sx AS BIGINT) AS x_rel_us, sy AS value
+    FROM sel
+    UNION ALL
+    SELECT event_type, CAST({LTTB_K - 1} AS BIGINT) AS seq,
+           CAST(x AS BIGINT) AS x_rel_us, y AS value
+    FROM bk WHERE i = {LTTB_K - 1}
+    UNION ALL
+    SELECT event_type, CAST(j AS BIGINT) AS seq,
+           CAST(x AS BIGINT) AS x_rel_us, y AS value
+    FROM pts WHERE n <= {LTTB_K}
+    """,
+    doc=f"LTTB downsampling to {LTTB_K} points per event-type series: "
+    "visually-lossless compaction (keeps the extremes a bucket-mean "
+    "downsample erases) — Spark folds the bucket array; the oracle derives "
+    "the same march independently via a recursive CTE",
+)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013) — THE
+    dashboard downsampler: a 10^9-point series becomes K points that
+    still show every spike, because each bucket keeps the point
+    maximizing the triangle area with the previously kept point and
+    the next bucket's centroid. That chain is sequential by
+    definition, which is why generic engines don't ship it; here the
+    sequential part runs over the K-2 BUCKET summaries per series
+    (a calendar/K-bounded array), never the raw points: one corpus
+    scan buckets and summarizes map-side (decimal-exact centroids),
+    and the fold walks 22 buckets each holding only its own point
+    list (n/K points). x is re-based to micros-from-series-start so
+    every centroid stays under 2^53 for the one decimal->double cast
+    (the conversion class). Selection ties break (area, x, y)-max on
+    both engines; the oracle twin is an INDEPENDENT derivation — a
+    recursive CTE marching bucket i -> i+1 with a ROW_NUMBER argmax —
+    so a fold bug cannot self-confirm. Series with n <= K pass
+    through unsampled (both engines' third branch)."""
+    K = LTTB_K
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    p0 = e.select("event_type", F.unix_micros(F.col("ts")).alias("xa"), F.col("value").alias("y"))
+    wt = W.partitionBy("event_type")
+    p1 = (
+        p0.withColumn("minx", F.min("xa").over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .select("event_type", (F.col("xa") - F.col("minx")).alias("x"), "y", "n")
+    )
+    wo = W.partitionBy("event_type").orderBy("x", "y")
+    pts = p1.withColumn("j", F.row_number().over(wo) - 1).localCheckpoint(eager=False)
+    small = pts.filter(F.col("n") <= K).select(
+        "event_type",
+        F.col("j").cast("bigint").alias("seq"),
+        F.col("x").cast("bigint").alias("x_rel_us"),
+        F.col("y").alias("value"),
+    )
+    big = pts.filter(F.col("n") > K)
+    bi = (
+        F.when(F.col("j") == 0, F.lit(0))
+        .when(F.col("j") == F.col("n") - 1, F.lit(K - 1))
+        .otherwise(
+            F.least(
+                F.lit(K - 2),
+                1 + F.floor((F.col("j") - 1) * (K - 2) / (F.col("n") - 2)).cast("int"),
+            )
+        )
+    )
+    buckets = (
+        big.withColumn("i", bi)
+        .groupBy("event_type", "i")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(x, y))), s -> struct(s.x AS x, s.y AS y))").alias("pts"),
+            (F.sum(F.col("x").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))).alias("ax"),
+            (F.sum(F.col("y").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("ay"),
+        )
+    )
+    wl = W.partitionBy("event_type").orderBy("i")
+    buckets = buckets.withColumn("nax", F.lead("ax").over(wl)).withColumn(
+        "nay", F.lead("ay").over(wl)
+    )
+    ser = buckets.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(struct(i, pts, nax, nay)))").alias("bs")
+    )
+    prev = "element_at(acc, -1)"
+    area = (
+        f"abs((CAST({prev}.x AS DOUBLE) - b.nax) * (p.y - {prev}.y) "
+        f"- (CAST({prev}.x AS DOUBLE) - CAST(p.x AS DOUBLE)) * (b.nay - {prev}.y))"
+    )
+    pick = f"array_max(transform(b.pts, p -> struct({area} AS a, p.x AS x, p.y AS y)))"
+    fold = F.expr(
+        f"concat(aggregate(slice(bs, 2, {K} - 2), "
+        "array(struct(element_at(element_at(bs, 1).pts, 1).x AS x, "
+        "element_at(element_at(bs, 1).pts, 1).y AS y)), "
+        f"(acc, b) -> concat(acc, array(struct({pick}.x AS x, {pick}.y AS y)))), "
+        f"array(struct(element_at(element_at(bs, {K}).pts, 1).x AS x, "
+        f"element_at(element_at(bs, {K}).pts, 1).y AS y)))"
+    )
+    sampled = ser.select("event_type", F.posexplode(fold).alias("seq", "p")).select(
+        "event_type",
+        F.col("seq").cast("bigint").alias("seq"),
+        F.col("p.x").cast("bigint").alias("x_rel_us"),
+        F.col("p.y").alias("value"),
+    )
+    return sampled.unionByName(small)

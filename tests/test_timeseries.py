@@ -477,3 +477,59 @@ def test_holt_winters_matches_python_reference(spark, tmp_path):
     assert abs(r["forecast_1"] - (l + b + s[n % P])) < 1e-9
     # the seasonal signal must actually be learned (non-trivial slot)
     assert abs(r["season_next"]) > 0.1
+
+
+def test_lttb_matches_python_reference(spark, tmp_path):
+    """ts_lttb vs a direct Python implementation of the LTTB chain on
+    a planted spiky series — pins bucket edges, the centroid 'next'
+    anchor, and the sequential selection."""
+    from nova_pulsar_spark.operators.timeseries import LTTB_K, ts_lttb
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = []
+    for h in range(300):
+        v = 10.0 + (h % 17) * 0.5
+        if h % 50 == 25:
+            v += 80.0  # spikes LTTB must keep
+        vals.append(round(v, 2))
+    rows = [
+        (h, t0 + dt.timedelta(hours=h), 1, "click", v, None) for h, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "lttb")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r["seq"]: (r["x_rel_us"], r["value"]) for r in ts_lttb(spark, d).collect()}
+
+    K = LTTB_K
+    n = len(vals)
+    xs = [h * 3_600_000_000 for h in range(n)]
+    buckets: dict[int, list] = {}
+    for j in range(n):
+        if j == 0:
+            i = 0
+        elif j == n - 1:
+            i = K - 1
+        else:
+            i = min(K - 2, 1 + (j - 1) * (K - 2) // (n - 2))
+        buckets.setdefault(i, []).append((xs[j], vals[j]))
+    avg = {
+        i: (sum(x for x, _ in b) / len(b), sum(y for _, y in b) / len(b))
+        for i, b in buckets.items()
+    }
+    sel = [buckets[0][0]]
+    for i in range(1, K - 1):
+        nax, nay = avg[i + 1]
+        px, py = sel[-1]
+        best = max(
+            buckets[i],
+            key=lambda p: (abs((px - nax) * (p[1] - py) - (px - p[0]) * (nay - py)), p[0], p[1]),
+        )
+        sel.append(best)
+    sel.append(buckets[K - 1][0])
+    assert len(got) == K
+    for i, (x, y) in enumerate(sel):
+        assert got[i] == (x, y), (i, got[i], (x, y))
+    # the spikes must survive
+    kept_vals = {v for _, v in got.values()}
+    assert any(v > 80 for v in kept_vals)
