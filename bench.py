@@ -122,6 +122,8 @@ HEADLINE = [
     "agg_mannwhitney",
     "agg_bootstrap_ci",
     "ts_lttb",
+    "ts_drawdown",
+    "dq_drift",
 ]
 
 

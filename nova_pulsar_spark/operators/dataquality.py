@@ -596,3 +596,93 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+DRIFT_BIN_W = 10  # fixed-width value bins
+
+
+@register(
+    "dq_drift",
+    sql=f"""
+    WITH base AS (
+      SELECT event_type, ts, value,
+             CAST(FLOOR(value / {DRIFT_BIN_W}) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    bounds AS (
+      SELECT event_type, MIN(ts) AS t0, MAX(ts) AS t1 FROM base GROUP BY event_type),
+    tagged AS (
+      SELECT b.event_type, b.bin,
+             CASE WHEN epoch_us(b.ts) * 2 < epoch_us(bo.t0) + epoch_us(bo.t1)
+                  THEN 1 ELSE 0 END AS early
+      FROM base b JOIN bounds bo ON bo.event_type = b.event_type),
+    h AS (
+      SELECT event_type, bin,
+             SUM(early) AS ca, SUM(1 - early) AS cb
+      FROM tagged GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM h GROUP BY event_type)
+    SELECT h.event_type,
+           CAST(tot.na AS BIGINT) AS n_early, CAST(tot.nb AS BIGINT) AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(ABS(h.ca * tot.nb - h.cb * tot.na)) AS DOUBLE)
+             / NULLIF(2.0 * tot.na * tot.nb, 0) AS tv_distance
+    FROM h JOIN tot ON tot.event_type = h.event_type
+    GROUP BY h.event_type, tot.na, tot.nb
+    """,
+    doc=f"Distribution drift per event type: total-variation distance "
+    f"between the early-half and late-half value histograms (width-"
+    f"{DRIFT_BIN_W} bins) — integer numerator Sum|ca*nb - cb*na|, one exact "
+    "division; the feature-drift alarm for training snapshots",
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the metric's DISTRIBUTION move between the first and second
+    half of the window — the drift alarm that row counts and means
+    miss (a mean-preserving variance explosion is invisible to
+    dq_freshness/profile). Split point is the per-series time
+    midpoint (computed from exact epoch integers — `2*ts < t0+t1`
+    avoids both a float midpoint and an interval division); the
+    histogram is fixed-width bins, so the drift statistic is
+    TV = 1/2 Σ |p_early − p_late| computed with an INTEGER
+    numerator Σ|ca·nb − cb·na| and one final division — exact on
+    both engines without any fixed-point machinery (NULL, not a
+    raise, when a degenerate series lands entirely in one half —
+    the ANSI 0-div class). One corpus scan
+    plus a bin-bounded groupBy; the bounds join broadcasts
+    (one row per type). PSI needs ln and is deliberately NOT here —
+    the engine-divergent-log class; TV and the companion
+    `agg_chi_square` cover the same alarm surface log-free."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.floor(F.col("value") / DRIFT_BIN_W).cast("bigint").alias("bin"),
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("tus").alias("t0"), F.max("tus").alias("t1")
+    )
+    tagged = base.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "bin",
+        F.when(F.col("tus") * 2 < F.col("t0") + F.col("t1"), F.lit(1)).otherwise(F.lit(0)).alias("early"),
+    )
+    h = tagged.groupBy("event_type", "bin").agg(
+        F.sum("early").alias("ca"), F.sum(F.lit(1) - F.col("early")).alias("cb")
+    )
+    h = h.localCheckpoint(eager=False)  # totals + the distance aggregate
+    tot = h.groupBy("event_type").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = h.join(F.broadcast(tot), "event_type")
+    return j.groupBy("event_type", "na", "nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).cast("double")
+            / F.nullif(2.0 * F.col("na") * F.col("nb"), F.lit(0.0))
+        ).alias("tv_distance"),
+    ).select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_early"),
+        F.col("nb").cast("bigint").alias("n_late"),
+        "n_bins",
+        "tv_distance",
+    )

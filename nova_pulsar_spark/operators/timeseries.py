@@ -1382,3 +1382,64 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.y").alias("value"),
     )
     return sampled.unionByName(small)
+
+
+@register(
+    "ts_drawdown",
+    sql="""
+    WITH cents AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    run AS (
+      SELECT event_type, c,
+             MAX(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cents),
+    dd AS (
+      SELECT event_type, MAX({'d': peak - c, 'p': peak}) AS best
+      FROM run GROUP BY event_type)
+    SELECT event_type,
+           CAST(best.d AS BIGINT) AS max_dd_cents,
+           CAST(best.p AS BIGINT) AS peak_at_dd_cents,
+           CAST(best.d AS DOUBLE) / NULLIF(best.p, 0) AS max_dd_frac
+    FROM dd
+    """,
+    doc="Maximum drawdown per event-type series: running peak via an "
+    "ordered window on exact cents, argmax over (drawdown, peak) structs — "
+    "the metric-degradation / SLA-regression screen",
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown — the largest peak-to-trough fall — is the
+    canonical 'how bad did it get' statistic (SLA regressions, KPI
+    slumps, not just portfolios). One ordered-window pass computes
+    the running peak in exact cents (deterministic ordering by
+    (ts, event_id)); the answer is then a struct-argmax over
+    (drawdown, peak) — both integers, so ties resolve identically on
+    both engines and the single final division is engine-exact.
+    Linear, one shuffle on the series key; the window's running max
+    is O(1) per row."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = e.select(
+        "event_type", "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = cents.withColumn("peak", F.max("c").over(w))
+    dd = run.groupBy("event_type").agg(
+        F.max(F.struct((F.col("peak") - F.col("c")).alias("d"), F.col("peak").alias("p"))).alias(
+            "best"
+        )
+    )
+    return dd.select(
+        "event_type",
+        F.col("best.d").cast("bigint").alias("max_dd_cents"),
+        F.col("best.p").cast("bigint").alias("peak_at_dd_cents"),
+        (F.col("best.d").cast("double") / F.nullif(F.col("best.p"), F.lit(0))).alias(
+            "max_dd_frac"
+        ),
+    )
