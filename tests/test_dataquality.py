@@ -277,7 +277,10 @@ def test_bootstrap_ci_matches_python_hash_replay(spark, tmp_path):
     r = agg_bootstrap_ci(spark, d).collect()[0]
 
     def w(eid, rep):
-        u = int(hashlib.md5(f"{eid}:{rep}".encode()).hexdigest()[:8], 16) / 2**32
+        # mirror the block/slot digest slicing: one md5 per 4 replicates
+        block, slot = rep // 4, rep % 4
+        dig = hashlib.md5(f"{eid}:{block}".encode()).hexdigest()
+        u = int(dig[slot * 8 : slot * 8 + 8], 16) / 2**32
         for k, t in enumerate(_POIS_CDF):
             if u < t:
                 return k
