@@ -124,6 +124,7 @@ HEADLINE = [
     "ts_lttb",
     "ts_drawdown",
     "dq_drift",
+    "llm_mix_budget",
 ]
 
 

@@ -1165,3 +1165,110 @@ def llm_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# --- Token-budget waterfilling across sources -------------------------------
+
+
+@register(
+    "llm_mix_budget",
+    sql="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS avail
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(avail) AS total, COUNT(*) AS n_src,
+             SUM(avail) // 2 AS budget
+      FROM s),
+    r AS (
+      SELECT s.source, s.avail, tot.budget, tot.n_src,
+             ROW_NUMBER() OVER (ORDER BY s.avail, s.source) AS k,
+             SUM(s.avail) OVER (ORDER BY s.avail, s.source
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      FROM s CROSS JOIN tot),
+    sat AS (
+      SELECT *, CASE WHEN pk + avail * (n_src - k) <= budget THEN 1 ELSE 0 END AS saturated
+      FROM r),
+    lvl AS (
+      SELECT MAX(budget) AS budget, MAX(n_src) AS n_src,
+             SUM(saturated) AS n_sat,
+             COALESCE(SUM(CASE WHEN saturated = 1 THEN avail END), 0) AS p_sat
+      FROM sat),
+    wl AS (
+      SELECT CASE WHEN n_sat < n_src
+                  THEN CAST(budget - p_sat AS DOUBLE) / (n_src - n_sat)
+             END AS level
+      FROM lvl)
+    SELECT sat.source, CAST(sat.avail AS BIGINT) AS avail_tokens,
+           CAST(sat.saturated AS BIGINT) AS saturated,
+           CASE WHEN sat.saturated = 1 THEN CAST(sat.avail AS DOUBLE)
+                ELSE wl.level END AS allocated_tokens,
+           wl.level AS water_level
+    FROM sat CROSS JOIN wl
+    """,
+    doc="Token-budget waterfilling across sources (budget = half the "
+    "corpus): equalize per-source contributions up to availability — "
+    "closed-form level from sorted prefix sums, no iteration",
+)
+def llm_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-budget allocator: spend a token budget across
+    sources as evenly as availability allows (small sources
+    contribute everything they have; big sources are capped at a
+    common water level L with Σ min(avail, L) = budget). The naive
+    solver iterates; the closed form is one SORT over the source
+    summary: after the k smallest sources saturate, L would be
+    (budget − prefix_k)/(n − k), and a source is saturated exactly
+    when prefix_k + avail_k·(n−k) ≤ budget — a single window over
+    the per-source frame (tiny: one row per source; the only
+    corpus-sized work is the token count groupBy). Everything is
+    integer until the one L division, so both engines agree
+    bit-exactly; ties in avail sort by (avail, source) and leave L
+    unchanged. budget ≥ total degenerates to full allocation
+    (level NULL, every source saturated)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("avail")
+    )
+    tot = s.agg(
+        F.sum("avail").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+        (F.sum("avail") / 2).cast("bigint").alias("budget"),
+    )
+    w = W.orderBy("avail", "source")
+    r = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn("pk", F.sum("avail").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    sat = r.withColumn(
+        "saturated",
+        F.when(
+            F.col("pk") + F.col("avail") * (F.col("n_src") - F.col("k")) <= F.col("budget"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sat = sat.localCheckpoint(eager=False)  # level aggregate + final select
+    lvl = sat.agg(
+        F.max("budget").alias("budget"),
+        F.max("n_src").alias("n_src"),
+        F.sum("saturated").alias("n_sat"),
+        F.coalesce(F.sum(F.when(F.col("saturated") == 1, F.col("avail"))), F.lit(0)).alias(
+            "p_sat"
+        ),
+    )
+    wl = lvl.select(
+        F.when(
+            F.col("n_sat") < F.col("n_src"),
+            (F.col("budget") - F.col("p_sat")).cast("double") / (F.col("n_src") - F.col("n_sat")),
+        ).alias("level")
+    )
+    return sat.crossJoin(F.broadcast(wl)).select(
+        "source",
+        F.col("avail").cast("bigint").alias("avail_tokens"),
+        F.col("saturated").cast("bigint").alias("saturated"),
+        F.when(F.col("saturated") == 1, F.col("avail").cast("double"))
+        .otherwise(F.col("level"))
+        .alias("allocated_tokens"),
+        F.col("level").alias("water_level"),
+    )

@@ -1677,3 +1677,32 @@ def test_pca_power_iteration_converges_to_top_eigenvector(spark, tmp_path):
     # real fixture: flat spectrum, but the trace must still be monotone
     _, rf = pca_top_component(spark, SF, iters=5)
     assert all(b >= a - fp_tol for a, b in zip(rf, rf[1:]))
+
+
+def test_mix_budget_waterfilling_invariants(spark, tmp_path):
+    """Waterfilling invariants on a planted skewed corpus: allocations
+    sum to the budget, saturated sources contribute all they have,
+    unsaturated ones sit exactly at the common level >= every
+    saturated availability."""
+    from nova_pulsar_spark.operators.pipeline import llm_mix_budget
+
+    rows = []
+    did = 0
+    for src, n_tok in [("tiny", 10), ("small", 40), ("mid", 200), ("big", 1000)]:
+        rows.append((did, " ".join(["w"] * n_tok), "en", src, n_tok))
+        did += 1
+    d = str(tmp_path / "mb")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in llm_mix_budget(spark, d).collect()}
+    total = 10 + 40 + 200 + 1000
+    budget = total // 2  # 625
+    alloc = sum(r["allocated_tokens"] for r in out.values())
+    assert abs(alloc - budget) < 1e-9, (alloc, budget)
+    # tiny/small/mid saturate; big sits at the level
+    assert out["tiny"]["saturated"] == 1 and out["tiny"]["allocated_tokens"] == 10
+    assert out["small"]["saturated"] == 1 and out["mid"]["saturated"] == 1
+    lvl = out["big"]["water_level"]
+    assert out["big"]["saturated"] == 0 and abs(out["big"]["allocated_tokens"] - lvl) < 1e-12
+    assert lvl >= 200 and lvl == budget - 250  # (625 - 250) / 1 remaining source

@@ -305,7 +305,7 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "ts_holt", "llm_token_coverage", "graph_triangles", "dq_referential", "ts_forecast_backtest",
         "graph_components", "graph_jaccard_edges", "graph_degree_hist", "topk_skyline",
         "llm_simsearch_ivf_recall", "llm_simsearch_pq_distortion", "ts_holt_winters",
-        "agg_ab_ttest", "agg_chi_square", "llm_collocations", "ts_xcorr", "agg_mannwhitney", "agg_bootstrap_ci", "ts_lttb", "ts_drawdown", "dq_drift",
+        "agg_ab_ttest", "agg_chi_square", "llm_collocations", "ts_xcorr", "agg_mannwhitney", "agg_bootstrap_ci", "ts_lttb", "ts_drawdown", "dq_drift", "llm_mix_budget",
     ]
     regs = all_queries()
     problems = {}
