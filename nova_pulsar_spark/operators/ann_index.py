@@ -119,6 +119,32 @@ def load_or_build(
     return spark.read.parquet(data_path)
 
 
+_ROWS_MEMO: dict[tuple, list] = {}
+
+
+def collect_index(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], DataFrame],
+    table: str = "embeddings",
+) -> list:
+    """Collected rows of a SMALL (bounded-by-construction) index
+    artifact, memoized per corpus fingerprint. The fingerprint is
+    re-listed on EVERY call (metadata-only, ~3 ms measured) so a
+    rewritten/appended corpus still invalidates instantly — staleness
+    stays structural; what the memo removes is the repeated
+    parquet-read job for the SAME fingerprint (~0.14 s/probe at sf0.1,
+    the llm_simsearch_pq r04 bench-guard flag; see docs/SCALE.md).
+    Only for driver-side literals (PQ codebook = 32 rows); frame-shaped
+    indexes (band tables) keep reading from the store per probe."""
+    fp = corpus_fingerprint(spark, sf_dir, table)
+    key = (index_root(), os.path.abspath(sf_dir), kind, table, fp)
+    if key not in _ROWS_MEMO:
+        _ROWS_MEMO[key] = load_or_build(spark, sf_dir, kind, build, table).collect()
+    return _ROWS_MEMO[key]
+
+
 def gc_stale(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> list[str]:
     """The store janitor: delete every index directory belonging to
     this corpus whose fingerprint no longer matches the live one;

@@ -1095,7 +1095,7 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     exact codebook that produced them, so the codebook must version
     with the corpus, which the fingerprint key enforces. Bounded
     collect: PQ_M × PQ_K = 32 rows."""
-    from nova_pulsar_spark.operators.ann_index import load_or_build
+    from nova_pulsar_spark.operators.ann_index import collect_index
 
     def build() -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings")
@@ -1116,7 +1116,7 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
             ).alias("sub"),
         )
 
-    rows = load_or_build(spark, sf_dir, "pq_codebook", build).collect()
+    rows = collect_index(spark, sf_dir, "pq_codebook", build)
     by_mk = {(r["m"], r["kidx"]): [float(x) for x in r["sub"]] for r in rows}
     return [[by_mk[(m, k)] for k in range(PQ_K)] for m in range(PQ_M)]
 

@@ -50,11 +50,11 @@ def _best(fn, spark, sf_dir: str) -> float:
     return best
 
 
-def main(small: str, big: str) -> dict:
+def main(small: str, big: str, only: list[str] | None = None) -> dict:
     spark = get_spark()
     regs = all_queries()
     out: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in (only or HEADLINE):
         rq = regs.get(name)
         if rq is None:
             continue
@@ -71,4 +71,4 @@ def main(small: str, big: str) -> dict:
 if __name__ == "__main__":
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    main(small, big)
+    main(small, big, sys.argv[3:] or None)
