@@ -22,6 +22,8 @@ key needs a cap or a ladder.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -34,53 +36,69 @@ from nova_pulsar_spark.sources.tables import load_table
 # basket size, so keep the first MAX_BASKET parts by partkey.
 MAX_BASKET = 32
 
-_CENSUS_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CENSUS_CACHE: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def copurchase_census(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Shared stages of the co-purchase graph census, computed once per
-    (session, sf_dir) and cached — the graph mirror of the dedup DAG's
-    `dedup_candidates` stage. Frames: ``edges`` (a < b, distinct),
-    ``edges_w`` ((a, b, w) with w = co-occurrence count),
-    ``deg`` (vertex degrees), ``ed`` (degree-annotated edges),
+    """Shared stages of the co-purchase graph census — the graph mirror
+    of the dedup DAG's `dedup_candidates` stage. Frames: ``edges``
+    (a < b, distinct), ``edges_w`` ((a, b, w) with w = co-occurrence
+    count), ``deg`` (vertex degrees), ``ed`` (degree-annotated edges),
     ``oriented`` (lower-(deg, id) -> higher orientation, out-degrees
     O(sqrt(m))) and ``adj`` (out-adjacency arrays). graph_triangles
-    and graph_jaccard_edges both consume these; at production scale
-    this cache is the materialized table every graph-metrics query
-    reads instead of re-deriving the census per query. EAGER
-    localCheckpoints, deliberately: each frame fans out into 2+
-    consumers across queries, and a lazy cache would materialize once
-    per consumer branch (the dedup_candidates lesson)."""
-    key = (id(spark), sf_dir)
+    and graph_jaccard_edges both consume these.
+
+    The expensive stage — the corpus-scan pair generation that
+    produces ``edges_w`` — is MATERIALIZED through the
+    fingerprint-keyed index store (`operators/ann_index.py`) at
+    ``spark-warehouse/ann_index/graph_edges_w/<corpus>-<fp>/``, keyed
+    by the LINEITEM fingerprint: the derived graph is rebuilt only
+    when the fact table changes, and every graph-metrics query reads
+    the materialization — at 100 TB this IS a table, not a session
+    cache. The edge-bounded derivations (deg/ed/oriented/adj) stay
+    session-local with EAGER localCheckpoints because each fans out
+    into 2+ consumers and a lazy cache would materialize once per
+    consumer branch (the dedup_candidates lesson, docs/SCALE.md);
+    they derive from the store scan, so nothing upstream of the edge
+    list is ever recomputed. The session memo is fingerprint-keyed,
+    so an in-session fact-table rewrite invalidates it too."""
+    from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, load_or_build
+
+    fp = corpus_fingerprint(spark, sf_dir, "lineitem")
+    key = (id(spark), os.path.abspath(sf_dir), fp)
     cached = _CENSUS_CACHE.get(key)
     if cached is not None:
         return cached
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
-    # One shuffle to capped sorted baskets (collect_set dedups in the
-    # aggregate — same parts as the oracle twins' ROW_NUMBER <= cap
-    # over DISTINCT pairs ordered by partkey), then MAP-SIDE pair
-    # explosion: no basket self-join, no second pass over lineitem.
-    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.expr(f"slice(array_sort(collect_set(l_partkey)), 1, {MAX_BASKET})").alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("e")
-    )
-    # weighted edges first (w = co-occurrence count): the same groupBy
-    # that dedups pairs yields the weights graph_components thresholds
-    # on — one pair-gen shuffle serves the whole graph family
-    edges_w = (
-        pairs.select("e.a", "e.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
-    )
+
+    def build_edges_w() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+        # One shuffle to capped sorted baskets (collect_set dedups in the
+        # aggregate — same parts as the oracle twins' ROW_NUMBER <= cap
+        # over DISTINCT pairs ordered by partkey), then MAP-SIDE pair
+        # explosion: no basket self-join, no second pass over lineitem.
+        baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+            F.expr(f"slice(array_sort(collect_set(l_partkey)), 1, {MAX_BASKET})").alias("ps")
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        # weighted edges first (w = co-occurrence count): the same groupBy
+        # that dedups pairs yields the weights graph_components thresholds
+        # on — one pair-gen shuffle serves the whole graph family
+        return pairs.select("e.a", "e.b").groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+
+    # Session layer on top of the durable store (the dedup_candidates
+    # pattern): one block-manager copy per (session, fingerprint) for
+    # the fan-out consumers; the store stays the source of truth.
+    edges_w = load_or_build(
+        spark, sf_dir, "graph_edges_w", build_edges_w, table="lineitem"
+    ).localCheckpoint()
     edges = edges_w.select("a", "b")
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -473,3 +491,167 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices")).select(
         F.col("d").cast("bigint").alias("degree"), "n_vertices"
     )
+
+
+# DOULION edge-sampling parameters for the sampled triangle census:
+# each edge survives with probability TRI_P_NUM/TRI_P_DEN, decided by a
+# deterministic md5 coin over (a, b, seed) so both engines, every
+# partition layout, and every retry agree on the sampled subgraph.
+TRI_P_NUM = 1
+TRI_P_DEN = 2
+TRI_SEED = 1
+_COIN_SPACE = 1 << 28  # first 7 md5 hex digits
+
+
+def _sampled_triangle_count(
+    edges: DataFrame, width: int, p_num: int, p_den: int, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """(sampled_edges, tri) for the DOULION estimator: filter the edge
+    list through the md5 coin, re-derive degrees/orientation ON THE
+    SAMPLED subgraph (orientation must bound the sampled wedge join,
+    not the full graph's), and close wedges via the same compact-
+    forward adjacency intersect as the exact census."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = edges.filter(u * p_den < F.lit(_COIN_SPACE) * p_num)
+    deg = (
+        sampled.select(F.col("a").alias("v"))
+        .unionAll(sampled.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ed = sampled.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        oriented.repartition(width, "src")
+        .join(adj, "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_dst")), "dst")
+        .select(F.size(F.array_intersect("nbrs", "nbrs_dst")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("t"))
+    )
+    return sampled, tri
+
+
+def triangles_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    p_num: int = TRI_P_NUM,
+    p_den: int = TRI_P_DEN,
+    seed: int = TRI_SEED,
+) -> DataFrame:
+    """Parameterized DOULION estimate (the registered key pins the
+    default p=1/2, seed=1; the unbiasedness pytest sweeps seeds and
+    p=1). Output: sampled edge count, sampled triangle count, and the
+    1/p^3-scaled estimate."""
+    edges = copurchase_census(spark, sf_dir)["edges"]
+    width = spark.sparkContext.defaultParallelism
+    sampled, tri = _sampled_triangle_count(edges, width, p_num, p_den, seed)
+    es = sampled.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
+    scale = (p_den / p_num) ** 3  # exact in IEEE for small integer ratios
+    return (
+        tri.crossJoin(F.broadcast(es))
+        .select(
+            "n_edges_sampled",
+            F.col("t").alias("n_triangles_sampled"),
+            (F.col("t").cast("double") * F.lit(scale)).alias("est_triangles"),
+        )
+    )
+
+
+@register(
+    "graph_triangles_sampled",
+    sql=f"""
+    WITH basket AS (
+      SELECT o, p FROM (
+        SELECT l_orderkey AS o, l_partkey AS p,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey IS NOT NULL))
+      WHERE rn <= {MAX_BASKET}),
+    edges AS (
+      SELECT DISTINCT b1.p AS a, b2.p AS b
+      FROM basket b1 JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+    sampled AS (
+      SELECT a, b FROM edges
+      WHERE CAST(concat('0x', substring(md5(concat(CAST(a AS VARCHAR), ':',
+              CAST(b AS VARCHAR), ':', '{TRI_SEED}')), 1, 7)) AS BIGINT)
+            * {TRI_P_DEN} < {_COIN_SPACE} * {TRI_P_NUM}),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM sampled UNION ALL SELECT b AS v FROM sampled)
+      GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dst_deg
+      FROM sampled e
+      JOIN deg da ON da.v = e.a
+      JOIN deg db ON db.v = e.b),
+    tri AS (
+      SELECT COUNT(*) AS t FROM (
+        SELECT e1.dst AS b, e2.dst AS c
+        FROM oriented e1 JOIN oriented e2
+          ON e1.src = e2.src
+         AND (e1.dst_deg < e2.dst_deg
+              OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))) w
+      JOIN oriented o ON o.src = w.b AND o.dst = w.c),
+    es AS (SELECT COUNT(*) AS n_edges_sampled FROM sampled)
+    SELECT CAST(es.n_edges_sampled AS BIGINT) AS n_edges_sampled,
+           CAST(tri.t AS BIGINT) AS n_triangles_sampled,
+           CAST(tri.t AS DOUBLE) * {(TRI_P_DEN / TRI_P_NUM) ** 3} AS est_triangles
+    FROM tri CROSS JOIN es
+    """,
+    doc="DOULION sampled triangle census (Tsourakakis et al., KDD'09): "
+    f"each edge survives a deterministic md5 coin with p = "
+    f"{TRI_P_NUM}/{TRI_P_DEN}; the sampled count scaled by 1/p^3 is an "
+    "unbiased triangle estimate — the documented escape hatch for the one "
+    "problem-inherent superlinearity in the suite (exact census is "
+    "Theta(m^1.5)); sampled wedge work shrinks ~p^2, estimator "
+    "unbiasedness + error bound pytest-pinned against the exact census",
+)
+def graph_triangles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis/Kang/Koutra/Faloutsos 2009): sparsify by
+    keeping each edge with probability p, count triangles on the
+    sparsified graph, scale by 1/p^3. Each triangle survives with
+    probability p^3 independently of graph size, so E[t/p^3] = T
+    exactly; the variance argument in the paper bounds relative error
+    by the triangle count and edge-shared-triangle pairs, both of
+    which the pytest pin exercises empirically across 24 coin seeds
+    (mean within 10%, p=1 degenerates to the exact count).
+
+    Scale design: the exact census is the ONE admitted superlinearity
+    in the engine — Theta(m^1.5) is problem-inherent (docs/SCALE.md).
+    This key is the escape hatch: sampling cuts the edge list by p and
+    the wedge-join work by ~p^2 (out-degrees scale with p), so p
+    tunes census cost against estimator variance at 100 TB. The coin
+    is a DETERMINISTIC md5 over (a, b, seed) — no RNG state, so the
+    sample is reproducible across engines, retries and partitionings
+    (the same idiom as the salted-join twins), and seed sweeps give
+    independent replicates for variance estimation. Orientation is
+    re-derived on the SAMPLED subgraph: the m^1.5 bound must hold for
+    the graph actually joined, not the full one."""
+    return triangles_sampled(spark, sf_dir)
