@@ -125,6 +125,8 @@ HEADLINE = [
     "ts_drawdown",
     "dq_drift",
     "llm_mix_budget",
+    "graph_triangles_sampled",
+    "agg_histogram_equidepth",
 ]
 
 

@@ -563,17 +563,61 @@ EQUIDEPTH_BUCKETS = 10
     "and range-partitioners actually want (fixed-width lies under skew)",
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count buckets need a rank, so this costs one total-order
-    sort (range-partitioned at scale — Spark's sort is distributed,
-    not single-node) versus the fixed-width histogram's two scans.
-    The (value, event_id) ordering is total, so bucket assignment is
-    deterministic and cross-engine identical. Bucket boundaries from
-    this profile are what a range partitioner or a bucketed layout
-    writer consumes."""
+    """Equal-count buckets need every row's GLOBAL rank under the
+    (value, event_id) total order — but a bare NTILE window with no
+    PARTITION BY moves the whole corpus to one task (WindowExec warns
+    exactly this; the r5 window audit caught it here). The
+    distributed-exact formulation: ``repartitionByRange`` lays rows
+    out in contiguous key ranges with ascending partition ids, a
+    per-partition window (partitioned by ``spark_partition_id`` — N
+    independent window groups, never one) computes local ranks, and a
+    P-row broadcast of cumulative partition counts lifts them to
+    global ranks. The rank — hence the output — is INVARIANT to where
+    the sampled range boundaries fall: any contiguous split yields
+    offset + local_rank = global rank, and equal keys cannot straddle
+    a boundary (event_id makes the order total), so the sampling
+    inside RangePartitioner never leaks into values. Bucket ids then
+    come from the NTILE arithmetic on the rank (first n%B buckets get
+    one extra row), reproducing DuckDB's NTILE bit-exactly. Bucket
+    boundaries from this profile are what a range partitioner or a
+    bucketed layout writer consumes."""
     e = load_table(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
+    width = spark.sparkContext.defaultParallelism
+    pidded = (
+        e.select("value", "event_id")
+        .repartitionByRange(width, "value", "event_id")
+        .select("value", "event_id", F.spark_partition_id().alias("pid"))
+    )
+    local = pidded.select(
+        "value",
+        "pid",
+        F.row_number().over(W.partitionBy("pid").orderBy("value", "event_id")).alias("lrn"),
+    )
+    offs = (
+        pidded.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("c").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("off"),
+            F.sum("c").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n_total"),
+        )
+    )
+    # NTILE arithmetic on the global rank, all-integer (div, not IEEE
+    # division — exact at any corpus size): with n rows and B buckets,
+    # q = n div B, r = n mod B, the first r buckets hold q+1 rows.
+    nb = EQUIDEPTH_BUCKETS
+    bucket = F.expr(
+        f"CASE WHEN (lrn + off) <= ((n_total div {nb}) + 1) * (n_total % {nb}) "
+        f"THEN (lrn + off - 1) div ((n_total div {nb}) + 1) + 1 "
+        f"ELSE (n_total % {nb}) + (lrn + off - ((n_total div {nb}) + 1) * (n_total % {nb}) - 1) "
+        f"div greatest(n_total div {nb}, 1) + 1 END"
+    )
     return (
-        e.select("value", F.ntile(EQUIDEPTH_BUCKETS).over(w).alias("bucket"))
+        local.join(F.broadcast(offs), "pid")
+        .select("value", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
              F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -1,0 +1,177 @@
+"""Streaming-state soak for the ingest near-dup index.
+
+`streaming/ingest_dedup.py` keeps the banded minhash index in the
+state store; this tool measures what that costs as ingest volume
+grows: final state-row count, RocksDB on-disk/memory footprint,
+checkpoint size, ingest throughput, and CHECKPOINT-RECOVERY time (a
+restarted query must reload the index before its first batch) at 1x
+and 10x document volume, both on the RocksDB provider with changelog
+checkpointing.
+
+Expected shape (the per-key bound documented in docs/SCALE.md):
+state rows <= N_BANDS x distinct docs (exactly N_BANDS x docs minus
+band collisions), each entry one (band int, sig 32-hex) key + one
+long value — so state grows LINEARLY with the ingested corpus, ~4
+small rows per document, and recovery cost tracks state size, not
+history length (changelog checkpointing means a restart replays the
+latest snapshot + tail deltas, never the full ingest history).
+
+Usage:
+    python tools/state_soak.py [n_docs_1x] [out.json]
+
+Prints one JSON line and (by default) writes STATE_SOAK_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nova_pulsar_spark.session import get_spark  # noqa: E402
+from nova_pulsar_spark.streaming.ingest_dedup import near_dup_stream  # noqa: E402
+from nova_pulsar_spark.streaming.statestore import rocksdb_state_store  # noqa: E402
+
+N_FILES = 8
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+def _doc_text(i: int) -> str:
+    # 20-word doc from a deterministic vocab, md5-mixed so DISTINCT
+    # docs stay distinct at any volume (a linear index map mod |VOCAB|
+    # would cycle whole documents every 400 ids and collapse the
+    # index); every 10th doc is a 1-word edit of its predecessor
+    # (realistic near-dup pressure so some buckets collide instead of
+    # a pure key-per-doc index)
+    import hashlib
+
+    base = i - (i % 10 == 0 and i > 0)
+    dig = hashlib.md5(f"doc{base}".encode()).digest()
+    words = [VOCAB[(dig[j] * 256 + dig[j + 1]) % len(VOCAB)] for j in range(14)]
+    words += [f"u{base}x{j}" for j in range(6)]  # per-doc unique tail
+    if base != i:
+        words[7] = VOCAB[(i * 31) % len(VOCAB)]
+    return " ".join(words)
+
+
+def _write_corpus(src: str, n_docs: int, n_files: int = N_FILES) -> None:
+    os.makedirs(src, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for f in range(n_files):
+        with open(os.path.join(src, f"docs_{f:03d}.json"), "w") as fh:
+            for i in range(f * per, min((f + 1) * per, n_docs)):
+                fh.write(json.dumps({"doc_id": i, "text": _doc_text(i)}) + "\n")
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+    return total
+
+
+def _run_ingest(spark, src: str, ckpt: str) -> tuple[float, dict]:
+    """availableNow pass over everything unprocessed in ``src``;
+    returns (wall seconds, last state-operator progress entry)."""
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    with rocksdb_state_store(spark):
+        t0 = time.time()
+        q = (
+            near_dup_stream(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.time() - t0
+    sops = [p["stateOperators"][0] for p in q.recentProgress if p.get("stateOperators")]
+    return wall, (sops[-1] if sops else {})
+
+
+def soak(spark, n_docs: int, workdir: str) -> dict:
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ckpt")
+    _write_corpus(src, n_docs)
+    ingest_wall, sop = _run_ingest(spark, src, ckpt)
+
+    # recovery: one more file arrives, the query restarts on the same
+    # checkpoint — time-to-first-batch includes the state reload
+    with open(os.path.join(src, "docs_tail.json"), "w") as fh:
+        fh.write(json.dumps({"doc_id": n_docs + 1, "text": _doc_text(3)}) + "\n")
+    recovery_wall, sop2 = _run_ingest(spark, src, ckpt)
+
+    rocks = {
+        k: v for k, v in (sop2.get("customMetrics") or {}).items()
+        if k in ("rocksdbSstFileSize", "rocksdbTotalMemoryUsage", "rocksdbPinnedBlocksMemoryUsage")
+    }
+    return {
+        "n_docs": n_docs,
+        "ingest_sec": round(ingest_wall, 2),
+        "recovery_sec": round(recovery_wall, 2),
+        "state_rows": sop2.get("numRowsTotal", sop.get("numRowsTotal")),
+        "state_rows_per_doc": round((sop2.get("numRowsTotal") or 0) / n_docs, 3),
+        "checkpoint_bytes": _du(ckpt),
+        "rocksdb": rocks,
+    }
+
+
+def main() -> dict:
+    n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    spark = get_spark("state-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    # throwaway warm-up run so JVM/Arrow/state-store init lands outside
+    # the 1x measurement instead of inflating it
+    wd = tempfile.mkdtemp(prefix="soak_warm_")
+    try:
+        soak(spark, 50, wd)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    results = {}
+    for label, n in (("volume_1x", n1), ("volume_10x", n1 * 10)):
+        wd = tempfile.mkdtemp(prefix=f"soak_{label}_")
+        try:
+            results[label] = soak(spark, n, wd)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    r1, r10 = results["volume_1x"], results["volume_10x"]
+    results["ratios_10x_over_1x"] = {
+        "docs": 10.0,
+        "state_rows": round(r10["state_rows"] / max(r1["state_rows"], 1), 2),
+        "checkpoint_bytes": round(r10["checkpoint_bytes"] / max(r1["checkpoint_bytes"], 1), 2),
+        "ingest_sec": round(r10["ingest_sec"] / max(r1["ingest_sec"], 0.01), 2),
+        "recovery_sec": round(r10["recovery_sec"] / max(r1["recovery_sec"], 0.01), 2),
+    }
+    results["per_key_bound"] = (
+        "state rows <= N_BANDS(=4) x distinct docs; one (band int, 32-hex sig) "
+        "key + one long value per row; recovery replays snapshot + changelog "
+        "tail, never ingest history"
+    )
+    print(json.dumps(results))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)", p)]
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(here, f"STATE_SOAK_r{n:02d}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()
