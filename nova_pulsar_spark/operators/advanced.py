@@ -130,14 +130,21 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact per-group median (lower-middle, engine-independent definition)",
 )
 def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    wcnt = W.partitionBy("event_type")
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wcnt))
-        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select("event_type", F.col("value").alias("median_lower"), "n")
+    """Exact lower-middle median per group via the DISTRIBUTED rank
+    (operators/ranks.py): a `PARTITION BY event_type` window would
+    ship each group to one task — events has a handful of types, so
+    at 100 TB that is a tens-of-TB task. grouped_rank range-partitions
+    the corpus so groups span partitions; values are identical (the
+    rank is the same integer) and the DuckDB ROW_NUMBER twin stays
+    bit-exact."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked = grouped_rank(
+        e, ["event_type"], ["value", "event_id"], spark.sparkContext.defaultParallelism
+    )
+    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "event_type", F.col("value").alias("median_lower"), "n"
     )
 
 
@@ -165,11 +172,13 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output columns are scalars (q25/q50/q75), never arrays: the driver's
     canonicalizer cannot hash list-valued cells.
     """
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    wcnt = W.partitionBy("event_type")
-    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wcnt)
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # distributed rank (ranks.py): groups span partitions instead of
+    # owning one task — the heavy-group-safe exact-quantile shape
+    ranked = grouped_rank(
+        e, ["event_type"], ["value", "event_id"], spark.sparkContext.defaultParallelism
     )
 
     def at_rank(k: int):

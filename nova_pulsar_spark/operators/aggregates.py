@@ -581,43 +581,25 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra row), reproducing DuckDB's NTILE bit-exactly. Bucket
     boundaries from this profile are what a range partitioner or a
     bucketed layout writer consumes."""
-    e = load_table(spark, sf_dir, "events")
-    width = spark.sparkContext.defaultParallelism
-    pidded = (
-        e.select("value", "event_id")
-        .repartitionByRange(width, "value", "event_id")
-        .select("value", "event_id", F.spark_partition_id().alias("pid"))
-    )
-    local = pidded.select(
-        "value",
-        "pid",
-        F.row_number().over(W.partitionBy("pid").orderBy("value", "event_id")).alias("lrn"),
-    )
-    offs = (
-        pidded.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "pid",
-            F.coalesce(
-                F.sum("c").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            ).alias("off"),
-            F.sum("c").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n_total"),
-        )
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    e = load_table(spark, sf_dir, "events").select("value", "event_id")
+    ranked = grouped_rank(
+        e, [], ["value", "event_id"], spark.sparkContext.defaultParallelism,
+        count_col="n_total",
     )
     # NTILE arithmetic on the global rank, all-integer (div, not IEEE
     # division — exact at any corpus size): with n rows and B buckets,
     # q = n div B, r = n mod B, the first r buckets hold q+1 rows.
     nb = EQUIDEPTH_BUCKETS
     bucket = F.expr(
-        f"CASE WHEN (lrn + off) <= ((n_total div {nb}) + 1) * (n_total % {nb}) "
-        f"THEN (lrn + off - 1) div ((n_total div {nb}) + 1) + 1 "
-        f"ELSE (n_total % {nb}) + (lrn + off - ((n_total div {nb}) + 1) * (n_total % {nb}) - 1) "
+        f"CASE WHEN rn <= ((n_total div {nb}) + 1) * (n_total % {nb}) "
+        f"THEN (rn - 1) div ((n_total div {nb}) + 1) + 1 "
+        f"ELSE (n_total % {nb}) + (rn - ((n_total div {nb}) + 1) * (n_total % {nb}) - 1) "
         f"div greatest(n_total div {nb}, 1) + 1 END"
     )
     return (
-        local.join(F.broadcast(offs), "pid")
-        .select("value", bucket.cast("int").alias("bucket"))
+        ranked.select("value", bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
              F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -691,28 +673,33 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAD's 50% breakdown point doesn't. Both medians use the engine-
     independent lower-middle rank definition (median_exact's idiom) so
     the flag boundary is bit-identical across engines. Plan shape: two
-    rank passes partitioned by the group key (each one exchange of
-    (group, value) pairs), the per-group scalars broadcast back, and a
-    final map-combinable count — no global sort. At 100 TB per-group
-    exact ranks are fine while groups fit a task; a heavy group would
-    swap the rank pass for the two-scan count+offset median without
-    touching the rest of the DAG."""
-    e = load_table(spark, sf_dir, "events")
-    w1 = W.partitionBy("event_type").orderBy("value", "event_id")
-    wc = W.partitionBy("event_type")
+    DISTRIBUTED rank passes (operators/ranks.py — range-partitioned,
+    so a heavy group spans tasks instead of owning one), the
+    per-group scalars broadcast back, and a final map-combinable
+    count — no global sort, no per-group task ceiling."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    width = spark.sparkContext.defaultParallelism
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # both rank passes use the distributed grouped rank (ranks.py):
+    # the former PARTITION BY event_type windows shipped each group to
+    # one task — the heavy-group ceiling this op's docstring used to
+    # carry is now simply gone
     med = (
-        e.withColumn("rn", F.row_number().over(w1))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
+        grouped_rank(e, ["event_type"], ["value", "event_id"], width)
         .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
         .select("event_type", F.col("value").alias("med"))
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
     )
-    w2 = W.partitionBy("event_type").orderBy("dev", "event_id")
     mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
-        .withColumn("n", F.count(F.lit(1)).over(wc))
+        grouped_rank(
+            dev.select("event_type", "dev", "event_id"),
+            ["event_type"],
+            ["dev", "event_id"],
+            width,
+        )
         .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
         .select("event_type", F.col("dev").alias("mad"))
     )

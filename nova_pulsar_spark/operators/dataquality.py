@@ -413,16 +413,16 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; the clip is a map-side LEAST/GREATEST over non-NULL
     inputs (the NULL-argument divergence class never arises). NULL
     values pass through unclipped with both flags false."""
-    from pyspark.sql import Window as W
+    from nova_pulsar_spark.operators.ranks import grouped_rank
 
     e = load_table(spark, sf_dir, "events")
-    r = (
-        e.filter(F.col("value").isNotNull())
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("event_type").orderBy("value", "event_id")),
-        )
-        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    # distributed rank (ranks.py): the p05/p95 bounds come from a
+    # range-partitioned rank, so a heavy group never owns one task
+    r = grouped_rank(
+        e.filter(F.col("value").isNotNull()).select("event_type", "value", "event_id"),
+        ["event_type"],
+        ["value", "event_id"],
+        spark.sparkContext.defaultParallelism,
     )
 
     def at_rank(num: int):

@@ -34,6 +34,12 @@ KEYS = [
     "agg_mannwhitney",
     "agg_bootstrap_ci",
     "llm_simsearch_pq_distortion",
+    # round-5 distributed ranks (operators/ranks.py): rank = local rank
+    # + range-partition offset must not depend on any layout choice
+    "median_exact",
+    "agg_mad_outliers",
+    "dq_winsorize",
+    "agg_histogram_equidepth",
 ]
 
 
@@ -54,3 +60,18 @@ def test_results_bit_identical_across_shuffle_partitions(spark, sf_dir):
             assert _rows(spark, k, sf_dir) == base[k], f"{k} diverged under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_grouped_rank_invariant_to_range_width(spark, sf_dir):
+    """The distributed rank's one tunable — how many range partitions
+    the corpus is split into — must never reach the values: offset +
+    local rank is the global rank for ANY contiguous split."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    out = []
+    for width in (1, 3, 17):
+        r = grouped_rank(e, ["event_type"], ["value", "event_id"], width)
+        out.append(sorted(tuple(x) for x in r.collect()))
+    assert out[0] == out[1] == out[2]
