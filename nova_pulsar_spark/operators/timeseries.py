@@ -762,11 +762,20 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one runs on cents integers (value canonicalized through
     DECIMAL(18,2) — the agg_corr_exact discipline) with DECIMAL(38,0)
     moment sums and one closed-form IEEE division per (series, lag).
-    One window pass per lag computes the shifted pair stream
-    (partitioned by series, tie-broken ordering), then a map-side-
-    combinable 5-moment aggregate; lags are a compile-time constant,
-    so the whole ACF is ~{ACF_LAGS} linear passes. Degenerate series
-    (constant either side) yield NULL via the guarded denominator."""
+    Plan (round-5 rewrite): a `LAG(x, k) OVER (PARTITION BY
+    event_type ...)` window per lag ships each series to ONE task —
+    the heavy-group ceiling (a handful of event_types means
+    tens-of-TB tasks at 100 TB). Instead: ONE distributed rank pass
+    (operators/ranks.py) positions every row in its series, each row
+    fans out into {ACF_LAGS} probe rows via a map-side explode
+    (rank+1..rank+K), and a single (event_type, rank) equi-join
+    closes all K lag pairs at once — every stage shuffles by a
+    high-cardinality composite key. Same pair multiset as the K
+    windows, one distributed join instead of K single-task sorts.
+    Degenerate series (constant either side) yield NULL via the
+    guarded denominator."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
     e = load_table(spark, sf_dir, "events")
     cents = e.filter(F.col("value").isNotNull()).select(
         "event_type",
@@ -774,34 +783,36 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
     )
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    outs = []
-    for k in range(1, ACF_LAGS + 1):
-        p = cents.withColumn("y", F.lag("x", k).over(w)).filter(F.col("y").isNotNull())
-        s = p.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
-            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        )
-        den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
-            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-        )
-        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        outs.append(
-            s.select(
-                "event_type",
-                F.lit(k).alias("lag"),
-                F.col("n").cast("bigint").alias("n"),
-                F.when(den != 0, num / den).alias("acf"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    ranked = grouped_rank(
+        cents, ["event_type"], ["ts", "event_id"], spark.sparkContext.defaultParallelism
+    ).select("event_type", "rn", "x")
+    # each row offers its value as the LAGGED partner (y) of the rows
+    # k=1..K positions ahead of it in the same series
+    probe = ranked.select(
+        "event_type",
+        F.col("x").alias("y"),
+        F.explode(F.expr(f"sequence(1, {ACF_LAGS})")).alias("lag"),
+        F.col("rn").alias("src_rn"),
+    ).select("event_type", "y", "lag", (F.col("src_rn") + F.col("lag")).alias("rn"))
+    pairs = ranked.join(probe, ["event_type", "rn"])
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den != 0, num / den).alias("acf"),
+    )
 
 
 # --- Holt double-exponential smoothing (level + trend) ----------------------
@@ -1320,14 +1331,29 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     p0 = e.select("event_type", F.unix_micros(F.col("ts")).alias("xa"), F.col("value").alias("y"))
-    wt = W.partitionBy("event_type")
-    p1 = (
-        p0.withColumn("minx", F.min("xa").over(wt))
-        .withColumn("n", F.count(F.lit(1)).over(wt))
-        .select("event_type", (F.col("xa") - F.col("minx")).alias("x"), "y", "n")
+    # Distributed rank (ranks.py, round-5): the former PARTITION BY
+    # event_type windows (min/count/row_number) each shipped a whole
+    # series to one task. grouped_rank orders by (xa, y) — identical
+    # ordering to the old (x, y) since x = xa - min(xa) is a per-group
+    # monotone shift — and min(xa) is just the rank-1 row, broadcast
+    # back. n comes with the rank for free.
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    ranked = grouped_rank(
+        p0, ["event_type"], ["xa", "y"], spark.sparkContext.defaultParallelism
     )
-    wo = W.partitionBy("event_type").orderBy("x", "y")
-    pts = p1.withColumn("j", F.row_number().over(wo) - 1).localCheckpoint(eager=False)
+    mins = ranked.filter(F.col("rn") == 1).select("event_type", F.col("xa").alias("minx"))
+    pts = (
+        ranked.join(F.broadcast(mins), "event_type")
+        .select(
+            "event_type",
+            (F.col("xa") - F.col("minx")).alias("x"),
+            "y",
+            "n",
+            (F.col("rn") - 1).alias("j"),
+        )
+        .localCheckpoint(eager=False)
+    )
     small = pts.filter(F.col("n") <= K).select(
         "event_type",
         F.col("j").cast("bigint").alias("seq"),
