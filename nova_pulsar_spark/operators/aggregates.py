@@ -589,17 +589,13 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_total",
     )
     # NTILE arithmetic on the global rank, all-integer (div, not IEEE
-    # division — exact at any corpus size): with n rows and B buckets,
-    # q = n div B, r = n mod B, the first r buckets hold q+1 rows.
-    nb = EQUIDEPTH_BUCKETS
-    bucket = F.expr(
-        f"CASE WHEN rn <= ((n_total div {nb}) + 1) * (n_total % {nb}) "
-        f"THEN (rn - 1) div ((n_total div {nb}) + 1) + 1 "
-        f"ELSE (n_total % {nb}) + (rn - ((n_total div {nb}) + 1) * (n_total % {nb}) - 1) "
-        f"div greatest(n_total div {nb}, 1) + 1 END"
-    )
+    # division — exact at any corpus size)
+    from nova_pulsar_spark.operators.ranks import ntile_expr
+
     return (
-        ranked.select("value", bucket.cast("int").alias("bucket"))
+        ranked.select(
+            "value", ntile_expr("rn", "n_total", EQUIDEPTH_BUCKETS).cast("int").alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
              F.count(F.lit(1)).cast("bigint").alias("n"))

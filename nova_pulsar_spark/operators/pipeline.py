@@ -96,16 +96,23 @@ def llm_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reproducible 'random' sample without RNG state)",
 )
 def llm_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-ordering is a shuffle-once rank per group — the reproducible
-    replacement for rand()-based sampling: the same N docs come back on
-    every run and every engine. At 100 TB the per-group rank is the one
-    shuffle, carrying (doc_id, lang, 32-byte hash) rows only.
-    """
+    """Hash-ordering is a rank per group — the reproducible replacement
+    for rand()-based sampling: the same N docs come back on every run
+    and every engine. The rank is the DISTRIBUTED grouped_rank
+    (operators/ranks.py): lang is a low-cardinality key, so a
+    `PARTITION BY lang` window would ship each language to one task
+    at 100 TB; the range-partitioned rank carries (doc_id, lang,
+    32-byte hash) rows only and no group ever owns a task."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    h = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__h")
+    )
     return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
-        .filter(F.col("sample_rank") <= SAMPLE_PER_GROUP)
+        grouped_rank(h, ["lang"], ["__h", "doc_id"], spark.sparkContext.defaultParallelism)
+        .filter(F.col("rn") <= SAMPLE_PER_GROUP)
+        .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
     )
 
 
@@ -299,10 +306,19 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    c = t.withColumn(
-        "tokens_before", F.sum("n_tokens").over(w).cast("bigint") - F.col("n_tokens")
-    )
+    # distributed running sum (ranks.py grouped_prefix): source is a
+    # low-cardinality key, so the former PARTITION BY source window
+    # shipped each source's whole corpus to one task; the range-
+    # partitioned prefix sum has no per-group task ceiling
+    from nova_pulsar_spark.operators.ranks import grouped_prefix
+
+    c = grouped_prefix(
+        t,
+        ["source"],
+        ["doc_id"],
+        spark.sparkContext.defaultParallelism,
+        sums={"run_tokens": "n_tokens"},
+    ).withColumn("tokens_before", F.col("run_tokens").cast("bigint") - F.col("n_tokens"))
     return c.select(
         "doc_id",
         "source",

@@ -51,20 +51,20 @@ def grouped_rank(
     total (include a unique id). ``group_cols`` may be empty for a
     corpus-global rank. Reserved intermediate names: __pid/__lrn/
     __c/__off."""
-    # EAGER localCheckpoint, load-bearing twice over: (1) the frame
+    # The localCheckpoint is load-bearing twice over: (1) the frame
     # fans out into the local-rank window AND the offset counts, and
     # Catalyst does not reuse the range exchange across the two
     # branches (measured: 2x rangepartitioning + 2x scan without it);
-    # (2) RangePartitioner SAMPLES its boundaries per job, so two
-    # independent executions could disagree on pid assignment — the
-    # offsets would then be computed against a different layout than
-    # the local ranks. Materializing once freezes both. This is the
-    # sorted-run materialization every external sort does anyway.
-    # Lazy (not eager) because the two consumers run strictly in
+    # (2) RangePartitioner SAMPLES its boundaries per physical
+    # exchange, so two independent materializations could disagree on
+    # pid assignment — the offsets would then be computed against a
+    # different layout than the local ranks. One checkpointed RDD
+    # freezes both (the sorted-run materialization every external
+    # sort does anyway). LAZY because the consumers run strictly in
     # sequence — AQE materializes the broadcast offsets stage before
-    # the probe stage — so the first one to run writes the checkpoint
-    # and the second reads it: exactly-once materialization without
-    # eager's extra standalone job per call.
+    # the probe stage — so the first to run writes the checkpoint and
+    # the second reads it: exactly-once without eager's extra
+    # standalone job per call (measured +0.3-1.0 s/query eager).
     pidded = (
         df.repartitionByRange(width, *group_cols, *order_cols)
         .select("*", F.spark_partition_id().alias("__pid"))
@@ -90,7 +90,111 @@ def grouped_rank(
         )
     )
     return (
-        local.join(F.broadcast(offs), ["__pid", *group_cols])
+        _nullsafe_join(local, offs, group_cols)
         .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
         .drop("__pid", "__lrn", "__off")
+    )
+
+
+def _nullsafe_join(left: DataFrame, right: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Broadcast-join ``right`` onto ``left`` by (__pid, *group_cols)
+    with NULL-SAFE equality on the group keys: SQL `PARTITION BY`
+    treats NULL as a regular group, so the offset join must too — a
+    plain equi-join silently drops every NULL-keyed group (caught by
+    the adversarial edge fixture on documents.lang)."""
+    r = F.broadcast(right.withColumnRenamed("__pid", "__rpid"))
+    for g in group_cols:
+        r = r.withColumnRenamed(g, f"__r_{g}")
+    cond = left["__pid"] == r["__rpid"]
+    for g in group_cols:
+        cond = cond & left[g].eqNullSafe(r[f"__r_{g}"])
+    out = left.join(r, cond)
+    return out.drop("__rpid", *[f"__r_{g}" for g in group_cols])
+
+
+def grouped_prefix(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    width: int,
+    sums: dict[str, str] | None = None,
+    maxes: dict[str, str] | None = None,
+) -> DataFrame:
+    """``df`` + running aggregates (INCLUDING the current row) of the
+    named value columns per group under the total order —
+    ``sums={alias: col}`` running sums, ``maxes={alias: col}`` running
+    maxima — with the same distributed layout as :func:`grouped_rank`:
+    range partitions + per-(pid, group) local running aggregates + a
+    broadcast of earlier-partition totals (sum) / high-water marks
+    (max). ``F.greatest`` ignores NULL args on Spark, which is exactly
+    the wanted semantics for an absent earlier-partition max."""
+    sums = sums or {}
+    maxes = maxes or {}
+    pidded = (
+        df.repartitionByRange(width, *group_cols, *order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+    wl = (
+        W.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = pidded.select(
+        "*",
+        *[F.sum(c).over(wl).alias(f"__ls_{a}") for a, c in sums.items()],
+        *[F.max(c).over(wl).alias(f"__lm_{a}") for a, c in maxes.items()],
+    )
+    totals = pidded.groupBy("__pid", *group_cols).agg(
+        *[F.sum(c).alias(f"__ts_{a}") for a, c in sums.items()],
+        *[F.max(c).alias(f"__tm_{a}") for a, c in maxes.items()],
+    )
+    wg = (
+        (W.partitionBy(*group_cols) if group_cols else W.partitionBy())
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        *group_cols,
+        *[F.sum(f"__ts_{a}").over(wg).alias(f"__os_{a}") for a in sums],
+        *[F.max(f"__tm_{a}").over(wg).alias(f"__om_{a}") for a in maxes],
+    )
+    out = _nullsafe_join(local, offs, group_cols)
+    for a in sums:
+        # window running-sum semantics: NULL until the first non-null
+        # value — local can be NULL when this row's range partition has
+        # seen only NULLs so far, in which case the earlier-partition
+        # total carries the value (and vice versa); only both-NULL
+        # stays NULL
+        ls, os_ = F.col(f"__ls_{a}"), F.col(f"__os_{a}")
+        out = out.withColumn(
+            a,
+            F.when(ls.isNull() & os_.isNull(), F.lit(None)).otherwise(
+                F.coalesce(ls, F.lit(0)) + F.coalesce(os_, F.lit(0))
+            ),
+        )
+    for a in maxes:
+        # greatest() ignores NULL args — both-NULL yields NULL, which
+        # is exactly the window running-max contract
+        out = out.withColumn(a, F.greatest(F.col(f"__lm_{a}"), F.col(f"__om_{a}")))
+    drop = (
+        ["__pid"]
+        + [c for a in sums for c in (f"__ls_{a}", f"__os_{a}")]
+        + [c for a in maxes for c in (f"__lm_{a}", f"__om_{a}")]
+    )
+    return out.drop(*drop)
+
+
+def ntile_expr(rank_col: str, n_col: str, buckets: int) -> F.Column:
+    """NTILE(buckets) from a (1-based) global rank and the group row
+    count — all-integer div/mod arithmetic (no IEEE division), exactly
+    SQL NTILE: with q = n div B and r = n mod B, the first r buckets
+    hold q+1 rows."""
+    return F.expr(
+        f"CASE WHEN {rank_col} <= (({n_col} div {buckets}) + 1) * ({n_col} % {buckets}) "
+        f"THEN ({rank_col} - 1) div (({n_col} div {buckets}) + 1) + 1 "
+        f"ELSE ({n_col} % {buckets}) + "
+        f"({rank_col} - (({n_col} div {buckets}) + 1) * ({n_col} % {buckets}) - 1) "
+        f"div greatest({n_col} div {buckets}, 1) + 1 END"
     )

@@ -1450,12 +1450,18 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts", "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
     )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # distributed running max (ranks.py grouped_prefix): the former
+    # per-series window shipped each event_type's full history to one
+    # task; the range-partitioned high-water mark has no such ceiling
+    from nova_pulsar_spark.operators.ranks import grouped_prefix
+
+    run = grouped_prefix(
+        cents,
+        ["event_type"],
+        ["ts", "event_id"],
+        spark.sparkContext.defaultParallelism,
+        maxes={"peak": "c"},
     )
-    run = cents.withColumn("peak", F.max("c").over(w))
     dd = run.groupBy("event_type").agg(
         F.max(F.struct((F.col("peak") - F.col("c")).alias("d"), F.col("peak").alias("p"))).alias(
             "best"

@@ -151,15 +151,34 @@ def window_frame_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ntile + first_value against group leader",
 )
 def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return c.select(
+    """NTILE + group-leader comparison WITHOUT the per-segment window:
+    c_mktsegment has 5 values, so `PARTITION BY c_mktsegment` ships a
+    fifth of all customers to one task at any scale. The distributed
+    grouped_rank (operators/ranks.py) supplies the rank and the group
+    count; NTILE is integer arithmetic on those; FIRST_VALUE is the
+    rank-1 row, broadcast back — the same leader every row of the
+    group would have seen through the window."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank, ntile_expr
+
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    ranked = grouped_rank(
+        c,
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        spark.sparkContext.defaultParallelism,
+    )
+    tops = ranked.filter(F.col("rn") == 1).select(
+        "c_mktsegment",
+        F.col("c_custkey").alias("richest_cust"),
+        F.col("c_acctbal").alias("__top_bal"),
+    )
+    return ranked.join(F.broadcast(tops), "c_mktsegment").select(
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.first("c_custkey").over(w).alias("richest_cust"),
-        (F.col("c_acctbal") - F.first("c_acctbal").over(w)).cast("double").alias("bal_vs_top"),
+        ntile_expr("rn", "n", 4).cast("int").alias("quartile"),
+        "richest_cust",
+        (F.col("c_acctbal") - F.col("__top_bal")).cast("double").alias("bal_vs_top"),
     )
 
 

@@ -75,3 +75,27 @@ def test_grouped_rank_invariant_to_range_width(spark, sf_dir):
         r = grouped_rank(e, ["event_type"], ["value", "event_id"], width)
         out.append(sorted(tuple(x) for x in r.collect()))
     assert out[0] == out[1] == out[2]
+
+
+def test_grouped_prefix_matches_window_reference(spark):
+    """grouped_prefix (distributed running sum/max) must agree with
+    the single-task window formulation it replaces, including NULL
+    group keys (PARTITION BY treats NULL as a group; the offset join
+    is null-safe) and NULL values (ignored by sum/max)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.ranks import grouped_prefix
+
+    rows = [
+        ("a", 1, 10), ("a", 2, None), ("a", 3, 5), ("b", 1, 7),
+        (None, 1, 3), (None, 2, 9), ("b", 2, 2), ("a", 4, 8),
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, v int")
+    got = grouped_prefix(df, ["g"], ["i"], 3, sums={"rs": "v"}, maxes={"rm": "v"})
+    w = W.partitionBy("g").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    ref = df.select("g", "i", "v", F.sum("v").over(w).alias("rs"), F.max("v").over(w).alias("rm"))
+    key = lambda r: (r["g"] or "", r["i"])
+    got_rows = sorted(((r["g"], r["i"], r["rs"], r["rm"]) for r in got.collect()), key=lambda t: (t[0] or "", t[1]))
+    ref_rows = sorted(((r["g"], r["i"], r["rs"], r["rm"]) for r in ref.collect()), key=lambda t: (t[0] or "", t[1]))
+    assert got_rows == ref_rows
