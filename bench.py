@@ -127,6 +127,7 @@ HEADLINE = [
     "llm_mix_budget",
     "graph_triangles_sampled",
     "agg_histogram_equidepth",
+    "llm_quality_percentile",
 ]
 
 

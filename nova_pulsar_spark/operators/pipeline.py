@@ -817,6 +817,67 @@ def llm_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "llm_quality_percentile",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             NTILE(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    SELECT doc_id, source, x AS n_chars,
+           CAST(rn AS DOUBLE) / n AS pctile,
+           CAST(decile AS INT) AS decile
+    FROM ranked
+    """,
+    doc="Per-source percentile calibration of a quality signal (rank/n + "
+    "decile) — the rank-based, outlier-immune normalization curation "
+    "pipelines use when per-source score distributions are heavy-tailed; "
+    "distributed rank, no per-source task ceiling",
+)
+def llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust twin of `llm_quality_zscore`: z-scores assume the
+    per-source score distribution has a meaningful mean/sd — web-crawl
+    quality signals usually don't (heavy tails, boilerplate spikes).
+    Percentile calibration is distribution-free: a doc's rank within
+    its source divided by the source size, plus the NTILE(10) decile
+    downstream mixers threshold on ("keep the top 3 deciles of every
+    source" is the standard curation contract, and is immune to one
+    source's scorer running hot).
+
+    Scale: source is a LOW-cardinality key, so the naive
+    `PARTITION BY source` window ships each source's whole corpus to
+    one task; this uses the distributed grouped_rank
+    (operators/ranks.py — range partitions + broadcast offsets), under
+    which no group ever owns a task. pctile is one IEEE division of
+    exact integers and NTILE is integer div/mod on (rank, n), so both
+    engines agree bit-exactly; the (n_chars, doc_id) tie-break makes
+    every rank deterministic."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank, ntile_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("x")
+    )
+    # asc_nulls_last pins the one place the engines disagree on this
+    # plan: Spark default-ASC sorts NULLs FIRST, DuckDB LAST (the
+    # dq_winsorize divergence class — ranked here, not excluded)
+    ranked = grouped_rank(
+        d,
+        ["source"],
+        [F.col("x").asc_nulls_last(), F.col("doc_id")],
+        spark.sparkContext.defaultParallelism,
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("x").alias("n_chars"),
+        (F.col("rn").cast("double") / F.col("n")).alias("pctile"),
+        ntile_expr("rn", "n", 10).cast("int").alias("decile"),
+    )
+
+
 # --- LLM-judge quality scoring seam (S11/L1 generalized to data) -----------
 # The reference's signature operator is an external-LLM call whose
 # reply is validated and falls back to a deterministic algorithm

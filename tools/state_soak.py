@@ -80,16 +80,46 @@ def _du(path: str) -> int:
     return total
 
 
-def _run_ingest(spark, src: str, ckpt: str) -> tuple[float, dict]:
+def _write_vectors(src: str, n_vecs: int, n_files: int = N_FILES) -> None:
+    """Deterministic synthetic embeddings; every 10th is a small
+    perturbation of its predecessor (near-dup pressure for the
+    sign-LSH buckets)."""
+    import hashlib
+
+    os.makedirs(src, exist_ok=True)
+    per = (n_vecs + n_files - 1) // n_files
+
+    def vec(i: int) -> list[float]:
+        base = i - (i % 10 == 0 and i > 0)
+        dig = hashlib.md5(f"vec{base}".encode()).digest() * 4  # 64 bytes
+        v = [(b - 127.5) / 127.5 for b in dig[:64]]
+        if base != i:
+            v[i % 64] += 0.01
+        return v
+
+    for f in range(n_files):
+        with open(os.path.join(src, f"vecs_{f:03d}.json"), "w") as fh:
+            for i in range(f * per, min((f + 1) * per, n_vecs)):
+                fh.write(json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+
+
+def _run_ingest(spark, src: str, ckpt: str, modality: str = "text") -> tuple[float, dict]:
     """availableNow pass over everything unprocessed in ``src``;
     returns (wall seconds, last state-operator progress entry)."""
-    schema = "doc_id long, text string"
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    if modality == "text":
+        schema = "doc_id long, text string"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        out = near_dup_stream(stream)
+    else:
+        from nova_pulsar_spark.streaming.ingest_dedup import embedding_near_dup_stream
+
+        schema = "vec_id long, embedding array<float>"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        out = embedding_near_dup_stream(stream)
     with rocksdb_state_store(spark):
         t0 = time.time()
         q = (
-            near_dup_stream(stream)
-            .writeStream.format("noop")
+            out.writeStream.format("noop")
             .outputMode("update")
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt)
@@ -101,17 +131,23 @@ def _run_ingest(spark, src: str, ckpt: str) -> tuple[float, dict]:
     return wall, (sops[-1] if sops else {})
 
 
-def soak(spark, n_docs: int, workdir: str) -> dict:
+def soak(spark, n_docs: int, workdir: str, modality: str = "text") -> dict:
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
-    _write_corpus(src, n_docs)
-    ingest_wall, sop = _run_ingest(spark, src, ckpt)
+    if modality == "text":
+        _write_corpus(src, n_docs)
+    else:
+        _write_vectors(src, n_docs)
+    ingest_wall, sop = _run_ingest(spark, src, ckpt, modality)
 
     # recovery: one more file arrives, the query restarts on the same
     # checkpoint — time-to-first-batch includes the state reload
-    with open(os.path.join(src, "docs_tail.json"), "w") as fh:
-        fh.write(json.dumps({"doc_id": n_docs + 1, "text": _doc_text(3)}) + "\n")
-    recovery_wall, sop2 = _run_ingest(spark, src, ckpt)
+    with open(os.path.join(src, "tail.json"), "w") as fh:
+        if modality == "text":
+            fh.write(json.dumps({"doc_id": n_docs + 1, "text": _doc_text(3)}) + "\n")
+        else:
+            fh.write(json.dumps({"vec_id": n_docs + 1, "embedding": [0.1] * 64}) + "\n")
+    recovery_wall, sop2 = _run_ingest(spark, src, ckpt, modality)
 
     rocks = {
         k: v for k, v in (sop2.get("customMetrics") or {}).items()
@@ -140,24 +176,28 @@ def main() -> dict:
     finally:
         shutil.rmtree(wd, ignore_errors=True)
     results = {}
-    for label, n in (("volume_1x", n1), ("volume_10x", n1 * 10)):
-        wd = tempfile.mkdtemp(prefix=f"soak_{label}_")
-        try:
-            results[label] = soak(spark, n, wd)
-        finally:
-            shutil.rmtree(wd, ignore_errors=True)
-    r1, r10 = results["volume_1x"], results["volume_10x"]
-    results["ratios_10x_over_1x"] = {
-        "docs": 10.0,
-        "state_rows": round(r10["state_rows"] / max(r1["state_rows"], 1), 2),
-        "checkpoint_bytes": round(r10["checkpoint_bytes"] / max(r1["checkpoint_bytes"], 1), 2),
-        "ingest_sec": round(r10["ingest_sec"] / max(r1["ingest_sec"], 0.01), 2),
-        "recovery_sec": round(r10["recovery_sec"] / max(r1["recovery_sec"], 0.01), 2),
-    }
+    for modality, scale in (("text", 1), ("embedding", 1)):
+        res = {}
+        for label, n in (("volume_1x", n1 * scale), ("volume_10x", n1 * scale * 10)):
+            wd = tempfile.mkdtemp(prefix=f"soak_{modality}_{label}_")
+            try:
+                res[label] = soak(spark, n, wd, modality)
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+        r1, r10 = res["volume_1x"], res["volume_10x"]
+        res["ratios_10x_over_1x"] = {
+            "docs": 10.0,
+            "state_rows": round(r10["state_rows"] / max(r1["state_rows"], 1), 2),
+            "checkpoint_bytes": round(r10["checkpoint_bytes"] / max(r1["checkpoint_bytes"], 1), 2),
+            "ingest_sec": round(r10["ingest_sec"] / max(r1["ingest_sec"], 0.01), 2),
+            "recovery_sec": round(r10["recovery_sec"] / max(r1["recovery_sec"], 0.01), 2),
+        }
+        results[modality] = res
     results["per_key_bound"] = (
-        "state rows <= N_BANDS(=4) x distinct docs; one (band int, 32-hex sig) "
-        "key + one long value per row; recovery replays snapshot + changelog "
-        "tail, never ingest history"
+        "text: state rows <= N_BANDS(=4) x distinct docs, one (band int, 32-hex "
+        "sig) key + one long value per row; embedding: <= 8 sign-LSH bands x "
+        "distinct vectors, one (band int, 8-bit-rung sig) key + one long; "
+        "recovery replays snapshot + changelog tail, never ingest history"
     )
     print(json.dumps(results))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
