@@ -1140,8 +1140,17 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("h.t") == F.col("tb"), F.col("c")).otherwise(F.lit(0))).alias("cb"),
         )
     )
-    w = W.partitionBy("ta", "tb").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    r = hv.withColumn("cumb_lt", F.coalesce(F.sum("cb").over(w), F.lit(0)))
+    # distributed exclusive prefix (ranks.grouped_prefix gives the
+    # INCLUSIVE running sum; subtract the current row): the histogram
+    # is |distinct value| rows per type pair — corpus-sized for
+    # continuous values, so the former per-pair window was a
+    # heavy-group task
+    from nova_pulsar_spark.operators.ranks import grouped_prefix
+
+    r = grouped_prefix(
+        hv, ["ta", "tb"], ["v"], spark.sparkContext.defaultParallelism,
+        sums={"__cs": "cb"},
+    ).withColumn("cumb_lt", F.coalesce(F.col("__cs") - F.col("cb"), F.lit(0)))
     t = F.col("ca") + F.col("cb")
     agg = r.groupBy(F.col("ta").alias("group_a"), F.col("tb").alias("group_b")).agg(
         F.sum("ca").alias("n_a"),

@@ -351,24 +351,25 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # table-level scalars (min group size, at-risk row count) ride ONE
+    # 1-row aggregate broadcast back — r5: the at-risk sum moved out of
+    # an unpartitioned window over the group frame (|distinct QI| rows
+    # can be large for wide quasi-identifiers) into the same aggregate
     tot = g.agg(
-        F.sum("n").cast("bigint").alias("total"),
         F.min("n").cast("bigint").alias("table_k"),
-    )
-    at_risk_rows = (
         F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(F.lit(0)))
-        .over(W.partitionBy())
         .cast("bigint")
+        .alias("n_at_risk_rows"),
     )
     return (
-        g.crossJoin(F.broadcast(tot.select("table_k")))
+        g.crossJoin(F.broadcast(tot))
         .select(
             "c_nationkey",
             "c_mktsegment",
             "n",
             (F.col("n") < KANON_K).alias("at_risk"),
             "table_k",
-            at_risk_rows.alias("n_at_risk_rows"),
+            "n_at_risk_rows",
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )

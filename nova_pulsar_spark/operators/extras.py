@@ -82,14 +82,35 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distribution ranks (cume_dist/percent_rank) per segment",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """cume_dist/percent_rank per segment WITHOUT the per-segment
+    window (5 segments = whole-corpus tasks at scale): the distributed
+    grouped_rank (ranks.py) gives every row its total-order row number
+    and group count; ties collapse via a (segment, value) peer
+    aggregate joined back — cume_dist = last peer's row number / n,
+    percent_rank = (first peer's row number - 1) / (n - 1), with the
+    single-row-group case pinned to 0.0 exactly as SQL defines it."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ranked = grouped_rank(
+        c,
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        spark.sparkContext.defaultParallelism,
+    )
+    peers = ranked.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.min("rn").alias("__rmin"), F.max("rn").alias("__rmax")
+    )
+    return ranked.join(peers, ["c_mktsegment", "c_acctbal"]).select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.cume_dist().over(w).alias("bal_cume"),
-        F.percent_rank().over(w).alias("bal_pct_rank"),
+        (F.col("__rmax").cast("double") / F.col("n")).alias("bal_cume"),
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise((F.col("__rmin") - 1).cast("double") / (F.col("n") - 1))
+        .alias("bal_pct_rank"),
     )
 
 

@@ -198,3 +198,30 @@ def ntile_expr(rank_col: str, n_col: str, buckets: int) -> F.Column:
         f"({rank_col} - (({n_col} div {buckets}) + 1) * ({n_col} % {buckets}) - 1) "
         f"div greatest({n_col} div {buckets}, 1) + 1 END"
     )
+
+
+def grouped_head(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-``k`` rows per group (with their 1-based rank) without ever
+    shipping a whole group to one task: stage 1 takes the local top-k
+    within each (INPUT partition, group) — the global top-k is always
+    a subset of the union of local top-ks, whatever the input layout —
+    stage 2 ranks the <= k * partitions survivors per group exactly.
+    No range partitioning and no checkpoint needed: pid only prunes,
+    any assignment yields the same output. The shuffle carries
+    (pid, group)-keyed rows — high-cardinality even for a constant
+    group column."""
+    tagged = df.select("*", F.spark_partition_id().alias("__pid"))
+    wl = W.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    local = (
+        tagged.withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= k)
+        .drop("__pid", "__lrn")
+    )
+    wg = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return local.withColumn(rank_col, F.row_number().over(wg)).filter(F.col(rank_col) <= k)

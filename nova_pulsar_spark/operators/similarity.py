@@ -2225,12 +2225,14 @@ def llm_simsearch_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "label", cosine("embedding", "qe").alias("cosine"))
         .localCheckpoint(eager=False)  # two rank consumers: exact + ivf
     )
-    rank = F.row_number().over(
-        Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    )
-    exact_topk = (
-        scored.withColumn("rn", rank).filter(F.col("rn") <= TOP_K).select("qid", "vec_id")
-    )
+    # two-stage heads (ranks.grouped_head, r5): the per-qid rank over
+    # the truth scan is corpus x panel rows funneled into |panel|
+    # tasks by a PARTITION BY qid window — local top-k per input
+    # partition first, exact rank over the bounded survivors after
+    from nova_pulsar_spark.operators.ranks import grouped_head
+
+    head_order = [F.col("cosine").desc(), F.col("vec_id")]
+    exact_topk = grouped_head(scored, ["qid"], head_order, TOP_K).select("qid", "vec_id")
     cent = ivf_centroids(spark, sf_dir)
     probes = (
         cent.crossJoin(F.broadcast(qs))
@@ -2243,12 +2245,9 @@ def llm_simsearch_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_NPROBE)
         .select("qid", "label")
     )
-    ivf_topk = (
-        scored.join(F.broadcast(probes), ["qid", "label"])
-        .withColumn("rn", rank)
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "vec_id")
-    )
+    ivf_topk = grouped_head(
+        scored.join(F.broadcast(probes), ["qid", "label"]), ["qid"], head_order, TOP_K
+    ).select("qid", "vec_id")
     exact_topk = exact_topk.localCheckpoint(eager=False)  # count + semijoin
     ivf_topk = ivf_topk.localCheckpoint(eager=False)
     n_true = exact_topk.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))

@@ -56,13 +56,18 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Top-3 per group via rank filter (O1 per-project variant)",
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per segment via the two-stage head (ranks.grouped_head):
+    c_mktsegment has 5 values, so the former `PARTITION BY` window
+    shipped a fifth of all customers to one task at any scale; the
+    two-stage head takes the local top-3 per input partition first —
+    the global top-3 is always inside that union — and ranks only the
+    3 x partitions survivors per group exactly."""
+    from nova_pulsar_spark.operators.ranks import grouped_head
+
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
-    )
+    return grouped_head(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 3
+    ).select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
 
 
 @register(
