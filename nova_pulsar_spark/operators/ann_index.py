@@ -145,16 +145,41 @@ def collect_index(
     return _ROWS_MEMO[key]
 
 
+# Which source table each index kind fingerprints against. Kinds not
+# listed default to the embeddings table (the ANN artifacts). The
+# janitor MUST consult this: the dedup stages key on the documents
+# fingerprint and the co-purchase graph on lineitem's, so a single
+# "keep" fingerprint would mark every other table's LIVE index stale.
+KIND_TABLES = {
+    "dedup_mh": "documents",
+    "dedup_cand": "documents",
+    "dedup_ws": "documents",
+    "graph_edges_w": "lineitem",
+}
+
+
 def gc_stale(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> list[str]:
     """The store janitor: delete every index directory belonging to
     this corpus whose fingerprint no longer matches the live one;
     returns the removed paths. Always safe to run — probes only ever
     read the directory keyed by the CURRENT fingerprint (which is kept),
     so the janitor can race builds and probes without coordination; at
-    cluster scale this is the nightly cleanup beside the index job."""
-    fp = corpus_fingerprint(spark, sf_dir, table)
+    cluster scale this is the nightly cleanup beside the index job.
+    Each kind is judged against ITS OWN source table's fingerprint
+    (KIND_TABLES; ``table`` is the default for unmapped kinds); a kind
+    whose source table is absent from this corpus is left untouched —
+    the janitor only deletes what it can prove stale."""
     name = os.path.basename(sf_dir.rstrip("/")) or "corpus"
-    keep = f"{name}-{fp}"
+    fps: dict[str, str | None] = {}
+
+    def live_fp(t: str) -> str | None:
+        if t not in fps:
+            try:
+                fps[t] = corpus_fingerprint(spark, sf_dir, t)
+            except Exception:
+                fps[t] = None  # source table absent: cannot prove staleness
+        return fps[t]
+
     root = index_root()
     fs, rootp = _hadoop_path(spark, root, ".")
     removed: list[str] = []
@@ -163,6 +188,11 @@ def gc_stale(spark: SparkSession, sf_dir: str, table: str = "embeddings") -> lis
     for kind_st in fs.listStatus(rootp):
         if not kind_st.isDirectory():
             continue
+        kind = kind_st.getPath().getName()
+        fp = live_fp(KIND_TABLES.get(kind, table))
+        if fp is None:
+            continue
+        keep = f"{name}-{fp}"
         for entry in fs.listStatus(kind_st.getPath()):
             base = entry.getPath().getName()
             if base.startswith(f"{name}-") and base != keep:

@@ -114,3 +114,41 @@ def test_copurchase_census_round_trips_store_and_rebuilds_on_stale(
     edges3 = sorted((r.a, r.b, r.w) for r in c3["edges_w"].collect())
     assert edges3 != edges1
     assert len(glob.glob(os.path.join(index_root(), "graph_edges_w", "*"))) == 2
+
+
+def test_gc_stale_judges_each_kind_by_its_own_table(spark, tmp_path, monkeypatch):
+    """The janitor must key 'live' per kind's SOURCE table: dedup
+    stages fingerprint documents, the graph fingerprints lineitem —
+    a single-table keep fingerprint would delete live indexes of
+    every other table."""
+    from nova_pulsar_spark.operators.ann_index import gc_stale, index_root
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    d = str(tmp_path / "corpus")
+    _write_docs(spark, d, seed=0)
+    _write_lineitem(spark, d, seed=0)
+
+    D._STAGE_CACHE.clear()
+    G._CENSUS_CACHE.clear()
+    D.dedup_candidates(spark, d)
+    G.copurchase_census(spark, d)
+    live_cand = glob.glob(os.path.join(index_root(), "dedup_cand", "*"))
+    live_graph = glob.glob(os.path.join(index_root(), "graph_edges_w", "*"))
+    assert len(live_cand) == 1 and len(live_graph) == 1
+
+    # no corpus change: the janitor (default table=embeddings, which
+    # this corpus does not even have) must remove NOTHING
+    assert gc_stale(spark, d) == []
+    assert os.path.exists(live_cand[0]) and os.path.exists(live_graph[0])
+
+    # documents rewritten: exactly the stale dedup dirs go; the live
+    # dedup rebuild and the untouched graph index survive
+    _write_docs(spark, d, seed=3, n=12)
+    D._STAGE_CACHE.clear()
+    D.dedup_candidates(spark, d)
+    removed = gc_stale(spark, d)
+    assert any("dedup_cand" in p for p in removed)
+    assert not any("graph_edges_w" in p for p in removed)
+    assert not os.path.exists(live_cand[0])
+    assert os.path.exists(live_graph[0])
+    assert len(glob.glob(os.path.join(index_root(), "dedup_cand", "*"))) == 1
