@@ -346,8 +346,6 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata columns before a corpus release (suppression lists come
     straight from `at_risk` groups)."""
     c = load_table(spark, sf_dir, "customer")
-    from pyspark.sql import Window as W
-
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

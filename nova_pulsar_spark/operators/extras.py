@@ -8,7 +8,7 @@ All oracle-checked; cume_dist/percent_rank divisions are exact
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register

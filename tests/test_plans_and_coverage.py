@@ -306,6 +306,12 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "graph_components", "graph_jaccard_edges", "graph_degree_hist", "topk_skyline",
         "llm_simsearch_ivf_recall", "llm_simsearch_pq_distortion", "ts_holt_winters",
         "agg_ab_ttest", "agg_chi_square", "llm_collocations", "ts_xcorr", "agg_mannwhitney", "agg_bootstrap_ci", "ts_lttb", "ts_drawdown", "dq_drift", "llm_mix_budget",
+        # round-5: distributed rank/prefix/head rewrites + new keys with
+        # NULL-ordering / NULL-group / sampling-coin edge paths
+        "llm_quality_percentile", "graph_triangles_sampled", "llm_sample_per_group",
+        "llm_pack_sequences", "median_exact", "quantiles_exact", "agg_mad_outliers",
+        "agg_histogram_equidepth", "topk_per_group", "window_distribution",
+        "window_ntile_first_last", "dq_k_anonymity",
     ]
     regs = all_queries()
     problems = {}
