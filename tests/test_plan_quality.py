@@ -237,3 +237,28 @@ def test_pagerank_mass_aggregation_is_map_side_combined(spark):
     count both plan with partial aggregation (edge-bounded shuffles)."""
     p = _plan(spark, "llm_dedup_pagerank")
     assert "partial_sum" in p and "partial_count" in p
+
+
+def test_distributed_rank_windows_are_pid_composited(spark):
+    """The r5 rank/prefix family must never plan a window partitioned
+    by the bare low-cardinality group key over a corpus frame: every
+    corpus-sized window partitioning carries __pid in its key, and the
+    offset lift is a broadcast join (never a shuffle join)."""
+    for name in ("median_exact", "quantiles_exact", "agg_mad_outliers",
+                 "dq_winsorize", "ts_drawdown", "llm_pack_sequences",
+                 "llm_sample_per_group", "llm_quality_percentile"):
+        p = _plan(spark, name)
+        assert "hashpartitioning(__pid" in p, name
+        # the only event_type/source/lang hash partitionings allowed are
+        # __pid-composited ones (or tiny aggregate frames downstream of
+        # the broadcast, which plan as BroadcastHashJoin, not SMJ)
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_grouped_head_first_stage_is_pid_local(spark):
+    """topk_per_group's first rank stage runs per (input partition,
+    group): the survivors frame — not the corpus — reaches the final
+    per-group rank."""
+    p = _plan(spark, "topk_per_group")
+    assert "hashpartitioning(__pid" in p
