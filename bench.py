@@ -128,6 +128,7 @@ HEADLINE = [
     "graph_triangles_sampled",
     "agg_histogram_equidepth",
     "llm_quality_percentile",
+    "llm_minhash_jaccard_est",
 ]
 
 

@@ -369,6 +369,82 @@ def llm_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "llm_minhash_jaccard_est",
+    sql="WITH\n  "
+    + ",\n  ".join(MINHASH_SQL_CTES)
+    + """,
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / """
+    + str(N_SEEDS)
+    + """ AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+      GROUP BY c.doc_a, c.doc_b),
+    ws AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand))
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard,
+           ABS(e.est_jaccard
+               - CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))) AS abs_err
+    FROM est e
+    JOIN ws a ON a.doc_id = e.doc_a
+    JOIN ws b ON b.doc_id = e.doc_b
+    """,
+    doc=f"MinHash estimator audit: per candidate pair, the signature-agreement "
+    f"Jaccard estimate (agreeing seeds / {N_SEEDS}) against the exact word-set "
+    "Jaccard, with absolute error — the measurement that justifies (or indicts) "
+    "the signature length; rides the shared materialized candidate stage",
+)
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty metric for MinHash itself: P[min-hash collision] =
+    Jaccard exactly (Broder 1997), so the fraction of agreeing seeds is
+    an unbiased Jaccard estimator with std sqrt(J(1-J)/k) — at k=8
+    that is +-0.17 worst case, which is WHY the DAG treats signatures
+    as a candidate filter and verifies with exact Jaccard afterwards
+    (`llm_dedup_verify`), never as the dedup decision. This query puts
+    that number in evidence per pair, the same audit shape as
+    `llm_simsearch_ivf_recall` and the cap-loss ledgers: every pruning
+    structure ships with the query that measures what it trades.
+
+    Scale: both sides ride the MATERIALIZED dedup stage — signatures
+    and candidates come from the fingerprint-keyed store, the per-pair
+    agreement join carries |cand| x k signature rows (k = 8 constant),
+    and the exact side reuses the semi-joined word sets. Nothing here
+    touches the full corpus. Cross-engine exactness: agreement counts
+    are integers, est = count / 8 is dyadic-exact, and the exact
+    Jaccard expression is textually the verify twin's."""
+    mh, cand, ws = dedup_candidates(spark, sf_dir)
+    ma = mh.select(F.col("doc_id").alias("doc_a"), "seed", F.col("mh").alias("ma"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), "seed", F.col("mh").alias("mb"))
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).cast("double")
+                / N_SEEDS
+            ).alias("est_jaccard")
+        )
+    )
+    exact = _pair_jaccard(cand, ws).select("doc_a", "doc_b", "jaccard")
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )
+
+
 # 16-bit SimHash from the first 4 hex chars of each token's md5.
 _HEX = "0123456789abcdef"
 
