@@ -1,0 +1,133 @@
+"""Third-decade candidate-count audit (SCALING3), as a committed tool.
+
+Clocks at 100x corpus size are dominated by local-mode scheduling, so
+the third decade audits CANDIDATE COUNTS instead: for each blocking
+stage of the dedup DAG — text MinHash-LSH (hot-bucket cap), embedding
+sign-LSH (corpus-size prefix ladder + cap), banded SimHash — count
+the candidate rows the stage emits at 1x / 10x / 100x corpus size. A
+blocking scheme is healthy iff candidates grow at most linearly per
+decade (bounded candidates PER DOC); the round-4 fixed-keyspace bugs
+(sign-LSH at 68x, SemDeDup at 44x) are exactly what this audit
+catches one decade earlier than wall clocks can.
+
+Only documents and embeddings are scaled (the graph/TPC-H tables feed
+other stages with their own audits); replicas are perturbed the same
+way as tools/make_scaled_sf.py so the near-dup structure is realistic
+(text replicas get distinct-shingle suffixes; embeddings form bounded
+10-cliques — the re-crawled-corpus shape the caps exist for).
+
+Usage:
+    python tools/candidate_audit.py [base_sf_dir] [out.json]
+
+Prints one JSON line and writes SCALING3_r{N}.json by default.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from nova_pulsar_spark.session import get_spark  # noqa: E402
+
+
+def _scale_docs_embeddings(src: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + k * (SELECT MAX(doc_id) + 1 FROM '{src}/documents.parquet') AS doc_id,
+                 CASE WHEN k = 0 THEN text
+                      ELSE text || ' replica' || k || ' tag' || (doc_id % 97) END AS text,
+                 lang, source,
+                 CASE WHEN k = 0 THEN n_chars
+                      ELSE n_chars + 12 + CASE WHEN k >= 10 THEN 1 ELSE 0 END END AS n_chars
+          FROM '{src}/documents.parquet', range({n}) r(k)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + k * (SELECT MAX(vec_id) + 1 FROM '{src}/embeddings.parquet') AS vec_id,
+                 list_transform(embedding, x -> CAST(x + 0.05 * k AS FLOAT)) AS embedding,
+                 label
+          FROM '{src}/embeddings.parquet', range({n}) r(k)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def audit_dir(spark, sf_dir: str) -> dict:
+    """Candidate counts per blocking stage; caches and stores are
+    bypassed (sf_dir=None paths) so every count is a fresh derivation
+    of the stage on exactly this corpus."""
+    from nova_pulsar_spark.operators.dedup import lsh_candidates, minhash_signatures
+    from nova_pulsar_spark.operators.similarity import _sign_lsh_candidates
+    from nova_pulsar_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    out = {"n_docs": d.count(), "n_vecs": e.count()}
+
+    t0 = time.time()
+    out["mh_cand"] = lsh_candidates(minhash_signatures(d)).count()
+    out["mh_secs"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    out["emb_cand"] = _sign_lsh_candidates(spark, e, None).count()
+    out["emb_secs"] = round(time.time() - t0, 1)
+
+    from nova_pulsar_spark.registry import all_queries
+
+    t0 = time.time()
+    out["simhash_nn_rows"] = all_queries()["llm_dedup_simhash_banded"].fn(spark, sf_dir).count()
+    out["simhash_secs"] = round(time.time() - t0, 1)
+    out["mh_cand_per_doc"] = round(out["mh_cand"] / max(out["n_docs"], 1), 2)
+    out["emb_cand_per_vec"] = round(out["emb_cand"] / max(out["n_vecs"], 1), 2)
+    return out
+
+
+def main() -> dict:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("candidate-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {"sf0.1": audit_dir(spark, base)}
+    for label, n in (("x10", 10), ("x100", 100)):
+        wd = tempfile.mkdtemp(prefix=f"cand_{label}_")
+        try:
+            _scale_docs_embeddings(base, wd, n)
+            results[label] = audit_dir(spark, wd)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+    results["note"] = (
+        "healthy = candidates per doc/vec grow sublinearly per decade (blocking "
+        "keys are capped or corpus-laddered); a superlinear jump here is the "
+        "fixed-keyspace class caught in round 4"
+    )
+    print(json.dumps(results))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)", p)]
+    ]
+    nr = (max(rounds) if rounds else 0) + 1
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(here, f"SCALING3_r{nr:02d}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()
