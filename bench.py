@@ -129,6 +129,7 @@ HEADLINE = [
     "agg_histogram_equidepth",
     "llm_quality_percentile",
     "llm_minhash_jaccard_est",
+    "llm_split_leakage_rate",
 ]
 
 
