@@ -130,6 +130,8 @@ HEADLINE = [
     "llm_quality_percentile",
     "llm_minhash_jaccard_est",
     "llm_split_leakage_rate",
+    "llm_ngram_novelty",
+    "llm_postings_stats",
 ]
 
 

@@ -445,6 +445,92 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "llm_ngram_novelty",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM documents),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM sh s JOIN first f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+    doc="Per-document n-gram novelty: share of a doc's distinct 3-gram "
+    "shingles whose corpus-wide FIRST occurrence (min doc_id) is the doc "
+    "itself — the dataset-order memorization/novelty curve; low-novelty "
+    "tails are boilerplate or crawl echo the dedup tiers should have caught",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The novelty curve dataset analyses plot before training: as a
+    corpus is consumed in doc_id order, what fraction of each new
+    document's n-grams has never been seen before? A healthy corpus
+    decays slowly; a sharp drop means later shards re-crawl earlier
+    content (memorization pressure without information). Docs under 3
+    words have no shingles and emit no row on either engine (the
+    degenerate-doc convention shared with the whole shingle family).
+
+    Scale: one shingle-keyed map-side-combinable MIN (the first-seen
+    index — at 100 TB this is a by-product of building the substring
+    inverted index, same key layout as `llm_dedup_substring`), one
+    join back on shingle (AQE handles hot-shingle skew), one per-doc
+    aggregate. All counts integer; novelty is one IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(_shingles_expr()).alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "llm_postings_stats",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({SHINGLES_SQL}) AS shingle FROM documents),
+    df AS (
+      SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle)
+    SELECT CAST(d AS BIGINT) AS posting_len,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM df GROUP BY d
+    """,
+    doc="Posting-list length histogram of the 3-gram shingle index — the "
+    "skew fingerprint for every shingle-keyed stage (the graph_degree_hist "
+    "of the text index): a heavy tail here is the empirical case for the "
+    "hot-bucket cap and the substring index's span-hash layout",
+)
+def llm_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Look at this before trusting any shingle-keyed plan: the df
+    histogram is to the text index what the degree histogram is to the
+    co-purchase graph — the boilerplate spike (one shingle in 20% of
+    docs) is exactly the hot key that makes uncapped bucket joins
+    quadratic, and its mass here justifies MAX_BUCKET. Two map-side-
+    combinable groupBys, output bounded by |distinct df values|;
+    integer-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(_shingles_expr()).alias("shingle")
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    return df.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles")).select(
+        F.col("d").cast("bigint").alias("posting_len"), "n_shingles"
+    )
+
+
 # 16-bit SimHash from the first 4 hex chars of each token's md5.
 _HEX = "0123456789abcdef"
 

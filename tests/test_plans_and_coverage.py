@@ -312,7 +312,8 @@ def test_edgecase_fuzz_fixture_stays_oracle_green(spark, tmp_path):
         "llm_pack_sequences", "median_exact", "quantiles_exact", "agg_mad_outliers",
         "agg_histogram_equidepth", "topk_per_group", "window_distribution",
         "window_ntile_first_last", "dq_k_anonymity", "llm_minhash_jaccard_est",
-        "llm_split_leakage_safe", "llm_split_leakage_rate",
+        "llm_split_leakage_safe", "llm_split_leakage_rate", "llm_ngram_novelty",
+        "llm_postings_stats",
     ]
     regs = all_queries()
     problems = {}
