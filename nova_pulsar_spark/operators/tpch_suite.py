@@ -420,34 +420,42 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     sql=f"""
-    SELECT CAST(CAST(100.0 AS DOUBLE)
-           * {sql_sum_cents(f"CASE WHEN p.p_type = 'PROMO' THEN {_DP} ELSE 0.0 END", 1000000)}
-           / ({sql_sum_cents(_DP, 1000000)}) AS DOUBLE) AS promo_revenue
+    SELECT CAST(SUM(CAST(ROUND((CASE WHEN p.p_type = 'PROMO' THEN {_DP} ELSE 0.0 END)
+                         * 1000000, 0) AS BIGINT)) * 100 AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(({_DP}) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           AS promo_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
     """,
-    doc="TPC-H Q14 promotion effect: PROMO revenue share of one month (exact-ratio parity)",
+    doc="TPC-H Q14 promotion effect: PROMO revenue share of one month — "
+    "single-division exact-ratio parity (100x numerator in integer space; "
+    "the only float op is the final divide)",
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratio is computed as ONE IEEE division of exact integers:
+    100 x the promo cents sum stays in long (exact), the total cents
+    sum stays in long, and the sole float operation is the final
+    divide — bit-identical on any engine by construction. The previous
+    `100.0 * (A/1e6) / (B/1e6)` chain had three float ops whose
+    rounding the engines were free to differ on by an ulp (caught by
+    the sf0.001 sweep; the /1e6 factors cancel algebraically, so
+    dropping them loses nothing). Long headroom: 100 x cents-millionths
+    must stay under 2^53 for the long->double conversion to be exact —
+    at larger SFs lower the scale, per the decimal-headroom rule in
+    docs/SCALE.md."""
     l, p = _t(spark, sf_dir, "lineitem", "part")
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    num = F.sum(F.round(promo * 1_000_000, 0).cast("long")) * F.lit(100).cast("long")
+    den = F.sum(F.round(_disc_price() * 1_000_000, 0).cast("long"))
     return (
         l.filter(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01")))
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (
-                F.lit(100.0).cast("double")
-                * sum_cents(promo, 1_000_000)
-                / sum_cents(_disc_price(), 1_000_000)
-            )
-            .cast("double")
-            .alias("promo_revenue")
-        )
+        .agg((num.cast("double") / den.cast("double")).alias("promo_revenue"))
     )
 
 
