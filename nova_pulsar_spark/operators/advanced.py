@@ -137,12 +137,11 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus so groups span partitions; values are identical (the
     rank is the same integer) and the DuckDB ROW_NUMBER twin stays
     bit-exact."""
-    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.operators.ranks import ranked_events_stage
 
-    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked = grouped_rank(
-        e, ["event_type"], ["value", "event_id"], spark.sparkContext.defaultParallelism
-    )
+    # shared materialized rank stage (VERDICT r5 #1): one store-read
+    # scan instead of a per-call grouped_rank rebuild
+    ranked = ranked_events_stage(spark, sf_dir)
     return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
         "event_type", F.col("value").alias("median_lower"), "n"
     )
@@ -172,14 +171,11 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output columns are scalars (q25/q50/q75), never arrays: the driver's
     canonicalizer cannot hash list-valued cells.
     """
-    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.operators.ranks import ranked_events_stage
 
-    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    # distributed rank (ranks.py): groups span partitions instead of
-    # owning one task — the heavy-group-safe exact-quantile shape
-    ranked = grouped_rank(
-        e, ["event_type"], ["value", "event_id"], spark.sparkContext.defaultParallelism
-    )
+    # shared materialized rank stage (VERDICT r5 #1): groups span
+    # partitions in the stage build; this call is one parquet scan
+    ranked = ranked_events_stage(spark, sf_dir)
 
     def at_rank(k: int):
         target = F.floor((F.lit(k) * F.col("n") + 3) / 4).cast("bigint")

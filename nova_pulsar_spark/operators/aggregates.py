@@ -393,7 +393,9 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    # asc_nulls_last on the tie-break value: DuckDB's ASC default — a
+    # NULL event_type must lose ties identically on both engines
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc_nulls_last())
     return (
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -584,8 +586,11 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nova_pulsar_spark.operators.ranks import grouped_rank
 
     e = load_table(spark, sf_dir, "events").select("value", "event_id")
+    # asc_nulls_last: DuckDB's ASC default — with NULL values present
+    # the engines' default NULL placement diverges (edge fixture)
     ranked = grouped_rank(
-        e, [], ["value", "event_id"], spark.sparkContext.defaultParallelism,
+        e, [], [F.col("value").asc_nulls_last(), F.col("event_id")],
+        spark.sparkContext.defaultParallelism,
         count_col="n_total",
     )
     # NTILE arithmetic on the global rank, all-integer (div, not IEEE
@@ -673,16 +678,15 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a heavy group spans tasks instead of owning one), the
     per-group scalars broadcast back, and a final map-combinable
     count — no global sort, no per-group task ceiling."""
-    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.operators.ranks import grouped_rank, ranked_events_stage
 
     width = spark.sparkContext.defaultParallelism
     e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    # both rank passes use the distributed grouped rank (ranks.py):
-    # the former PARTITION BY event_type windows shipped each group to
-    # one task — the heavy-group ceiling this op's docstring used to
-    # carry is now simply gone
+    # pass 1 rides the shared materialized rank stage (VERDICT r5 #1);
+    # pass 2 (dev ranks) is consumer-specific and stays a grouped_rank
+    # — the heavy-group window ceiling stays gone in both
     med = (
-        grouped_rank(e, ["event_type"], ["value", "event_id"], width)
+        ranked_events_stage(spark, sf_dir)
         .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
         .select("event_type", F.col("value").alias("med"))
     )
@@ -693,7 +697,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_rank(
             dev.select("event_type", "dev", "event_id"),
             ["event_type"],
-            ["dev", "event_id"],
+            [F.col("dev").asc_nulls_last(), F.col("event_id")],
             width,
         )
         .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))

@@ -122,6 +122,26 @@ def load_or_build(
 _ROWS_MEMO: dict[tuple, list] = {}
 
 
+def evict_stale(cache: dict, key: tuple) -> None:
+    """Drop cache entries that share ``key``'s prefix (everything but
+    the trailing corpus fingerprint) but carry a DIFFERENT fingerprint
+    (ADVICE r5): an in-session corpus rewrite would otherwise leave the
+    previous fingerprint's localCheckpointed RDD blocks pinned in the
+    block manager for the session's lifetime. Dropping the reference is
+    what ultimately frees the blocks (ContextCleaner releases
+    checkpoint RDDs on GC); unpersist() is applied eagerly where the
+    evicted entry exposes DataFrames."""
+    prefix = key[:-1]
+    for k in [k for k in cache if k[:-1] == prefix and k != key]:
+        v = cache.pop(k)
+        vals = v.values() if isinstance(v, dict) else v if isinstance(v, tuple) else []
+        for df in vals:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def collect_index(
     spark: SparkSession,
     sf_dir: str,
@@ -141,6 +161,7 @@ def collect_index(
     fp = corpus_fingerprint(spark, sf_dir, table)
     key = (index_root(), os.path.abspath(sf_dir), kind, table, fp)
     if key not in _ROWS_MEMO:
+        evict_stale(_ROWS_MEMO, key)
         _ROWS_MEMO[key] = load_or_build(spark, sf_dir, kind, build, table).collect()
     return _ROWS_MEMO[key]
 
@@ -155,6 +176,7 @@ KIND_TABLES = {
     "dedup_cand": "documents",
     "dedup_ws": "documents",
     "graph_edges_w": "lineitem",
+    "ranked_events": "events",
 }
 
 

@@ -412,17 +412,17 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; the clip is a map-side LEAST/GREATEST over non-NULL
     inputs (the NULL-argument divergence class never arises). NULL
     values pass through unclipped with both flags false."""
-    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.operators.ranks import nullsafe_equi_join, ranked_events_stage
 
     e = load_table(spark, sf_dir, "events")
-    # distributed rank (ranks.py): the p05/p95 bounds come from a
-    # range-partitioned rank, so a heavy group never owns one task
-    r = grouped_rank(
-        e.filter(F.col("value").isNotNull()).select("event_type", "value", "event_id"),
-        ["event_type"],
-        ["value", "event_id"],
-        spark.sparkContext.defaultParallelism,
-    )
+    # Shared materialized rank stage (VERDICT r5 #1). The stage ranks
+    # ALL rows with NULLS LAST, so each non-NULL row's stage rank
+    # equals its rank among non-NULLs alone — the filter below keeps
+    # the ranks valid, and the non-NULL group size is just max(rn)
+    # (a |group|-row map-combinable agg instead of a full re-rank).
+    r = ranked_events_stage(spark, sf_dir).filter(F.col("value").isNotNull()).drop("n")
+    nn = r.groupBy("event_type").agg(F.max("rn").alias("n"))
+    r = nullsafe_equi_join(r, nn, ["event_type"], broadcast_right=True)
 
     def at_rank(num: int):
         target = F.floor((F.lit(num) * F.col("n") + 19) / 20).cast("bigint")

@@ -270,6 +270,9 @@ def dedup_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     # (keep_best alone reads cand+ws twice each; measured +0.18 s/query
     # at sf0.1 without this). The store stays the source of truth —
     # the checkpoint is just this session's cache of it.
+    from nova_pulsar_spark.operators.ann_index import evict_stale
+
+    evict_stale(_STAGE_CACHE, key)
     _STAGE_CACHE[key] = (mh.localCheckpoint(), cand.localCheckpoint(), ws.localCheckpoint())
     return _STAGE_CACHE[key]
 

@@ -103,7 +103,11 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers = ranked.groupBy("c_mktsegment", "c_acctbal").agg(
         F.min("rn").alias("__rmin"), F.max("rn").alias("__rmax")
     )
-    return ranked.join(peers, ["c_mktsegment", "c_acctbal"]).select(
+    from nova_pulsar_spark.operators.ranks import nullsafe_equi_join
+
+    # null-safe for consistency with grouped_rank's offset join: the
+    # CUME_DIST/PERCENT_RANK oracle keeps NULL-keyed peer groups
+    return nullsafe_equi_join(ranked, peers, ["c_mktsegment", "c_acctbal"]).select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",

@@ -124,6 +124,9 @@ def copurchase_census(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "oriented": oriented,
         "adj": adj,
     }
+    from nova_pulsar_spark.operators.ann_index import evict_stale
+
+    evict_stale(_CENSUS_CACHE, key)
     _CENSUS_CACHE[key] = out
     return out
 

@@ -32,7 +32,9 @@ twins stay bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -110,6 +112,91 @@ def _nullsafe_join(left: DataFrame, right: DataFrame, group_cols: list[str]) -> 
         cond = cond & left[g].eqNullSafe(r[f"__r_{g}"])
     out = left.join(r, cond)
     return out.drop("__rpid", *[f"__r_{g}" for g in group_cols])
+
+
+_EVENTS_RANK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ranked_events_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(event_type, value, event_id, rn, n)``: rank within
+    ``event_type`` by ``(value ASC NULLS LAST, event_id)``, ``n`` =
+    group row count — the SHARED input of ``median_exact``,
+    ``quantiles_exact``, ``agg_mad_outliers`` (first pass) and
+    ``dq_winsorize``. Materialized once per corpus fingerprint through
+    the index store (the ``dedup_candidates`` protocol,
+    ``operators/ann_index.py``): each consumer previously rebuilt the
+    identical grouped rank, paying the fixed checkpoint+offset
+    overhead per call (VERDICT r5 #1); now the first consumer builds
+    and persists, the rest are one parquet scan.
+
+    NULLS LAST is explicit because it is DuckDB's ASC default and
+    Spark's is NULLS FIRST — with a NULL value in a group the engines'
+    default rank assignments diverge (edge fixture pins the class).
+    It also makes the stage reusable by ``dq_winsorize``: all NULL
+    values rank strictly after every non-NULL row, so the rank of each
+    non-NULL row equals its rank among non-NULLs alone — the filtered
+    consumer re-derives its group size as ``max(rn)`` instead of
+    re-ranking.
+
+    At 100 TB this is the statistics-profile index job beside the
+    corpus: rebuilt once per ingest batch (fingerprint moves), read by
+    every robust-statistics query in between."""
+    from nova_pulsar_spark.operators.ann_index import (
+        corpus_fingerprint,
+        evict_stale,
+        load_or_build,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    fp = corpus_fingerprint(spark, sf_dir, "events")
+    key = (id(spark), os.path.abspath(sf_dir), fp)
+    hit = _EVENTS_RANK_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+        return grouped_rank(
+            e,
+            ["event_type"],
+            [F.col("value").asc_nulls_last(), F.col("event_id")],
+            spark.sparkContext.defaultParallelism,
+        )
+
+    out = load_or_build(spark, sf_dir, "ranked_events", build, table="events")
+    evict_stale(_EVENTS_RANK_CACHE, key)
+    # plain reference (lineage = one parquet scan) — no checkpoint:
+    # consumers scan the stage once per query, so there is no
+    # in-query fan-out to amortize, and not pinning blocks keeps the
+    # session cache memory-free (ADVICE r5 eviction note)
+    _EVENTS_RANK_CACHE[key] = out
+    return out
+
+
+def nullsafe_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    broadcast_right: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-SAFE equality (``<=>``) on every
+    key. SQL ``PARTITION BY`` / ``GROUP BY`` treat NULL as a regular
+    group, so a rejoin of a per-group aggregate back onto its rows must
+    too — a plain equi-join silently drops every NULL-keyed group,
+    diverging from any window-only oracle the moment a group key admits
+    NULLs (the adversarial edge fixture pins the class with NULL
+    ``event_type`` rows). ``<=>`` is a supported hash-join key on
+    Spark, so the plan shape is identical to the plain join."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = left[keys[0]].eqNullSafe(r[f"__r_{keys[0]}"])
+    for k in keys[1:]:
+        cond = cond & left[k].eqNullSafe(r[f"__r_{k}"])
+    return left.join(r, cond, how).drop(*[f"__r_{k}" for k in keys])
 
 
 def grouped_prefix(

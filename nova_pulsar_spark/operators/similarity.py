@@ -2350,3 +2350,87 @@ def llm_simsearch_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_sqerr"),
         F.max("dist").alias("max_sqerr"),
     )
+
+
+# --- Streaming-ingest claim-rung -> stored-index re-key --------------------
+
+# Fixed claim rung for the STREAMING ingest path
+# (streaming/ingest_dedup.py): a stream cannot know the final corpus
+# size, so buckets are claimed at the ladder's base width; the batch
+# compaction below folds stream claims onto the stored full-width
+# index keys.
+EMB_STREAM_BITS = 8
+
+
+@register(
+    "llm_ingest_rekey",
+    sql=f"""
+    WITH sigs AS (
+      SELECT vec_id, {_SIGNS_SQL} AS signs FROM embeddings),
+    k AS (
+      SELECT vec_id, b.b AS band,
+             substr(signs, b.b * {BAND_BITS} + 1, {EMB_STREAM_BITS}) AS sig_claim,
+             substr(signs, b.b * {BAND_BITS} + 1, {BAND_BITS}) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b),
+    o8 AS (
+      SELECT band, sig_claim, MIN(vec_id) AS owner_stream
+      FROM k GROUP BY band, sig_claim),
+    fullb AS (
+      SELECT band, sig_claim, sig, MIN(vec_id) AS owner_index,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM k GROUP BY band, sig_claim, sig)
+    SELECT f.band, f.sig_claim, f.sig, f.n_vecs,
+           o.owner_stream, f.owner_index,
+           f.owner_index <> o.owner_stream AS owner_split
+    FROM fullb f JOIN o8 o USING (band, sig_claim)
+    """,
+    doc=f"Batch compaction of streaming-ingest claim buckets ({EMB_STREAM_BITS}-bit "
+    f"rung) onto the stored full-width ({BAND_BITS}-bit) sign-LSH index keys, "
+    "with the per-bucket owner handoff made explicit",
+)
+def llm_ingest_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision-recovery path named by the round-5 streaming soak
+    (STATE_SOAK_r05: the stream claim rung saturates at
+    bands x 2^EMB_STREAM_BITS buckets): streaming ingest claims sign-LSH
+    buckets at a FIXED base rung because a stream cannot know final
+    corpus size; the batch compaction job re-keys those claims onto the
+    persisted index's FULL band width (operators/ann_index store,
+    `sign_bands` kind). Probe-time ladder truncation operates on the
+    stored width, so folding to full width subsumes every rung the
+    ladder later picks — no re-indexing when the corpus crosses a
+    decade. One row per (claim bucket, stored bucket): `owner_split`
+    marks stored buckets whose owner differs from the stream-rung
+    owner — exactly the vectors the coarse rung shadowed (claimed as
+    collisions) that the compaction promotes back to distinct owners,
+    i.e. the precision the re-key recovers (measured before/after in
+    tools/state_soak.py).
+
+    Plan shape: one scan of the persisted band index (full-width sigs
+    are STORED — the claim key is a prefix, so re-keying is a
+    substring, not a signature recompute), two map-side-combinable
+    groupBys, and a broadcast join of the claim-rung owner table
+    (bounded by bands x 2^{EMB_STREAM_BITS} rows — the saturation
+    ceiling itself) back onto stored buckets. Nothing here is
+    pairwise; every stage is linear in the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = _sign_bands(spark, e, sf_dir)  # store-read: full-width sigs
+    k = bands.select(
+        "vec_id",
+        "band",
+        F.substring(F.col("sig"), 1, EMB_STREAM_BITS).alias("sig_claim"),
+        "sig",
+    )
+    o8 = k.groupBy("band", "sig_claim").agg(F.min("vec_id").alias("owner_stream"))
+    fullb = k.groupBy("band", "sig_claim", "sig").agg(
+        F.min("vec_id").alias("owner_index"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    return fullb.join(F.broadcast(o8), ["band", "sig_claim"]).select(
+        "band",
+        "sig_claim",
+        "sig",
+        "n_vecs",
+        "owner_stream",
+        "owner_index",
+        (F.col("owner_index") != F.col("owner_stream")).alias("owner_split"),
+    )

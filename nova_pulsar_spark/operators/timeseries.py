@@ -794,7 +794,11 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(f"sequence(1, {ACF_LAGS})")).alias("lag"),
         F.col("rn").alias("src_rn"),
     ).select("event_type", "y", "lag", (F.col("src_rn") + F.col("lag")).alias("rn"))
-    pairs = ranked.join(probe, ["event_type", "rn"])
+    from nova_pulsar_spark.operators.ranks import nullsafe_equi_join
+
+    # null-safe: the oracle's LAG window keeps a NULL event_type group;
+    # a plain equi-join here would drop it (ADVICE r5)
+    pairs = nullsafe_equi_join(ranked, probe, ["event_type", "rn"])
     s = pairs.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
@@ -1287,9 +1291,9 @@ LTTB_K = 24  # output points per series
                      - (CAST(s.sx AS DOUBLE) - CAST(p.x AS DOUBLE)) * (nx.nay - s.sy)) DESC,
                  p.x DESC, p.y DESC) AS rn
         FROM sel s
-        JOIN bk p ON p.event_type = s.event_type AND p.i = s.i + 1
+        JOIN bk p ON p.event_type IS NOT DISTINCT FROM s.event_type AND p.i = s.i + 1
                  AND p.i <= {LTTB_K - 2}
-        JOIN nexts nx ON nx.event_type = p.event_type AND nx.i = p.i) t
+        JOIN nexts nx ON nx.event_type IS NOT DISTINCT FROM p.event_type AND nx.i = p.i) t
       WHERE t.rn = 1)
     SELECT event_type, CAST(i AS BIGINT) AS seq,
            CAST(sx AS BIGINT) AS x_rel_us, sy AS value
@@ -1342,9 +1346,13 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = grouped_rank(
         p0, ["event_type"], ["xa", "y"], spark.sparkContext.defaultParallelism
     )
+    from nova_pulsar_spark.operators.ranks import nullsafe_equi_join
+
     mins = ranked.filter(F.col("rn") == 1).select("event_type", F.col("xa").alias("minx"))
     pts = (
-        ranked.join(F.broadcast(mins), "event_type")
+        # null-safe: the oracle's MIN/COUNT windows keep a NULL
+        # event_type group; a plain equi-join here would drop it
+        nullsafe_equi_join(ranked, mins, ["event_type"], broadcast_right=True)
         .select(
             "event_type",
             (F.col("xa") - F.col("minx")).alias("x"),

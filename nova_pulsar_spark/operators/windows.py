@@ -172,7 +172,10 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("richest_cust"),
         F.col("c_acctbal").alias("__top_bal"),
     )
-    return ranked.join(F.broadcast(tops), "c_mktsegment").select(
+    from nova_pulsar_spark.operators.ranks import nullsafe_equi_join
+
+    # null-safe: NTILE/FIRST_VALUE oracle windows keep a NULL segment
+    return nullsafe_equi_join(ranked, tops, ["c_mktsegment"], broadcast_right=True).select(
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",

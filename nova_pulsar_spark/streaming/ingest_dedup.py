@@ -116,10 +116,11 @@ def near_dup_stream(doc_stream: DataFrame) -> DataFrame:
 
 # --- Embedding (ANN) ingest dedup: sign-LSH buckets as stream state --------
 
-EMB_STREAM_BITS = 8  # fixed claim rung: a stream cannot know final corpus
-# size, so buckets are claimed at the ladder's base width; the batch
-# compaction that folds stream state into the persisted index re-keys to
-# the corpus-appropriate rung (operators/similarity.py ladder).
+# Fixed claim rung: a stream cannot know final corpus size, so buckets
+# are claimed at the ladder's base width; the batch compaction that
+# folds stream state into the persisted index re-keys onto the stored
+# full-width keys (operators/similarity.py `llm_ingest_rekey`).
+from nova_pulsar_spark.operators.similarity import EMB_STREAM_BITS  # noqa: E402
 
 EMB_NEARDUP_OUT_SCHEMA = "band int, sig string, vec_id long, first_vec long, is_new boolean"
 

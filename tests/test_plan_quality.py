@@ -244,8 +244,7 @@ def test_distributed_rank_windows_are_pid_composited(spark):
     by the bare low-cardinality group key over a corpus frame: every
     corpus-sized window partitioning carries __pid in its key, and the
     offset lift is a broadcast join (never a shuffle join)."""
-    for name in ("median_exact", "quantiles_exact", "agg_mad_outliers",
-                 "dq_winsorize", "ts_drawdown", "llm_pack_sequences",
+    for name in ("agg_mad_outliers", "ts_drawdown", "llm_pack_sequences",
                  "llm_sample_per_group", "llm_quality_percentile"):
         p = _plan(spark, name)
         assert "hashpartitioning(__pid" in p, name
@@ -254,6 +253,37 @@ def test_distributed_rank_windows_are_pid_composited(spark):
         # the broadcast, which plan as BroadcastHashJoin, not SMJ)
         assert "SortMergeJoin" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_rank_stage_consumers_read_the_store(spark):
+    """median/quantiles/winsorize ride the MATERIALIZED ranked-events
+    stage (VERDICT r5 #1): their plans scan the index store's parquet
+    (lineage = one scan, never the rank rebuild) and still plan no
+    corpus shuffle join."""
+    for name in ("median_exact", "quantiles_exact", "dq_winsorize"):
+        p = _plan(spark, name)
+        assert "ranked_events" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "hashpartitioning(__pid" not in p, name  # no inline rebuild
+
+
+def test_ranked_events_stage_build_is_pid_composited(spark):
+    """The stage BUILD itself (what the first consumer pays once per
+    corpus fingerprint) keeps the distributed-rank shape: window keys
+    carry __pid, offsets lift via broadcast."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+    from nova_pulsar_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events").select("event_type", "value", "event_id")
+    df = grouped_rank(
+        e, ["event_type"], [F.col("value").asc_nulls_last(), F.col("event_id")], 8
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pid" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_grouped_head_first_stage_is_pid_local(spark):

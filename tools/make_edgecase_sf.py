@@ -110,6 +110,13 @@ def main(out_dir: str) -> None:
         (9, m(7), 9, "error", 0.0, None),
         # lone user far in the future (gap-fill spine edge)
         (10, m(60 * 24), 10, "purchase", 3.0, '{"deep": {"a": [1, 2]}}'),
+        # NULL event_type — PARTITION BY/GROUP BY treat NULL as a
+        # regular group, so every group-key rejoin must be null-safe
+        # (ranks.nullsafe_equi_join) or this group silently vanishes
+        # from the Spark side while the window-only oracle keeps it
+        (11, m(8), 7, None, 2.0, None),
+        (12, m(9), 8, None, 4.0, '{"k": 3}'),
+        (13, m(10), 9, None, None, None),  # NULL type AND NULL value
     ]
     _write(spark.createDataFrame(
         events,

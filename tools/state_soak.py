@@ -131,6 +131,82 @@ def _run_ingest(spark, src: str, ckpt: str, modality: str = "text") -> tuple[flo
     return wall, (sops[-1] if sops else {})
 
 
+def rekey_precision(spark, src: str) -> dict:
+    """Before/after precision of stream-rung claim collisions vs the
+    full-width re-key (`llm_ingest_rekey`): among distinct
+    (claimant, bucket-owner) collision pairs, the fraction whose true
+    cosine >= EMB_DUP_THRESHOLD — at the fixed EMB_STREAM_BITS claim
+    rung (before: what the stream's saturated buckets assert) and
+    after folding the claims onto the stored BAND_BITS-wide index keys
+    (after: only pairs still colliding at full width survive). This is
+    the precision-recovery measurement VERDICT r5 asked to pin: once
+    the claim rung saturates (state caps at bands x 2^bits), coarse
+    buckets conflate unrelated vectors; the batch compaction re-key
+    separates them without touching recall at the stored width."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.similarity import (
+        BAND_BITS,
+        EMB_DUP_THRESHOLD,
+        EMB_STREAM_BITS,
+        N_BANDS,
+        _fold_dot,
+        _signs_spark,
+    )
+
+    e = spark.read.schema("vec_id long, embedding array<float>").json(src)
+    sigs = e.select("vec_id", _signs_spark().alias("signs")).localCheckpoint()
+    bands_tbl = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+
+    def claim_pairs(bits: int):
+        k = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+            "vec_id",
+            "band",
+            F.expr(f"substring(signs, band * {BAND_BITS} + 1, {bits})").alias("sig"),
+        )
+        o = k.groupBy("band", "sig").agg(F.min("vec_id").alias("owner"))
+        return (
+            k.join(o, ["band", "sig"])
+            .filter(F.col("vec_id") != F.col("owner"))
+            .select("vec_id", "owner")
+            .distinct()
+        )
+
+    norm = F.sqrt(_fold_dot("embedding", "embedding"))
+    ea = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), norm.alias("na"))
+    eb = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), norm.alias("nb"))
+
+    def measure(pairs) -> tuple[int, float]:
+        cos = F.when(
+            F.col("na") * F.col("nb") != 0, _fold_dot("va", "vb") / (F.col("na") * F.col("nb"))
+        )
+        row = (
+            pairs.join(ea, F.col("ia") == F.col("vec_id"))
+            .join(eb, F.col("ib") == F.col("owner"))
+            .select((cos >= EMB_DUP_THRESHOLD).alias("hit"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("hit").cast("int")).alias("h"),
+            )
+            .first()
+        )
+        n = row["n"] or 0
+        return (n, round((row["h"] or 0) / n, 4)) if n else (0, None)
+
+    n0, p0 = measure(claim_pairs(EMB_STREAM_BITS))
+    n1, p1 = measure(claim_pairs(BAND_BITS))
+    return {
+        "threshold": EMB_DUP_THRESHOLD,
+        "claim_rung_bits": EMB_STREAM_BITS,
+        "stored_bits": BAND_BITS,
+        "claim_pairs": n0,
+        "claim_precision": p0,
+        "rekey_pairs": n1,
+        "rekey_precision": p1,
+        "pairs_dropped_by_rekey": n0 - n1,
+    }
+
+
 def soak(spark, n_docs: int, workdir: str, modality: str = "text") -> dict:
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ckpt")
@@ -148,12 +224,13 @@ def soak(spark, n_docs: int, workdir: str, modality: str = "text") -> dict:
         else:
             fh.write(json.dumps({"vec_id": n_docs + 1, "embedding": [0.1] * 64}) + "\n")
     recovery_wall, sop2 = _run_ingest(spark, src, ckpt, modality)
+    rekey = rekey_precision(spark, src) if modality == "embedding" else None
 
     rocks = {
         k: v for k, v in (sop2.get("customMetrics") or {}).items()
         if k in ("rocksdbSstFileSize", "rocksdbTotalMemoryUsage", "rocksdbPinnedBlocksMemoryUsage")
     }
-    return {
+    out = {
         "n_docs": n_docs,
         "ingest_sec": round(ingest_wall, 2),
         "recovery_sec": round(recovery_wall, 2),
@@ -162,6 +239,9 @@ def soak(spark, n_docs: int, workdir: str, modality: str = "text") -> dict:
         "checkpoint_bytes": _du(ckpt),
         "rocksdb": rocks,
     }
+    if rekey is not None:
+        out["rekey_precision"] = rekey
+    return out
 
 
 def main() -> dict:
