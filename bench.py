@@ -132,6 +132,7 @@ HEADLINE = [
     "llm_split_leakage_rate",
     "llm_ngram_novelty",
     "llm_postings_stats",
+    "llm_ingest_rekey",
 ]
 
 

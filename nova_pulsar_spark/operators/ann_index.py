@@ -134,7 +134,7 @@ def evict_stale(cache: dict, key: tuple) -> None:
     prefix = key[:-1]
     for k in [k for k in cache if k[:-1] == prefix and k != key]:
         v = cache.pop(k)
-        vals = v.values() if isinstance(v, dict) else v if isinstance(v, tuple) else []
+        vals = v.values() if isinstance(v, dict) else v if isinstance(v, tuple) else [v]
         for df in vals:
             try:
                 df.unpersist()

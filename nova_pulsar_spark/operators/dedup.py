@@ -726,7 +726,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment instead of re-running the fixpoint (the production
     shape: the component table is persisted next to the corpus).
     """
-    key = (id(spark), sf_dir)
+    from nova_pulsar_spark.operators.ann_index import corpus_fingerprint
+
+    # fingerprint-keyed (ADVICE r5): in-session corpus rewrites
+    # invalidate; stale entries evicted on insert
+    key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "documents"))
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -770,6 +774,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component_id"),
         (F.col("label") == F.col("src")).alias("is_keeper"),
     )
+    from nova_pulsar_spark.operators.ann_index import evict_stale
+
+    evict_stale(_CLUSTER_CACHE, key)
     _CLUSTER_CACHE[key] = out
     return out
 

@@ -108,9 +108,16 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE doubles bit-exactly, so a loaded index probes identically to a
     freshly built one (oracle-pinned).
     """
-    from nova_pulsar_spark.operators.ann_index import load_or_build
+    from nova_pulsar_spark.operators.ann_index import (
+        corpus_fingerprint,
+        evict_stale,
+        load_or_build,
+    )
 
-    key = (id(spark), sf_dir)
+    # fingerprint-keyed (ADVICE r5): an in-session corpus rewrite must
+    # not serve the previous corpus's cached index frame; stale
+    # entries are evicted (and unpersisted) on insert
+    key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
@@ -138,6 +145,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cent = load_or_build(spark, sf_dir, "ivf_centroids", build).cache()
+    evict_stale(_CENTROID_CACHE, key)
     _CENTROID_CACHE[key] = cent
     return cent
 
@@ -206,10 +214,51 @@ EMB_MAX_BUCKET = 64  # hot-bucket cap on (band, prefix-sig) buckets
 # sign-LSH needs the ladder. The full 16-bit sigs are stored in the
 # persisted index; prefix truncation happens at candidate/probe time,
 # so a corpus growing within the ladder re-keys without re-indexing.
-# Production extends the CASE rungs (or re-plans N_PLANES) as the
-# corpus crosses decades; saturated buckets beyond the cap are dropped
-# exactly like the MinHash MAX_BUCKET discipline.
-_BITS_LADDER_SQL = "CASE WHEN n >= 16000 THEN 16 WHEN n >= 4000 THEN 12 ELSE 8 END"
+# Past the stored slice width the ladder keeps climbing by PAIRING
+# adjacent slices (round-6, the fourth-decade audit): a 24-bit rung
+# keys 4 bands on substr(signs, band*32+1, 24) — the stored index
+# still re-keys without re-indexing, because paired slices are
+# contiguous in the 128-bit signature (concat of stored slice 2b and
+# 2b+1 = substr(signs, b*32+1, 32)). Fewer, wider bands is the
+# standard LSH s-curve retune as the corpus grows; the recall ledgers
+# (llm_dedup_lsh_recall / cap_loss) price each step. Saturated
+# buckets beyond the cap are dropped exactly like the MinHash
+# MAX_BUCKET discipline.
+_BITS_LADDER_SQL = (
+    "CASE WHEN n >= 1000000 THEN 24 WHEN n >= 16000 THEN 16 "
+    "WHEN n >= 4000 THEN 12 ELSE 8 END"
+)
+
+
+def _bits_for(n: int) -> int:
+    """Python twin of ``_BITS_LADDER_SQL`` (kept textually adjacent so
+    they cannot drift) — the rung decision is driver-side on the Spark
+    path; production reads the corpus count from the index metadata."""
+    if n >= 1000000:
+        return 24
+    if n >= 16000:
+        return 16
+    if n >= 4000:
+        return 12
+    return 8
+
+
+def _bands_cte(extra_cols: str = "") -> str:
+    """The shared ``bands`` CTE body (DuckDB side): per-vector band
+    keys at the ladder's active rung. Rungs at or under the stored
+    slice width prefix one slice (8 bands); wider rungs prefix PAIRED
+    slices (4 bands) — both are substrings of the full ``signs``
+    string, so one SQL expression covers every rung."""
+    return f"""bands AS (
+      SELECT vec_id{extra_cols}, b.b AS band,
+             substr(signs,
+                    b.b * (CASE WHEN nbits.bits <= {BAND_BITS}
+                                THEN {BAND_BITS} ELSE {BAND_BITS * 2} END) + 1,
+                    nbits.bits) AS sig
+      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
+      CROSS JOIN nbits
+      WHERE b.b < (CASE WHEN nbits.bits <= {BAND_BITS}
+                        THEN {N_BANDS} ELSE {N_BANDS // 2} END))"""
 EMB_DUP_THRESHOLD = 0.40
 # Rerank report threshold for the label-filtered verify query — lower
 # than the dup cut so the oracle compares a non-vacuous result set.
@@ -259,11 +308,7 @@ _EMB_CAND_CTES = f"""sigs AS (
     nbits AS (
       SELECT {_BITS_LADDER_SQL} AS bits
       FROM (SELECT COUNT(*) AS n FROM embeddings)),
-    bands AS (
-      SELECT vec_id, embedding, b.b AS band,
-             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
-      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
-      CROSS JOIN nbits),
+    {_bands_cte(", embedding")},
     okb AS (
       SELECT band, sig FROM bands
       GROUP BY band, sig HAVING COUNT(*) <= {EMB_MAX_BUCKET}),
@@ -291,7 +336,12 @@ def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) ->
     top saves the store read per query. For ad-hoc frames (sf_dir
     None — e.g. a streaming micro-batch probing against itself) it is
     localCheckpoint-materialized for the session only."""
-    key = (id(spark), sf_dir) if sf_dir is not None else None
+    key = None
+    if sf_dir is not None:
+        from nova_pulsar_spark.operators.ann_index import corpus_fingerprint
+
+        # fingerprint-keyed (ADVICE r5): in-session rewrites invalidate
+        key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
     if key is not None and key in _BANDS_CACHE:
         return _BANDS_CACHE[key]
 
@@ -309,21 +359,52 @@ def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) ->
     from nova_pulsar_spark.operators.ann_index import load_or_build
 
     bands = load_or_build(spark, sf_dir, _BANDS_KIND, build)
+    from nova_pulsar_spark.operators.ann_index import evict_stale
+
+    evict_stale(_BANDS_CACHE, key)
     _BANDS_CACHE[key] = bands
     return bands
 
 
-def _prefix_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) -> DataFrame:
+def _prefix_bands(
+    spark: SparkSession,
+    e: DataFrame,
+    sf_dir: str | None = None,
+    bits_override: int | None = None,
+) -> DataFrame:
     """(vec_id, band, sig) with the sig truncated to the corpus-size
     ladder's effective bit width — the re-keying view over the stored
     full-width index (Spark side of the ``nbits``/``bands`` CTEs).
-    The corpus count rides in as a broadcast 1-row frame so the plan
-    stays a single job (production caches the count in the index
-    metadata at build time)."""
+
+    Rungs at or under the stored slice width are a per-row substring
+    of the stored sig. WIDER rungs (the fourth-decade extension) pair
+    adjacent stored slices: wide band w = concat(slice 2w, slice 2w+1)
+    = substr(signs, w*32+1, 32), prefixed to the rung width — one
+    map-combinable groupBy over the index frame (8n rows → 4n), still
+    no signature recompute and no re-index. The rung decision is a
+    driver-side metadata count (production reads it from the index
+    meta written at build time); ``bits_override`` lets tests pin a
+    rung without a million-vector corpus."""
     bands = _sign_bands(spark, e, sf_dir)
-    nbits = e.agg(F.count(F.lit(1)).alias("n")).select(F.expr(_BITS_LADDER_SQL).alias("bits"))
-    return bands.crossJoin(F.broadcast(nbits)).select(
-        "vec_id", "band", F.expr("substring(sig, 1, bits)").alias("sig")
+    bits = bits_override if bits_override is not None else _bits_for(e.count())
+    if bits <= BAND_BITS:
+        return bands.select(
+            "vec_id", "band", F.expr(f"substring(sig, 1, {bits})").alias("sig")
+        )
+    return (
+        bands.withColumn("wband", F.expr("CAST(band DIV 2 AS INT)"))
+        .groupBy("vec_id", "wband")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(band, sig))), "
+                "s -> s.sig), '')"
+            ).alias("wsig")
+        )
+        .select(
+            "vec_id",
+            F.col("wband").alias("band"),
+            F.expr(f"substring(wsig, 1, {bits})").alias("sig"),
+        )
     )
 
 
@@ -335,7 +416,11 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
     candidate-generation query and the label-filtered rerank consume
     the same materialization (the production shape: the candidate
     table is a persisted intermediate)."""
-    key = (id(spark), sf_dir) if sf_dir is not None else None
+    key = None
+    if sf_dir is not None:
+        from nova_pulsar_spark.operators.ann_index import corpus_fingerprint
+
+        key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
     if key is not None and key in _EMB_CAND_CACHE:
         return _EMB_CAND_CACHE[key]
     pb = _prefix_bands(spark, e, sf_dir)
@@ -359,6 +444,9 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
         .localCheckpoint()
     )
     if key is not None:
+        from nova_pulsar_spark.operators.ann_index import evict_stale
+
+        evict_stale(_EMB_CAND_CACHE, key)
         _EMB_CAND_CACHE[key] = cand
     return cand
 
@@ -552,11 +640,7 @@ RANGE_THRESHOLD = 0.05  # radius (min cosine); tuned so the fixture probe return
     nbits AS (
       SELECT {_BITS_LADDER_SQL} AS bits
       FROM (SELECT COUNT(*) AS n FROM embeddings)),
-    bands AS (
-      SELECT vec_id, b.b AS band,
-             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
-      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
-      CROSS JOIN nbits),
+    {_bands_cte()},
     okb AS (
       SELECT band, sig FROM bands
       GROUP BY band, sig HAVING COUNT(*) <= {EMB_MAX_BUCKET}),
@@ -2016,11 +2100,7 @@ def llm_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     nbits AS (
       SELECT {_BITS_LADDER_SQL} AS bits
       FROM (SELECT COUNT(*) AS n FROM embeddings)),
-    bands AS (
-      SELECT vec_id, b.b AS band,
-             substr(signs, b.b * {BAND_BITS} + 1, nbits.bits) AS sig
-      FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {N_BANDS})) AS b) b
-      CROSS JOIN nbits),
+    {_bands_cte()},
     buckets AS (
       SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig)
     SELECT CAST(band AS BIGINT) AS band,

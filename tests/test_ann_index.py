@@ -125,3 +125,60 @@ def test_half_built_index_is_invisible(spark, tmp_path, monkeypatch):
     os.remove(os.path.join(index_root(), "probe_kind", f"corpus-{fp}", "_meta.json"))
     load_or_build(spark, d, "probe_kind", build).count()
     assert calls["n"] == 2
+
+
+# --- Fourth-decade ladder rung: paired-slice widening ----------------------
+
+
+def test_bits_ladder_rungs():
+    """Python twin of _BITS_LADDER_SQL; the 24-bit rung engages at a
+    million vectors and NEVER at any tested/driver SF (<= 2000)."""
+    assert S._bits_for(500) == 8
+    assert S._bits_for(4000) == 12
+    assert S._bits_for(16000) == 16
+    assert S._bits_for(999_999) == 16
+    assert S._bits_for(1_000_000) == 24
+
+
+def test_wide_rung_pairs_adjacent_slices(spark):
+    """bits > BAND_BITS re-keys the STORED 16-bit slices by pairing
+    adjacent bands: wide band w must equal substr(signs, w*32+1, bits)
+    — i.e. the stored index still serves the rung with no signature
+    recompute (the fourth-decade audit's re-narrowing path)."""
+    e = spark.createDataFrame(
+        [(i, [((i * 13 + d * 7) % 21 - 10) / 10.0 for d in range(S.DIM)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    wide = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in S._prefix_bands(spark, e, None, bits_override=24).collect()
+    }
+    expected = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in e.select("vec_id", S._signs_spark().alias("signs"))
+        .selectExpr("vec_id", "explode(sequence(0, 3)) AS band", "signs")
+        .selectExpr("vec_id", "band", "substring(signs, band * 32 + 1, 24) AS sig")
+        .collect()
+    }
+    assert wide == expected
+    assert len(wide) == 40 * (S.N_BANDS // 2)
+    assert all(len(s) == 24 for s in wide.values())
+
+
+def test_narrow_rung_unchanged_by_ladder_extension(spark):
+    """At every tested corpus size the active rung is <= BAND_BITS, so
+    the ladder extension must be invisible: _prefix_bands output equals
+    the plain stored-sig prefix."""
+    e = spark.createDataFrame(
+        [(i, [((i * 5 + d) % 13 - 6) / 6.0 for d in range(S.DIM)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in S._prefix_bands(spark, e, None).collect()  # n=30 -> 8 bits
+    }
+    expected = {
+        (r["vec_id"], r["band"]): r["sig"][:8]
+        for r in S._sign_bands(spark, e, None).collect()
+    }
+    assert got == expected

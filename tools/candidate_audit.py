@@ -84,9 +84,12 @@ def audit_dir(spark, sf_dir: str) -> dict:
     out["mh_cand"] = lsh_candidates(minhash_signatures(d)).count()
     out["mh_secs"] = round(time.time() - t0, 1)
 
+    from nova_pulsar_spark.operators.similarity import _bits_for
+
     t0 = time.time()
     out["emb_cand"] = _sign_lsh_candidates(spark, e, None).count()
     out["emb_secs"] = round(time.time() - t0, 1)
+    out["emb_ladder_bits"] = _bits_for(out["n_vecs"])
 
     from nova_pulsar_spark.registry import all_queries
 
@@ -103,7 +106,7 @@ def main() -> dict:
     spark = get_spark("candidate-audit")
     spark.sparkContext.setLogLevel("ERROR")
     results = {"sf0.1": audit_dir(spark, base)}
-    for label, n in (("x10", 10), ("x100", 100)):
+    for label, n in (("x10", 10), ("x100", 100), ("x1000", 1000)):
         wd = tempfile.mkdtemp(prefix=f"cand_{label}_")
         try:
             _scale_docs_embeddings(base, wd, n)
@@ -113,7 +116,11 @@ def main() -> dict:
     results["note"] = (
         "healthy = candidates per doc/vec grow sublinearly per decade (blocking "
         "keys are capped or corpus-laddered); a superlinear jump here is the "
-        "fixed-keyspace class caught in round 4"
+        "fixed-keyspace class caught in round 4. The fourth decade (x1000, 2M "
+        "vecs) is where the sign-LSH ladder's 24-bit paired-slice rung engages "
+        "(similarity._BITS_LADDER_SQL): without it the 16-bit rung's keyspace "
+        "is fixed and occupancy — hence candidates — grows linearly with the "
+        "corpus again"
     )
     print(json.dumps(results))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
