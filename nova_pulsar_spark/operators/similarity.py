@@ -319,8 +319,9 @@ _EMB_CAND_CTES = f"""sigs AS (
       JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)"""
 
 
-_EMB_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
-_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EMB_CAND_CACHE: dict[tuple, DataFrame] = {}
+_BANDS_CACHE: dict[tuple, DataFrame] = {}
+_NBITS_MEMO: dict[tuple, int] = {}
 # Store kind is layout-versioned: changing the plane/band geometry
 # orphans old index directories (the janitor reclaims them) instead of
 # silently probing a stale layout.
@@ -384,9 +385,22 @@ def _prefix_bands(
     no signature recompute and no re-index. The rung decision is a
     driver-side metadata count (production reads it from the index
     meta written at build time); ``bits_override`` lets tests pin a
-    rung without a million-vector corpus."""
+    rung without a million-vector corpus. For a named corpus the rung
+    is memoized per fingerprint so repeat probes skip even the
+    metadata count job."""
     bands = _sign_bands(spark, e, sf_dir)
-    bits = bits_override if bits_override is not None else _bits_for(e.count())
+    if bits_override is not None:
+        bits = bits_override
+    elif sf_dir is not None:
+        from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, evict_stale
+
+        nk = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
+        if nk not in _NBITS_MEMO:
+            evict_stale(_NBITS_MEMO, nk)
+            _NBITS_MEMO[nk] = _bits_for(e.count())
+        bits = _NBITS_MEMO[nk]
+    else:
+        bits = _bits_for(e.count())
     if bits <= BAND_BITS:
         return bands.select(
             "vec_id", "band", F.expr(f"substring(sig, 1, {bits})").alias("sig")

@@ -292,3 +292,14 @@ def test_grouped_head_first_stage_is_pid_local(spark):
     per-group rank."""
     p = _plan(spark, "topk_per_group")
     assert "hashpartitioning(__pid" in p
+
+
+def test_ingest_rekey_broadcasts_claim_owners(spark):
+    """llm_ingest_rekey joins stored buckets against the claim-rung
+    owner table, which is bounded by bands x 2^EMB_STREAM_BITS rows —
+    it must plan broadcast with partial (map-side) aggregation on both
+    groupBys, never a corpus-side shuffle join."""
+    p = _plan(spark, "llm_ingest_rekey")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_min" in p
