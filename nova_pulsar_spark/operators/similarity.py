@@ -2528,3 +2528,111 @@ def llm_ingest_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
         "owner_index",
         (F.col("owner_index") != F.col("owner_stream")).alias("owner_split"),
     )
+
+
+# --- Sign-LSH recall ledger (the rung-trade price tag) ---------------------
+
+RECALL_ANCHOR_MOD = 10  # deterministic anchor sample: vec_id % MOD == 0
+EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
+
+
+@register(
+    "llm_dedup_embedding_recall",
+    sql=f"""
+    WITH {_EMB_CAND_CTES},
+    anchors AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {RECALL_ANCHOR_MOD} = 0),
+    truth AS (
+      SELECT LEAST(a.vec_id, e.vec_id) AS lo,
+             GREATEST(a.vec_id, e.vec_id) AS hi,
+             MAX(CASE WHEN {_sql_cos("a.embedding", "e.embedding")}
+                          >= {EMB_STRONG_THRESHOLD} THEN 1 ELSE 0 END) AS strong
+      FROM anchors a JOIN embeddings e ON e.vec_id <> a.vec_id
+      WHERE {_sql_cos("a.embedding", "e.embedding")} >= {EMB_DUP_THRESHOLD}
+      GROUP BY 1, 2),
+    hit AS (
+      SELECT t.lo, t.hi, t.strong,
+             CASE WHEN c.vec_a IS NULL THEN 0 ELSE 1 END AS got
+      FROM truth t LEFT JOIN cand c ON c.vec_a = t.lo AND c.vec_b = t.hi)
+    SELECT CAST((SELECT COUNT(*) FROM anchors) AS BIGINT) AS n_anchors,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(got) AS BIGINT) AS n_hit,
+           CAST(SUM(got) AS DOUBLE) / NULLIF(COUNT(*), 0) AS recall,
+           CAST(SUM(strong) AS BIGINT) AS n_truth_strong,
+           CAST(SUM(strong * got) AS BIGINT) AS n_hit_strong,
+           CAST(SUM(strong * got) AS DOUBLE) / NULLIF(SUM(strong), 0)
+             AS recall_strong
+    FROM hit
+    """,
+    doc=f"Sign-LSH candidate recall vs the exact-cosine truth set over a "
+    f"1-in-{RECALL_ANCHOR_MOD} anchor sample, tiered at the dup threshold and "
+    f"the strong (≥{EMB_STRONG_THRESHOLD}) tier — the rung-trade price tag "
+    "for the embedding banding ladder (mirrors llm_dedup_lsh_recall for text)",
+)
+def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ladder's recall ledger: every rung the prefix ladder climbs
+    (8 → 12 → 16 → 24-bit paired slices) steepens the LSH s-curve and
+    sheds borderline pairs; this query PRICES that by measuring, over
+    a deterministic 1-in-10 anchor sample, what fraction of true
+    near-dup pairs (exact cosine ≥ threshold) the banded candidate
+    stage at the ACTIVE rung still surfaces — TIERED, because banding
+    recall is an s-curve: borderline pairs (cos just over the 0.40
+    threshold, sign-agreement ~0.6) collide rarely by design, while
+    strong near-dups (cos ≥ 0.9, agreement ≥ 0.97) collide almost
+    surely. `recall` prices the borderline tier, `recall_strong` the
+    tier dedup actually targets. Run beside
+    `llm_dedup_embedding_cap_loss` (what the cap drops) it makes the
+    precision/recall trade fully observable per corpus — the audit
+    pair SCALE.md's fourth-decade note leans on.
+
+    Scale shape: the truth set is NEVER all-pairs — the anchor sample
+    is broadcast (n/10 rows, bounded by construction) against one
+    corpus scan, so exact-cosine work is linear in the corpus; the
+    candidate probe is a broadcast-able left join on the (bounded)
+    truth pairs. Recall is a ratio of two integers, one float
+    division — bit-identical across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % RECALL_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("av"), F.col("embedding").alias("ae")
+    )
+    cos = cosine("ae", "embedding")
+    truth = (
+        e.join(F.broadcast(anchors), F.col("vec_id") != F.col("av"))
+        .select(
+            F.least("av", "vec_id").alias("lo"),
+            F.greatest("av", "vec_id").alias("hi"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= EMB_DUP_THRESHOLD)
+        .groupBy("lo", "hi")
+        .agg(
+            F.max(
+                F.when(F.col("c") >= EMB_STRONG_THRESHOLD, 1).otherwise(0)
+            ).alias("strong")
+        )
+    )
+    cand = _sign_lsh_candidates(spark, e, sf_dir)
+    hit = truth.join(
+        cand,
+        (F.col("vec_a") == F.col("lo")) & (F.col("vec_b") == F.col("hi")),
+        "left",
+    ).select(
+        "strong", F.when(F.col("vec_a").isNull(), 0).otherwise(1).alias("got")
+    )
+    n_anchors = anchors.count()
+    return hit.agg(
+        F.lit(n_anchors).cast("bigint").alias("n_anchors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum("got").cast("bigint").alias("n_hit"),
+        (
+            F.sum("got").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double")
+        ).alias("recall"),
+        F.sum("strong").cast("bigint").alias("n_truth_strong"),
+        F.sum(F.col("strong") * F.col("got")).cast("bigint").alias("n_hit_strong"),
+        (
+            F.sum(F.col("strong") * F.col("got")).cast("double")
+            / F.nullif(F.sum("strong"), F.lit(0)).cast("double")
+        ).alias("recall_strong"),
+    )

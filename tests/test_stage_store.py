@@ -152,3 +152,48 @@ def test_gc_stale_judges_each_kind_by_its_own_table(spark, tmp_path, monkeypatch
     assert not os.path.exists(live_cand[0])
     assert os.path.exists(live_graph[0])
     assert len(glob.glob(os.path.join(index_root(), "dedup_cand", "*"))) == 1
+
+
+def test_session_caches_evict_stale_fingerprints(spark, tmp_path, monkeypatch):
+    """ADVICE r5: fingerprint-keyed session caches must EVICT the
+    previous fingerprint's entry on insert — an in-session corpus
+    rewrite must neither serve stale frames NOR leave the old entry
+    (and its pinned blocks) in the cache for the session's lifetime."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    d = str(tmp_path / "corpus")
+
+    # dedup stage cache: rewrite WITHOUT clearing the session memo
+    _write_docs(spark, d, seed=0)
+    D._STAGE_CACHE.clear()
+    D.dedup_candidates(spark, d)
+    assert len(D._STAGE_CACHE) == 1
+    old_key = next(iter(D._STAGE_CACHE))
+    _write_docs(spark, d, seed=9, n=12)
+    _, cand2, _ = D.dedup_candidates(spark, d)  # no manual clear
+    # stale entry evicted, new fingerprint's entry present, results fresh
+    assert len(D._STAGE_CACHE) == 1
+    assert next(iter(D._STAGE_CACHE)) != old_key
+    assert max(r.doc_b for r in cand2.collect()) == 11
+
+    # embedding band cache: same discipline through _sign_bands
+    from nova_pulsar_spark.operators import similarity as S
+
+    def _write_emb(seed, n):
+        spark.createDataFrame(
+            [(i, [((i * 3 + dd + seed) % 9 - 4) / 4.0 for dd in range(S.DIM)], i % 2)
+             for i in range(n)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    S._BANDS_CACHE.clear()
+    _write_emb(0, 8)
+    from nova_pulsar_spark.sources.tables import load_table
+
+    S._sign_bands(spark, load_table(spark, d, "embeddings"), d)
+    assert len(S._BANDS_CACHE) == 1
+    bk = next(iter(S._BANDS_CACHE))
+    _write_emb(5, 10)
+    got = S._sign_bands(spark, load_table(spark, d, "embeddings"), d)
+    assert len(S._BANDS_CACHE) == 1
+    assert next(iter(S._BANDS_CACHE)) != bk
+    assert got.select("vec_id").distinct().count() == 10
