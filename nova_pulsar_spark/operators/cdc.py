@@ -40,7 +40,7 @@ def change_compress(changes: DataFrame) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_id, ts, value,
              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT user_id, event_id, ts, value
     FROM seq WHERE value IS DISTINCT FROM prev_value
     """,
@@ -56,7 +56,11 @@ def cdc_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe comparison (`eqNullSafe` / `IS DISTINCT FROM`) so NULL
     transitions are kept.
     """
-    return change_compress(load_table(spark, sf_dir, "events"))
+    # timestamped-rows contract: a change stream is time-ordered;
+    # NULL ts rows are excluded on both engines
+    return change_compress(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    )
 
 
 @register(
@@ -65,7 +69,7 @@ def cdc_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_id, ts, value,
              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     changes AS (
       SELECT user_id, event_id, ts, value FROM seq
       WHERE value IS DISTINCT FROM prev_value)
@@ -90,7 +94,9 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally.
     """
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = change_compress(load_table(spark, sf_dir, "events"))
+    changes = change_compress(
+        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    )
     return changes.select(
         "user_id",
         "event_id",

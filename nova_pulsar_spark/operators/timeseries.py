@@ -434,7 +434,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PRECEDING..1 PRECEDING): today's spike must not inflate its own
     baseline. One shuffle on event_type for the window; daily counts
     upstream are map-side combined."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -474,7 +474,8 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_cumulative_users",
     sql="""
     WITH firsts AS (
-      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day FROM events GROUP BY user_id),
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id),
     daily_new AS (
       SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day)
     SELECT day, CAST(new_users AS BIGINT) AS new_users,
@@ -493,7 +494,9 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts <= day) re-scans a growing prefix per day — quadratic in
     history; this shape is one scan + two small shuffles at any scale.
     """
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time-bucketed/ordered series exclude
+    # NULL ts on both engines (engines disagree on NULL placement)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     firsts = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
     )
@@ -588,7 +591,7 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1)
     SELECT event_type,
@@ -611,7 +614,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume, so collect_list here is a rollup artifact, not a memory
     smell. alpha=0.5 is an exact binary fraction and both engines fold
     left from the first element — bit-identical smoothing."""
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time-bucketed/ordered series exclude
+    # NULL ts on both engines (engines disagree on NULL placement)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
@@ -643,7 +648,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
-      FROM events GROUP BY event_type, date_trunc('day', ts)),
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)),
     t AS (
       SELECT event_type, day, n,
              COUNT(*) OVER (PARTITION BY event_type) AS n_days,
@@ -683,7 +689,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis is inherently sequential per series; millions of SERIES
     parallelize across tasks, and a single series of years of days is
     thousands of rows, never a memory risk."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -749,7 +755,7 @@ def _acf_lag_sql(lag: int) -> str:
     WITH cents AS (
       SELECT event_type, ts, event_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-      FROM events WHERE value IS NOT NULL)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
     """
     + "\n    UNION ALL\n".join(_acf_lag_sql(k) for k in range(1, ACF_LAGS + 1)),
     doc=f"Exact autocorrelation at lags 1..{ACF_LAGS} per event series "
@@ -777,7 +783,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nova_pulsar_spark.operators.ranks import grouped_rank
 
     e = load_table(spark, sf_dir, "events")
-    cents = e.filter(F.col("value").isNotNull()).select(
+    cents = e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
         "event_type",
         "ts",
         "event_id",
@@ -829,7 +835,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -871,7 +877,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     first element IS the initial accumulator on both engines)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull())
+        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -922,7 +928,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -965,7 +971,7 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-point series yield NULL metrics (no forecastable step)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull())
+        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1038,7 +1044,7 @@ _HW_LNEW_SP = (
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -1086,7 +1092,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(P) array copy, n_hours * (P + 2) work per series total."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull())
+        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1161,7 +1167,7 @@ def _xcorr_lag_sql(k: int) -> str:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                         / COUNT(*) / 1000 * 1024) AS BIGINT) AS mx
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
     """
     + "\n    UNION ALL\n".join(_xcorr_lag_sql(k) for k in range(0, XCORR_LAGS + 1)),
     doc=f"Lagged cross-correlation (hours 0..{XCORR_LAGS}) between every "
@@ -1188,7 +1194,7 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constant series yield NULL via the guarded denominator."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull())
+        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             F.floor(

@@ -68,12 +68,15 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="Per-user running sum/count (A6 tool-count counter shape)",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time-ordered frames are undefined
+    # for NULL ts (engines disagree on NULL placement) — excluded
+    # explicitly on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     return e.select(
         "user_id",
@@ -92,13 +95,16 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       LAG(event_type)  OVER w AS prev_type,
       LEAD(event_type) OVER w AS next_type,
       CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS BIGINT) AS gap_us
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="lag/lead + inactivity gap (W1 stall-detection primitive)",
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time-ordered frames are undefined
+    # for NULL ts (engines disagree on NULL placement) — excluded
+    # explicitly on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
@@ -121,12 +127,15 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="Bounded ROWS frame (moving sum over last 3 events)",
 )
 def window_frame_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time-ordered frames are undefined
+    # for NULL ts (engines disagree on NULL placement) — excluded
+    # explicitly on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
     return e.select(
         "user_id",
@@ -194,7 +203,7 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 600000000
              THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, event_id, ts,
@@ -212,8 +221,9 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10-minute inactivity gap == the reference's stall threshold
     # (agents/orbiter.md:176-181): a new "session" starts when an agent
-    # is silent longer than the stall window.
-    e = load_table(spark, sf_dir, "events")
+    # is silent longer than the stall window. Timestamped-rows
+    # contract: an un-timestamped event cannot bound a session.
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

@@ -28,13 +28,16 @@ from nova_pulsar_spark.streaming.state import lifecycle_batch
       event_type,
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Tumbling 5-min window agg (streaming form: readStream + withWatermark + window)",
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time windows are undefined for NULL
+    # ts (Spark window()/session_window drop them silently; the
+    # explicit filter keeps both engines on the same definition)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -53,12 +56,16 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN (SELECT UNNEST(range(0, 5)) AS k) k
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
     doc="Sliding window 5 min / 1 min slide (each event in 5 overlapping windows)",
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: time windows are undefined for NULL
+    # ts (Spark window()/session_window drop them silently; the
+    # explicit filter keeps both engines on the same definition)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
         .agg(
@@ -77,7 +84,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
@@ -95,8 +102,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_window end = last event + gap, matching the oracle's
     # max(ts) + 10 min; the 10-minute gap IS the reference's stall
-    # threshold (agents/orbiter.md:176-181).
-    e = load_table(spark, sf_dir, "events")
+    # threshold (agents/orbiter.md:176-181). Timestamped-rows
+    # contract: session_window drops NULL ts silently — made explicit
+    # and mirrored in the oracle.
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -115,13 +124,15 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, event_id AS first_event, ts AS first_ts FROM (
       SELECT user_id, event_type, event_id, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-      FROM events) t
+      FROM events WHERE ts IS NOT NULL) t
     WHERE rn = 1
     """,
     doc="Streaming dedup (dropDuplicatesWithinWatermark): deterministic first event per key",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: "first by time" is undefined for a
+    # NULL ts (and the engines disagree on NULL ordering)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         e.withColumn("rn", F.row_number().over(w))

@@ -117,6 +117,13 @@ def main(out_dir: str) -> None:
         (11, m(8), 7, None, 2.0, None),
         (12, m(9), 8, None, 4.0, '{"k": 3}'),
         (13, m(10), 9, None, None, None),  # NULL type AND NULL value
+        # NULL ts — the timestamped-rows contract (round 6): engines
+        # disagree on NULL ordering, so every time-ordered/windowed
+        # operator excludes NULL ts EXPLICITLY on both sides (Spark's
+        # window()/session_window drop them silently anyway); these
+        # rows pin that the exclusion is mirrored in every oracle
+        (14, None, 7, "purchase", 6.0, None),
+        (15, None, 11, "error", None, None),  # whole user un-timestamped
     ]
     _write(spark.createDataFrame(
         events,
