@@ -133,6 +133,7 @@ HEADLINE = [
     "llm_ngram_novelty",
     "llm_postings_stats",
     "llm_ingest_rekey",
+    "llm_dedup_embedding_recall",
 ]
 
 

@@ -2593,12 +2593,20 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth pairs. Recall is a ratio of two integers, one float
     division — bit-identical across engines."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms once per SIDE, not per pair (the llm_dedup_embedding_lsh
+    # idiom): the anchor x corpus cosine then costs ONE fold per pair
+    # instead of three (measured 9.5 s -> ~3 s at sf0.1)
+    norm = F.sqrt(_fold_dot("embedding", "embedding"))
     anchors = e.filter(F.col("vec_id") % RECALL_ANCHOR_MOD == 0).select(
-        F.col("vec_id").alias("av"), F.col("embedding").alias("ae")
+        F.col("vec_id").alias("av"), F.col("embedding").alias("ae"), norm.alias("na")
     )
-    cos = cosine("ae", "embedding")
+    corpus = e.select("vec_id", "embedding", norm.alias("nb"))
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        _fold_dot("ae", "embedding") / (F.col("na") * F.col("nb")),
+    )
     truth = (
-        e.join(F.broadcast(anchors), F.col("vec_id") != F.col("av"))
+        corpus.join(F.broadcast(anchors), F.col("vec_id") != F.col("av"))
         .select(
             F.least("av", "vec_id").alias("lo"),
             F.greatest("av", "vec_id").alias("hi"),
