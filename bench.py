@@ -21,6 +21,10 @@ from nova_pulsar_spark.registry import all_queries
 from nova_pulsar_spark.session import get_spark
 
 RUNS = 3  # best-of-3: local-mode timings jitter up to 2x under load
+# Single source of truth for the driver's default SF (ADVICE r6): the
+# regression guard and the round-artifact write both key off THIS
+# value, so changing the default cannot silently disable either.
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 # Headline set: the flagship aggregation plus one representative from
 # each heavyweight operator family (join, window, dedup, similarity).
@@ -138,7 +142,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("nova-pulsar-bench")
     regs = all_queries()
@@ -156,7 +160,7 @@ def main() -> None:
         per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
-    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+    if os.path.abspath(sf_dir) == os.path.abspath(DEFAULT_SF_DIR):
         # guard only at the default SF — prior artifacts are sf0.1, so
         # comparing an ad-hoc SF run against them is meaningless
         _regression_guard(per_query)
@@ -170,7 +174,7 @@ def main() -> None:
     # Only the full default-SF run writes the round artifact: an
     # ad-hoc SPARK_GRAFT_SF_DIR run would otherwise overwrite it and
     # poison _regression_guard with cross-SF comparisons (ADVICE r5).
-    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+    if os.path.abspath(sf_dir) == os.path.abspath(DEFAULT_SF_DIR):
         _write_local_artifact(doc)
     print(json.dumps(doc))
 

@@ -730,7 +730,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fingerprint-keyed (ADVICE r5): in-session corpus rewrites
     # invalidate; stale entries evicted on insert
-    key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "documents"))
+    key = (id(spark), os.path.abspath(sf_dir), corpus_fingerprint(spark, sf_dir, "documents"))
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached

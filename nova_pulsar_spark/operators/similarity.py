@@ -27,6 +27,8 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -117,7 +119,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint-keyed (ADVICE r5): an in-session corpus rewrite must
     # not serve the previous corpus's cached index frame; stale
     # entries are evicted (and unpersisted) on insert
-    key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
+    key = (id(spark), os.path.abspath(sf_dir), corpus_fingerprint(spark, sf_dir, "embeddings"))
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
@@ -243,6 +245,25 @@ def _bits_for(n: int) -> int:
     return 8
 
 
+def _corpus_count(spark: SparkSession, e: DataFrame, sf_dir: str | None) -> int:
+    """Memoized embeddings-corpus row count per (session, corpus
+    fingerprint) — the ONE driver-side metadata number every
+    corpus-size-derived parameter reads: the banding ladder's rung
+    (``_bits_for``) and the recall ledger's anchor modulus
+    (``_anchor_mod``). Production reads it from the index metadata
+    written at build time; here it is one count job per corpus
+    fingerprint, shared by all consumers."""
+    if sf_dir is None:
+        return e.count()
+    from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, evict_stale
+
+    nk = (id(spark), os.path.abspath(sf_dir), corpus_fingerprint(spark, sf_dir, "embeddings"))
+    if nk not in _COUNT_MEMO:
+        evict_stale(_COUNT_MEMO, nk)
+        _COUNT_MEMO[nk] = e.count()
+    return _COUNT_MEMO[nk]
+
+
 def _bands_cte(extra_cols: str = "") -> str:
     """The shared ``bands`` CTE body (DuckDB side): per-vector band
     keys at the ladder's active rung. Rungs at or under the stored
@@ -321,7 +342,7 @@ _EMB_CAND_CTES = f"""sigs AS (
 
 _EMB_CAND_CACHE: dict[tuple, DataFrame] = {}
 _BANDS_CACHE: dict[tuple, DataFrame] = {}
-_NBITS_MEMO: dict[tuple, int] = {}
+_COUNT_MEMO: dict[tuple, int] = {}
 # Store kind is layout-versioned: changing the plane/band geometry
 # orphans old index directories (the janitor reclaims them) instead of
 # silently probing a stale layout.
@@ -342,7 +363,7 @@ def _sign_bands(spark: SparkSession, e: DataFrame, sf_dir: str | None = None) ->
         from nova_pulsar_spark.operators.ann_index import corpus_fingerprint
 
         # fingerprint-keyed (ADVICE r5): in-session rewrites invalidate
-        key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
+        key = (id(spark), os.path.abspath(sf_dir), corpus_fingerprint(spark, sf_dir, "embeddings"))
     if key is not None and key in _BANDS_CACHE:
         return _BANDS_CACHE[key]
 
@@ -391,16 +412,8 @@ def _prefix_bands(
     bands = _sign_bands(spark, e, sf_dir)
     if bits_override is not None:
         bits = bits_override
-    elif sf_dir is not None:
-        from nova_pulsar_spark.operators.ann_index import corpus_fingerprint, evict_stale
-
-        nk = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
-        if nk not in _NBITS_MEMO:
-            evict_stale(_NBITS_MEMO, nk)
-            _NBITS_MEMO[nk] = _bits_for(e.count())
-        bits = _NBITS_MEMO[nk]
     else:
-        bits = _bits_for(e.count())
+        bits = _bits_for(_corpus_count(spark, e, sf_dir))
     if bits <= BAND_BITS:
         return bands.select(
             "vec_id", "band", F.expr(f"substring(sig, 1, {bits})").alias("sig")
@@ -434,7 +447,7 @@ def _sign_lsh_candidates(spark: SparkSession, e: DataFrame, sf_dir: str | None =
     if sf_dir is not None:
         from nova_pulsar_spark.operators.ann_index import corpus_fingerprint
 
-        key = (id(spark), sf_dir, corpus_fingerprint(spark, sf_dir, "embeddings"))
+        key = (id(spark), os.path.abspath(sf_dir), corpus_fingerprint(spark, sf_dir, "embeddings"))
     if key is not None and key in _EMB_CAND_CACHE:
         return _EMB_CAND_CACHE[key]
     pb = _prefix_bands(spark, e, sf_dir)
@@ -2532,8 +2545,30 @@ def llm_ingest_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Sign-LSH recall ledger (the rung-trade price tag) ---------------------
 
-RECALL_ANCHOR_MOD = 10  # deterministic anchor sample: vec_id % MOD == 0
+RECALL_ANCHOR_MOD = 10  # floor modulus: vec_id % mod == 0 anchor sample
+# Anchor BUDGET (ADVICE r6): the modulus scales with the corpus so the
+# anchor count is truly bounded (~ANCHOR_BUDGET rows) instead of n/10.
+# At the driver SFs (≤ 10k vecs) the derived mod stays at the floor of
+# 10 — results below the budget decade are bit-identical to the fixed
+# modulus the ledger shipped with.
+ANCHOR_BUDGET = 1000
 EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
+
+
+def _anchor_mod(n: int) -> int:
+    """Python twin of ``_ANCHOR_MOD_SQL`` (kept textually adjacent so
+    they cannot drift): mod = max(floor, ceil(n / budget)), giving at
+    most ~ANCHOR_BUDGET anchors at any corpus size. ceil via negated
+    floordiv — exact integer arithmetic, no float rounding."""
+    return max(RECALL_ANCHOR_MOD, -(-n // ANCHOR_BUDGET))
+
+
+# DuckDB twin: CEIL over COUNT(*)/budget is exact in double up to 2^53
+# rows, far past any corpus this ledger audits.
+_ANCHOR_MOD_SQL = (
+    f"(SELECT GREATEST({RECALL_ANCHOR_MOD}, "
+    f"CAST(CEIL(COUNT(*) / {ANCHOR_BUDGET}.0) AS BIGINT)) FROM embeddings)"
+)
 
 
 @register(
@@ -2542,7 +2577,7 @@ EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
     WITH {_EMB_CAND_CTES},
     anchors AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {RECALL_ANCHOR_MOD} = 0),
+      WHERE vec_id % {_ANCHOR_MOD_SQL} = 0),
     truth AS (
       SELECT LEAST(a.vec_id, e.vec_id) AS lo,
              GREATEST(a.vec_id, e.vec_id) AS hi,
@@ -2556,6 +2591,7 @@ EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
              CASE WHEN c.vec_a IS NULL THEN 0 ELSE 1 END AS got
       FROM truth t LEFT JOIN cand c ON c.vec_a = t.lo AND c.vec_b = t.hi)
     SELECT CAST((SELECT COUNT(*) FROM anchors) AS BIGINT) AS n_anchors,
+           CAST({_ANCHOR_MOD_SQL} AS BIGINT) AS anchor_mod,
            CAST(COUNT(*) AS BIGINT) AS n_truth,
            CAST(SUM(got) AS BIGINT) AS n_hit,
            CAST(SUM(got) AS DOUBLE) / NULLIF(COUNT(*), 0) AS recall,
@@ -2566,15 +2602,17 @@ EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
     FROM hit
     """,
     doc=f"Sign-LSH candidate recall vs the exact-cosine truth set over a "
-    f"1-in-{RECALL_ANCHOR_MOD} anchor sample, tiered at the dup threshold and "
-    f"the strong (≥{EMB_STRONG_THRESHOLD}) tier — the rung-trade price tag "
-    "for the embedding banding ladder (mirrors llm_dedup_lsh_recall for text)",
+    f"budgeted anchor sample (mod = max({RECALL_ANCHOR_MOD}, "
+    f"ceil(n/{ANCHOR_BUDGET})), ~{ANCHOR_BUDGET} anchors at any corpus "
+    f"size), tiered at the dup threshold and the strong "
+    f"(≥{EMB_STRONG_THRESHOLD}) tier — the rung-trade price tag for the "
+    "embedding banding ladder (mirrors llm_dedup_lsh_recall for text)",
 )
 def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ladder's recall ledger: every rung the prefix ladder climbs
     (8 → 12 → 16 → 24-bit paired slices) steepens the LSH s-curve and
     sheds borderline pairs; this query PRICES that by measuring, over
-    a deterministic 1-in-10 anchor sample, what fraction of true
+    a deterministic budgeted anchor sample, what fraction of true
     near-dup pairs (exact cosine ≥ threshold) the banded candidate
     stage at the ACTIVE rung still surfaces — TIERED, because banding
     recall is an s-curve: borderline pairs (cos just over the 0.40
@@ -2586,18 +2624,23 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision/recall trade fully observable per corpus — the audit
     pair SCALE.md's fourth-decade note leans on.
 
-    Scale shape: the truth set is NEVER all-pairs — the anchor sample
-    is broadcast (n/10 rows, bounded by construction) against one
-    corpus scan, so exact-cosine work is linear in the corpus; the
-    candidate probe is a broadcast-able left join on the (bounded)
-    truth pairs. Recall is a ratio of two integers, one float
-    division — bit-identical across engines."""
+    Scale shape (ADVICE r6): the anchor modulus is DERIVED from the
+    memoized corpus count — mod = max(10, ceil(n/ANCHOR_BUDGET)) — so
+    the anchor broadcast is a fixed ~1k rows at ANY corpus size and
+    the exact-cosine truth stage is one corpus scan against a
+    constant-size broadcast: linear in the corpus, never O(n²/10).
+    The candidate probe is a broadcast-able left join on the bounded
+    truth pairs. `n_anchors`/`anchor_mod` report the realized sample
+    size so recall estimates carry their own error bar. Recall is a
+    ratio of two integers, one float division — bit-identical across
+    engines."""
     e = load_table(spark, sf_dir, "embeddings")
+    mod = _anchor_mod(_corpus_count(spark, e, sf_dir))
     # norms once per SIDE, not per pair (the llm_dedup_embedding_lsh
     # idiom): the anchor x corpus cosine then costs ONE fold per pair
     # instead of three (measured 9.5 s -> ~3 s at sf0.1)
     norm = F.sqrt(_fold_dot("embedding", "embedding"))
-    anchors = e.filter(F.col("vec_id") % RECALL_ANCHOR_MOD == 0).select(
+    anchors = e.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("av"), F.col("embedding").alias("ae"), norm.alias("na")
     )
     corpus = e.select("vec_id", "embedding", norm.alias("nb"))
@@ -2631,6 +2674,7 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_anchors = anchors.count()
     return hit.agg(
         F.lit(n_anchors).cast("bigint").alias("n_anchors"),
+        F.lit(mod).cast("bigint").alias("anchor_mod"),
         F.count(F.lit(1)).cast("bigint").alias("n_truth"),
         F.sum("got").cast("bigint").alias("n_hit"),
         (

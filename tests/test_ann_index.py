@@ -182,3 +182,63 @@ def test_narrow_rung_unchanged_by_ladder_extension(spark):
         for r in S._sign_bands(spark, e, None).collect()
     }
     assert got == expected
+
+
+def test_anchor_mod_twin_matches_sql():
+    """_anchor_mod (Python) vs _ANCHOR_MOD_SQL (DuckDB) — the anchor
+    BUDGET discipline (ADVICE r6): the modulus is derived from the
+    corpus count on BOTH engines, floored at RECALL_ANCHOR_MOD, so the
+    anchor sample is ~ANCHOR_BUDGET rows at any decade instead of
+    n/10. Also pins the budget's shape: anchors never exceed the
+    budget by more than the ceil slack."""
+    import duckdb
+
+    for n in [1, 10, 500, 2000, 10_000, 123_457, 1_000_000, 2_000_000]:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        (sql_mod,) = con.execute(f"SELECT {S._ANCHOR_MOD_SQL}").fetchone()
+        assert sql_mod == S._anchor_mod(n), f"n={n}"
+        # realized anchor count (dense ids) stays within the budget
+        anchors = -(-n // S._anchor_mod(n))
+        assert anchors <= max(S.ANCHOR_BUDGET, n // S.RECALL_ANCHOR_MOD + 1)
+        if n >= S.ANCHOR_BUDGET * S.RECALL_ANCHOR_MOD:
+            assert anchors <= S.ANCHOR_BUDGET + 1, f"n={n} anchors={anchors}"
+    # at driver SFs the derived mod IS the historical fixed modulus:
+    # results below the budget decade are bit-identical to r6
+    assert S._anchor_mod(500) == S.RECALL_ANCHOR_MOD
+    assert S._anchor_mod(2000) == S.RECALL_ANCHOR_MOD
+
+
+def test_wide_rung_bands_cte_matches_spark(spark, tmp_path):
+    """Cross-engine pin for the 24-bit paired-slice rung (ADVICE r6):
+    oracle sweeps run at corpus sizes where the 8-bit rung is active,
+    so _bands_cte's wide-rung CASE arithmetic (paired slices, 4 bands,
+    substr stride 2*BAND_BITS) had no engine-vs-engine coverage. Here
+    the SAME parquet feeds both engines with the rung pinned to 24
+    bits: DuckDB's bands CTE must emit byte-identical (vec_id, band,
+    sig) keys to Spark's _prefix_bands(bits_override=24)."""
+    import duckdb
+
+    d = str(tmp_path / "corpus")
+    _write_emb(spark, d, seed=3, n=40)
+    e = spark.read.parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["vec_id"], r["band"]): r["sig"]
+        for r in S._prefix_bands(spark, e, None, bits_override=24).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    rows = con.execute(
+        f"""
+        WITH sigs AS (SELECT vec_id, {S._SIGNS_SQL} AS signs FROM embeddings),
+        nbits AS (SELECT 24 AS bits),
+        {S._bands_cte()}
+        SELECT vec_id, band, sig FROM bands
+        """
+    ).fetchall()
+    oracle = {(v, b): s for v, b, s in rows}
+    assert oracle == got
+    assert len(oracle) == 40 * (S.N_BANDS // 2)
+    assert all(len(s) == 24 for s in oracle.values())
