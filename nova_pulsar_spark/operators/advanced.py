@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 # Inline checkpoint series for the as-of join (five aligned marks).
 CHECKPOINTS = [
@@ -34,13 +34,15 @@ _CP_VALUES = ", ".join(f"(TIMESTAMP '{t}', '{n}')" for t, n in CHECKPOINTS)
     sql=f"""
     WITH checkpoints AS (SELECT * FROM (VALUES {_CP_VALUES}) AS t(cts, cname))
     SELECT e.event_id, e.ts, c.cname AS checkpoint, c.cts AS checkpoint_ts
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN checkpoints c ON e.ts >= c.cts
     """,
     doc="As-of join: latest checkpoint ≤ event time (broadcast+argmax small side; merge_asof per group at big-big scale)",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: as-of keys must be non-NULL (pandas
+    # merge_asof rejects NaT keys; engines disagree on NULL ordering)
+    e = timestamped(load_table(spark, sf_dir, "events"))
     cps = spark.createDataFrame(
         [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
     ).select(F.to_timestamp("cts_s").alias("cts"), "cname")
@@ -241,12 +243,14 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
              AS sum_last_10min
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="RANGE frame over event time: rolling 10-minute per-user sum (the stall window as a frame)",
 )
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: RANGE frames over a NULL ordering key
+    # are an engine-specific NULL-peer-group special case
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = (
         W.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -304,7 +308,7 @@ ASOF_TOLERANCE_H = 96  # as-of match window (hours)
                 THEN c.cname END AS checkpoint,
            CASE WHEN date_diff('second', c.cts, e.ts) <= {ASOF_TOLERANCE_H} * 3600
                 THEN c.cts END AS checkpoint_ts
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN checkpoints c ON e.ts >= c.cts
     """,
     doc=f"As-of join with tolerance: latest checkpoint <= event time, but only "
@@ -318,8 +322,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade). Same broadcast + per-event argmax shape as `join_asof`;
     the tolerance is a post-argmax projection, not a join-condition
     change, so the match choice is identical and only its validity
-    flips — matching merge_asof's definition exactly."""
-    e = load_table(spark, sf_dir, "events")
+    flips — matching merge_asof's definition exactly. Timestamped-rows
+    contract: as-of keys must be non-NULL."""
+    e = timestamped(load_table(spark, sf_dir, "events"))
     cps = spark.createDataFrame(
         [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
     ).select(F.to_timestamp("cts_s").alias("cts"), "cname")
@@ -349,7 +354,8 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
              ABS(date_diff('second', c.cts, e.ts)) AS dist,
              ROW_NUMBER() OVER (PARTITION BY e.event_id
                                 ORDER BY ABS(date_diff('second', c.cts, e.ts)), c.cts) AS rnk
-      FROM events e CROSS JOIN checkpoints c)
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+      CROSS JOIN checkpoints c)
     SELECT event_id, ts, cname AS checkpoint, cts AS checkpoint_ts,
            CAST(dist AS BIGINT) AS dist_seconds
     FROM scored WHERE rnk = 1
@@ -363,8 +369,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost shape as the backward as-of (broadcast + per-event argmin —
     the corpus never shuffles); at big-big scale the same bucketed
     merge_asof path applies. min_by on a (dist, cts, name) struct
-    gives the argmin + tiebreak in ONE aggregate, no window."""
-    e = load_table(spark, sf_dir, "events")
+    gives the argmin + tiebreak in ONE aggregate, no window.
+    Timestamped-rows contract: as-of keys must be non-NULL."""
+    e = timestamped(load_table(spark, sf_dir, "events"))
     cps = spark.createDataFrame(
         [(c[0], c[1]) for c in CHECKPOINTS], "cts_s string, cname string"
     ).select(F.to_timestamp("cts_s").alias("cts"), "cname")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 
 def change_compress(changes: DataFrame) -> DataFrame:
@@ -59,7 +59,7 @@ def cdc_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: a change stream is time-ordered;
     # NULL ts rows are excluded on both engines
     return change_compress(
-        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+        timestamped(load_table(spark, sf_dir, "events"))
     )
 
 
@@ -95,7 +95,7 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = change_compress(
-        load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+        timestamped(load_table(spark, sf_dir, "events"))
     )
     return changes.select(
         "user_id",

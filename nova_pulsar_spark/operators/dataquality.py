@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 # Columns profiled by dq_profile (orders table).
 _PROFILE_COLS = (
@@ -650,9 +650,7 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per type). PSI needs ln and is deliberately NOT here —
     the engine-divergent-log class; TV and the companion
     `agg_chi_square` cover the same alarm surface log-free."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
-    )
+    e = timestamped(load_table(spark, sf_dir, "events"), "value")
     base = e.select(
         "event_type",
         F.unix_micros(F.col("ts")).alias("tus"),

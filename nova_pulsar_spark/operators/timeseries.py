@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from nova_pulsar_spark.functions.exact import sql_sum_cents, sum_cents
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 
 @register(
@@ -258,7 +258,7 @@ PATTERN_WINDOW_MIN = 5  # adjacency window for the two-step pattern
              LEAD(event_type) OVER w AS next_type,
              LEAD(event_id)  OVER w AS next_event_id,
              LEAD(ts)        OVER w AS next_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id, event_id, next_event_id, ts AS purchase_ts,
            next_ts AS error_ts,
@@ -278,8 +278,12 @@ def ts_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to the sessionize-then-aggregate shape; both keep the
     per-key ordering local to one partition, which is what makes
     MATCH_RECOGNIZE-style queries tractable at 100 TB.
+
+    Timestamped-rows contract: a NULL-ts row adjacent to a purchase
+    would otherwise change LEAD's answer differently per engine
+    (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
@@ -434,7 +438,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PRECEDING..1 PRECEDING): today's spike must not inflate its own
     baseline. One shuffle on event_type for the window; daily counts
     upstream are map-side combined."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -496,7 +500,7 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # timestamped-rows contract: time-bucketed/ordered series exclude
     # NULL ts on both engines (engines disagree on NULL placement)
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     firsts = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
     )
@@ -556,7 +560,7 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low_v,
            LAST(value ORDER BY ts, event_id) AS close_v,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY event_type, date_trunc('hour', ts)
     """,
     doc="OHLC downsample: per (event_type, hour) open/high/low/close with "
@@ -569,8 +573,11 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, value) struct, which combines associatively — so
     the whole rollup is a single shuffle with map-side partials, the
     shape that survives any scale. Endpoints are tie-broken by the
-    unique event_id, making results partitioning-independent."""
-    e = load_table(spark, sf_dir, "events")
+    unique event_id, making results partitioning-independent.
+    Timestamped-rows contract: the NULL-ts bucket's open/close would
+    otherwise hinge on engine-specific NULL ordering inside the
+    endpoint structs."""
+    e = timestamped(load_table(spark, sf_dir, "events"))
     key = F.struct("ts", "event_id", "value")
     return (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
@@ -616,7 +623,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     left from the first element — bit-identical smoothing."""
     # timestamped-rows contract: time-bucketed/ordered series exclude
     # NULL ts on both engines (engines disagree on NULL placement)
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
@@ -689,7 +696,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis is inherently sequential per series; millions of SERIES
     parallelize across tasks, and a single series of years of days is
     thousands of rows, never a memory risk."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -783,7 +790,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nova_pulsar_spark.operators.ranks import grouped_rank
 
     e = load_table(spark, sf_dir, "events")
-    cents = e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+    cents = timestamped(e, "value").select(
         "event_type",
         "ts",
         "event_id",
@@ -877,7 +884,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     first element IS the initial accumulator on both engines)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        timestamped(e, "value")
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -971,7 +978,7 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-point series yield NULL metrics (no forecastable step)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        timestamped(e, "value")
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1092,7 +1099,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(P) array copy, n_hours * (P + 2) work per series total."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        timestamped(e, "value")
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1194,7 +1201,7 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constant series yield NULL via the guarded denominator."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        e.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        timestamped(e, "value")
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             F.floor(
@@ -1337,9 +1344,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fold bug cannot self-confirm. Series with n <= K pass
     through unsampled (both engines' third branch)."""
     K = LTTB_K
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
-    )
+    e = timestamped(load_table(spark, sf_dir, "events"), "value")
     p0 = e.select("event_type", F.unix_micros(F.col("ts")).alias("xa"), F.col("value").alias("y"))
     # Distributed rank (ranks.py, round-5): the former PARTITION BY
     # event_type windows (min/count/row_number) each shipped a whole
@@ -1430,7 +1435,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cents AS (
       SELECT event_type, ts, event_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     run AS (
       SELECT event_type, c,
              MAX(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
@@ -1458,8 +1463,10 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drawdown, peak) — both integers, so ties resolve identically on
     both engines and the single final division is engine-exact.
     Linear, one shuffle on the series key; the window's running max
-    is O(1) per row."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is O(1) per row. Timestamped-rows contract: a non-NULL value on a
+    NULL-ts row would otherwise enter the running peak at an
+    engine-specific position."""
+    e = timestamped(load_table(spark, sf_dir, "events"), "value")
     cents = e.select(
         "event_type", "ts", "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),

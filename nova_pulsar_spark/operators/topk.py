@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 
 @register(
@@ -75,13 +75,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id, user_id, ts, event_type
     FROM events
+    WHERE ts IS NOT NULL
     ORDER BY ts DESC, event_id
     LIMIT 5
     """,
     doc="Most-recent-N (O2 latest-queued-plan shape)",
 )
 def topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # timestamped-rows contract: "latest" is undefined for NULL ts and
+    # the engines disagree on NULL sort placement
+    e = timestamped(load_table(spark, sf_dir, "events"))
     return (
         e.orderBy(F.col("ts").desc(), "event_id")
         .limit(5)

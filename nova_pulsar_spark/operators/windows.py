@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 
 
 @register(
@@ -76,7 +76,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: time-ordered frames are undefined
     # for NULL ts (engines disagree on NULL placement) — excluded
     # explicitly on both sides
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     return e.select(
         "user_id",
@@ -104,7 +104,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: time-ordered frames are undefined
     # for NULL ts (engines disagree on NULL placement) — excluded
     # explicitly on both sides
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
@@ -135,7 +135,7 @@ def window_frame_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: time-ordered frames are undefined
     # for NULL ts (engines disagree on NULL placement) — excluded
     # explicitly on both sides
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
     return e.select(
         "user_id",
@@ -223,7 +223,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (agents/orbiter.md:176-181): a new "session" starts when an agent
     # is silent longer than the stall window. Timestamped-rows
     # contract: an un-timestamped event cannot bound a session.
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

@@ -81,6 +81,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def timestamped(df: DataFrame, *extra_nonnull: str) -> DataFrame:
+    """The timestamped-rows contract (round 6, centralized in round 7):
+    every operator that ORDERS or WINDOWS by ``ts`` must consume rows
+    through this helper. Spark and DuckDB place NULL timestamps at
+    opposite ends of a sort (NULLS FIRST vs NULLS LAST defaults), and
+    Spark's ``window()``/``session_window()`` silently DROP NULL
+    event-times — so time-ordered semantics are only well-defined over
+    ``ts IS NOT NULL`` rows, which is also exactly what Spark
+    Structured Streaming enforces on an event-time column. The DuckDB
+    twin must carry the same ``ts IS NOT NULL`` predicate (the edge
+    fixture's NULL-ts rows pin the class; ``tests/test_plan_lint.py``
+    bans inline re-implementations so a future operator cannot forget).
+
+    ``extra_nonnull`` appends further NOT NULL requirements (e.g. the
+    measure column of a value series) into the same scan predicate.
+    """
+    cond = F.col("ts").isNotNull()
+    for c in extra_nonnull:
+        cond = cond & F.col(c).isNotNull()
+    return df.filter(cond)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from nova_pulsar_spark.plans.fixtures import STATUS_EVENTS
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import load_table, timestamped
 from nova_pulsar_spark.streaming.state import lifecycle_batch
 
 
@@ -37,7 +37,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: time windows are undefined for NULL
     # ts (Spark window()/session_window drop them silently; the
     # explicit filter keeps both engines on the same definition)
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -65,7 +65,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: time windows are undefined for NULL
     # ts (Spark window()/session_window drop them silently; the
     # explicit filter keeps both engines on the same definition)
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     return (
         e.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
         .agg(
@@ -105,7 +105,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold (agents/orbiter.md:176-181). Timestamped-rows
     # contract: session_window drops NULL ts silently — made explicit
     # and mirrored in the oracle.
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -132,7 +132,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamped-rows contract: "first by time" is undefined for a
     # NULL ts (and the engines disagree on NULL ordering)
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    e = timestamped(load_table(spark, sf_dir, "events"))
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         e.withColumn("rn", F.row_number().over(w))

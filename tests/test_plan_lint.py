@@ -54,3 +54,51 @@ def test_no_query_plans_a_scale_antipattern(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, f"scale antipatterns in plans: {flagged}"
+
+
+def test_ts_contract_no_inline_null_filters():
+    """The timestamped-rows contract (round 6, centralized round 7):
+    Spark and DuckDB place NULL timestamps at opposite sort ends, so
+    every time-ordered operator excludes them via ONE helper —
+    sources.tables.timestamped. An inline `F.col("ts").isNotNull()`
+    re-implementation is banned outside the helper's own module: the
+    single-choke-point shape is what lets the edge fixture's NULL-ts
+    rows pin the whole class instead of whichever operators remembered
+    the filter."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "nova_pulsar_spark"
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        if py.name == "tables.py":
+            continue  # the contract helper itself
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r'\(\s*"ts"\s*\)\s*\.isNotNull', line) and not line.lstrip().startswith("#"):
+                hits.append(f"{py.name}:{i}: {line.strip()}")
+    assert not hits, f"inline ts-null filters (use sources.tables.timestamped): {hits}"
+
+
+def test_ts_ordered_oracle_sql_declares_contract():
+    """Every oracle twin that ORDERS, WINDOWS, or AS-OF-joins by the
+    raw events `ts` must carry `ts IS NOT NULL` — the DuckDB half of
+    the timestamped-rows contract. Catches the SQL side forgetting
+    what the Spark side routes through `timestamped()` (round 7 found
+    four operators that had escaped exactly this way: topk_latest,
+    ts_downsample_ohlc, ts_drawdown, ts_event_pattern — plus the
+    as-of family and the RANGE-interval window)."""
+    import re
+
+    ordered = [
+        r"ORDER BY\s+(\w+\.)?ts\b",          # plain / aliased ordering
+        r"ORDER BY\s+\w+\(\s*(\w+\.)?ts\b",  # epoch_us(ts) etc.
+        r"\bASOF\s+(LEFT\s+)?JOIN",          # as-of joins key on ts
+    ]
+    missing = []
+    for name, rq in sorted(all_queries().items()):
+        if rq.sql is None:
+            continue
+        if any(re.search(p, rq.sql, re.I) for p in ordered):
+            if "ts IS NOT NULL" not in rq.sql:
+                missing.append(name)
+    assert not missing, f"ts-ordered oracle SQL without the contract: {missing}"

@@ -195,7 +195,7 @@ def rekey_precision(spark, src: str) -> dict:
 
     n0, p0 = measure(claim_pairs(EMB_STREAM_BITS))
     n1, p1 = measure(claim_pairs(BAND_BITS))
-    return {
+    out = {
         "threshold": EMB_DUP_THRESHOLD,
         "claim_rung_bits": EMB_STREAM_BITS,
         "stored_bits": BAND_BITS,
@@ -204,6 +204,103 @@ def rekey_precision(spark, src: str) -> dict:
         "rekey_pairs": n1,
         "rekey_precision": p1,
         "pairs_dropped_by_rekey": n0 - n1,
+    }
+    out.update(_rekey_recall(spark, e, sigs, bands_tbl))
+    return out
+
+
+REKEY_RECALL_ANCHOR_BUDGET = 500  # bounded exact-truth sample (anchors)
+
+
+def _rekey_recall(spark, e, sigs, bands_tbl) -> dict:
+    """The recall side of the re-key trade (VERDICT r6 task 4): among
+    TRUE near-dup pairs (exact cosine >= EMB_DUP_THRESHOLD over a
+    budgeted anchor sample — the same exact-verify truth the cap-loss
+    ledger uses), what fraction shares a band bucket at the coarse
+    claim rung (before) vs the stored full width (after the batch
+    re-key). Folding onto longer sigs can only SPLIT buckets, so
+    recall_after <= recall_before by construction; this measures the
+    actual drop instead of asserting it. The strong tier (cos >= 0.9)
+    is the one dedup targets — a planted near-dup that stops colliding
+    at the stored width would show up here."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.similarity import (
+        BAND_BITS,
+        EMB_DUP_THRESHOLD,
+        EMB_STREAM_BITS,
+        _fold_dot,
+    )
+
+    n = e.count()
+    mod = max(1, -(-n // REKEY_RECALL_ANCHOR_BUDGET))
+    norm = F.sqrt(_fold_dot("embedding", "embedding"))
+    anchors = e.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("av"), F.col("embedding").alias("ae"), norm.alias("na")
+    )
+    corpus = e.select("vec_id", "embedding", norm.alias("nb"))
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        _fold_dot("ae", "embedding") / (F.col("na") * F.col("nb")),
+    )
+    truth = (
+        corpus.join(F.broadcast(anchors), F.col("vec_id") != F.col("av"))
+        .select(
+            F.least("av", "vec_id").alias("lo"),
+            F.greatest("av", "vec_id").alias("hi"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= EMB_DUP_THRESHOLD)
+        .groupBy("lo", "hi")
+        .agg(F.max((F.col("c") >= 0.9).cast("int")).alias("strong"))
+        .localCheckpoint()
+    )
+
+    def recall_at(bits: int) -> dict:
+        k = sigs.crossJoin(F.broadcast(bands_tbl)).select(
+            "vec_id",
+            "band",
+            F.expr(f"substring(signs, band * {BAND_BITS} + 1, {bits})").alias("sig"),
+        )
+        ka = k.select(F.col("vec_id").alias("lo"), "band", "sig")
+        kb = k.select(F.col("vec_id").alias("hi"), "band", F.col("sig").alias("sigb"))
+        got = (
+            truth.join(ka, "lo")
+            .join(kb, ["hi", "band"])
+            .filter(F.col("sig") == F.col("sigb"))
+            .select("lo", "hi")
+            .distinct()
+            .withColumn("got", F.lit(1))
+        )
+        row = (
+            truth.join(got, ["lo", "hi"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("got"), F.lit(0))).alias("h"),
+                F.sum("strong").alias("ns"),
+                F.sum(F.col("strong") * F.coalesce(F.col("got"), F.lit(0))).alias("hs"),
+            )
+            .first()
+        )
+        nt, h = row["n"] or 0, row["h"] or 0
+        ns, hs = row["ns"] or 0, row["hs"] or 0
+        return {
+            "n_truth": nt,
+            "recall": round(h / nt, 4) if nt else None,
+            "n_truth_strong": ns,
+            "recall_strong": round(hs / ns, 4) if ns else None,
+        }
+
+    before = recall_at(EMB_STREAM_BITS)
+    after = recall_at(BAND_BITS)
+    return {
+        "recall_anchor_mod": mod,
+        "recall_n_truth": before["n_truth"],
+        "recall_n_truth_strong": before["n_truth_strong"],
+        "claim_recall": before["recall"],
+        "claim_recall_strong": before["recall_strong"],
+        "rekey_recall": after["recall"],
+        "rekey_recall_strong": after["recall_strong"],
     }
 
 
