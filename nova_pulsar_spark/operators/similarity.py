@@ -2548,10 +2548,14 @@ def llm_ingest_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_ANCHOR_MOD = 10  # floor modulus: vec_id % mod == 0 anchor sample
 # Anchor BUDGET (ADVICE r6): the modulus scales with the corpus so the
 # anchor count is truly bounded (~ANCHOR_BUDGET rows) instead of n/10.
-# At the driver SFs (≤ 10k vecs) the derived mod stays at the floor of
-# 10 — results below the budget decade are bit-identical to the fixed
-# modulus the ledger shipped with.
-ANCHOR_BUDGET = 1000
+# 200 puts the floor-to-budget handover exactly AT the sf0.1 corpus
+# (2000 vecs x floor 10 = 200 anchors), so driver-SF results are
+# bit-identical to the fixed modulus the ledger shipped with AND every
+# decade past sf0.1 does the same ~200 x n cosine folds per 10x data —
+# linear from the first scaled decade, no transition bump (a 1000
+# budget left anchors growing n/10 until 10k vecs; SCALING2 flagged
+# the resulting one-time 80x step at the 2k->20k decade).
+ANCHOR_BUDGET = 200
 EMB_STRONG_THRESHOLD = 0.9  # "strong" near-dup tier for the s-curve view
 
 
@@ -2626,7 +2630,9 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (ADVICE r6): the anchor modulus is DERIVED from the
     memoized corpus count — mod = max(10, ceil(n/ANCHOR_BUDGET)) — so
-    the anchor broadcast is a fixed ~1k rows at ANY corpus size and
+    the anchor broadcast is a fixed ~ANCHOR_BUDGET rows at ANY corpus
+    size (the handover from the floor modulus lands exactly at the
+    sf0.1 corpus, so scaled decades never cross it mid-ladder) and
     the exact-cosine truth stage is one corpus scan against a
     constant-size broadcast: linear in the corpus, never O(n²/10).
     The candidate probe is a broadcast-able left join on the bounded

@@ -121,6 +121,14 @@ def audit_dir(spark, sf_dir: str) -> dict:
     out["emb_secs"] = round(time.time() - t0, 1)
     out["emb_ladder_bits"] = _bits_for(out["n_vecs"])
 
+    # Anchor-budget proof (ADVICE r6): the recall ledger's exact-truth
+    # sample must stay ~ANCHOR_BUDGET at every decade — a fixed
+    # modulus here would show anchors growing 10x per row.
+    from nova_pulsar_spark.operators.similarity import _anchor_mod
+
+    out["recall_anchor_mod"] = _anchor_mod(out["n_vecs"])
+    out["recall_anchors"] = -(-out["n_vecs"] // out["recall_anchor_mod"])
+
     from nova_pulsar_spark.registry import all_queries
 
     t0 = time.time()
