@@ -1209,6 +1209,106 @@ def sched_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rounds.select("plan_id", "phase", F.col("round").cast("bigint").alias("round"))
 
 
+# Shared recursive-walk CTE body for the /pulsar Step-2 derivations:
+# round(phase) = longest file-conflict chain depth (same walk as
+# sched_rounds, factored so schedule and gates stay textually in sync).
+_ROUNDS_SQL = """
+          WITH RECURSIVE conflict AS (
+            SELECT DISTINCT a.plan_id, a.phase AS earlier, b.phase AS later
+            FROM (SELECT plan_id, phase, UNNEST(files) AS file FROM phases) a
+            JOIN (SELECT plan_id, phase, UNNEST(files) AS file FROM phases) b
+              ON a.plan_id = b.plan_id AND a.file = b.file AND a.phase < b.phase
+          ),
+          walk AS (
+            SELECT plan_id, phase, 1 AS round FROM phases
+            UNION ALL
+            SELECT c.plan_id, c.later AS phase, w.round + 1 AS round
+            FROM walk w JOIN conflict c
+              ON c.plan_id = w.plan_id AND c.earlier = w.phase
+          )
+          SELECT plan_id, phase, MAX(round) AS round FROM walk
+          GROUP BY plan_id, phase
+"""
+
+
+@register(
+    "sched_schedule",
+    sql=_sql(
+        f"""
+        SELECT p.plan_id, p.phase, p.title,
+               CAST(r.round AS BIGINT) AS round,
+               p.complexity,
+               CASE WHEN p.complexity LIKE 'High%' THEN 'opus'
+                    WHEN p.complexity = 'Medium' THEN 'opus'
+                    WHEN p.complexity = 'Low' THEN 'sonnet'
+                    ELSE 'sonnet' END AS model
+        FROM phases p
+        JOIN ({_ROUNDS_SQL}) r
+          ON r.plan_id = p.plan_id AND r.phase = p.phase
+        """,
+        PHASES,
+    ),
+    doc="Pulsar Step-2 execution schedule: re-derived round + routed model "
+    "per phase in ONE view (pulsar.md:104-157) — what the interactive "
+    "consumer actually launches each round; missing Complexity defaults "
+    "to sonnet (backward compat)",
+)
+def sched_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Step-2 derivation the golden /pulsar replay drives
+    (`plans/pulsar.py execution_schedule`): rounds from ACTUAL file
+    conflicts joined with P10 complexity routing. Registered so the
+    combined view — not just its two halves (`sched_rounds`, P10
+    `project_model_route`) — is driver-oracle-checked."""
+    from nova_pulsar_spark.plans.pulsar import execution_schedule
+
+    sched = execution_schedule(PHASES.spark_df(spark))
+    return sched.select(
+        "plan_id",
+        "phase",
+        "title",
+        F.col("round").cast("bigint").alias("round"),
+        "complexity",
+        "model",
+    )
+
+
+@register(
+    "sched_quality_gates",
+    sql=_sql(
+        f"""
+        SELECT r.plan_id, r.round, g.agent,
+               g.prefix || '-round-' || r.round AS task_id,
+               'sonnet' AS model, TRUE AS run_in_background
+        FROM (SELECT DISTINCT plan_id, CAST(round AS BIGINT) AS round
+              FROM ({_ROUNDS_SQL}) t) r
+        CROSS JOIN (SELECT * FROM (VALUES ('test-agent', 'qg-test'),
+                                          ('dead-code-agent', 'qg-deadcode'))
+                    AS v(agent, prefix)) g
+        """,
+        PHASES,
+    ),
+    doc="Pulsar Step-6 quality-gate fan-out: per (plan, round) a parallel "
+    "test-agent + dead-code-agent pair, both sonnet/background, with the "
+    "reference's qg-{kind}-round-{N} status task ids (pulsar.md:540-607)",
+)
+def sched_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`plans/pulsar.py quality_gate_tasks` over the fixture schedule —
+    the after-EVERY-round gate discipline as a registered, oracle-
+    checked view. The cross join is 2 literal agent rows per round:
+    broadcast by construction, never a scale concern."""
+    from nova_pulsar_spark.plans.pulsar import execution_schedule, quality_gate_tasks
+
+    gates = quality_gate_tasks(execution_schedule(PHASES.spark_df(spark)))
+    return gates.select(
+        "plan_id",
+        F.col("round").cast("bigint").alias("round"),
+        "agent",
+        "task_id",
+        "model",
+        "run_in_background",
+    )
+
+
 @register(
     "fn_json_update",
     sql=_sql(

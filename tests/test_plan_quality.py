@@ -303,3 +303,24 @@ def test_ingest_rekey_broadcasts_claim_owners(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "partial_min" in p
+
+
+def test_recall_ledger_truth_stage_broadcasts_bounded_anchors(spark):
+    """llm_dedup_embedding_recall's exact-truth stage joins the corpus
+    against the budgeted anchor sample (~ANCHOR_BUDGET rows at any
+    corpus size, ADVICE r6): the anchor side must BROADCAST with the
+    derived modulus filter pushed into its parquet scan, and the raw
+    embedding vectors must never enter an Exchange — the corpus is
+    scanned once against a constant-size broadcast. (The final
+    truth-vs-candidates probe may sort-merge: both inputs are derived
+    bounded pair sets, not the corpus.)"""
+    p = _plan(spark, "llm_dedup_embedding_recall")
+    assert "BroadcastNestedLoopJoin" in p
+    # anchor modulus filter reaches the anchor-side scan (pushdown)
+    assert any(
+        "FileScan" in ln and "vec_id" in ln and "%" in ln for ln in p.splitlines()
+    ), "anchor mod filter not pushed to scan"
+    # corpus vectors never shuffle: no Exchange carries the embedding col
+    assert not any(
+        "Exchange" in ln and "embedding" in ln for ln in p.splitlines()
+    ), "embedding column entered a shuffle"
