@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import finite_measures, load_table
 
 
 @register(
@@ -381,15 +381,17 @@ def fn_cond_null(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN value >= 0 THEN SQRT(value) END AS v_sqrt,
       CAST(value * value AS DOUBLE) AS v_sq,
       CAST(100 * event_id // 999 AS BIGINT) AS pct_progress
-    FROM events
+    FROM events WHERE value IS NULL OR isfinite(value)
     """,
     doc="F12: arithmetic (counter += 1, interval/60, 100*done/total shapes)",
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt is IEEE-exact (correctly rounded) in both engines; we avoid
     # transcendentals (pow/ln/exp) in oracle-checked paths since libm
-    # implementations may differ in the last ulp.
-    e = load_table(spark, sf_dir, "events")
+    # implementations may differ in the last ulp. Finite-measures
+    # contract: FLOOR/CEIL->BIGINT casts are undefined on NaN/Inf
+    # (DuckDB raises) — excluded on both engines; NULLs flow through.
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     return e.select(
         "event_id",
         F.floor("value").cast("bigint").alias("v_floor"),

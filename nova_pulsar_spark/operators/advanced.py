@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table, timestamped
+from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
 
 # Inline checkpoint series for the as-of join (five aligned marks).
 CHECKPOINTS = [
@@ -210,7 +210,7 @@ def quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
-    FROM events
+    FROM events WHERE value IS NULL OR isfinite(value)
     GROUP BY user_id
     """,
     doc="Skew-salted two-phase aggregation — provably identical to the plain groupBy (oracle = unsalted)",
@@ -220,7 +220,9 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions; phase 2 merges partials. Integer partials make the
     # two-phase result bit-equal to the one-phase plan — which is
     # exactly what the oracle checks.
-    e = load_table(spark, sf_dir, "events")
+    # finite-measures contract: the integer partials are undefined on
+    # NaN/Inf (NULL values stay — SUM skips, COUNT keeps, identically)
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     partial = (
         e.withColumn("salt", (F.col("event_id") % 8).cast("int"))
         .groupBy("user_id", "salt")
@@ -243,14 +245,15 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
              AS sum_last_10min
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     """,
     doc="RANGE frame over event time: rolling 10-minute per-user sum (the stall window as a frame)",
 )
 def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # timestamped-rows contract: RANGE frames over a NULL ordering key
-    # are an engine-specific NULL-peer-group special case
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts: RANGE frames over
+    # a NULL ordering key are an engine-specific special case, and the
+    # cents accumulator is undefined on NaN/Inf
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     w = (
         W.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import finite_measures, load_table
 
 
 @register(
@@ -164,13 +164,15 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
           * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
         / NULLIF(COUNT(*) - 1, 0) AS var_v
-    FROM events
+    FROM events WHERE value IS NULL OR isfinite(value)
     GROUP BY event_type
     """,
     doc="Exact moments from decimal sums (order-insensitive variance)",
 )
 def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # finite-measures contract: decimal moment sums are undefined on
+    # NaN/Inf (NULL values stay — SUM skips, COUNT keeps, identically)
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
     dec_sumsq = F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)")).cast("double")
     n = F.count(F.lit(1))
@@ -455,8 +457,10 @@ HIST_BINS = 10
 @register(
     "agg_histogram_fixed",
     sql=f"""
-    WITH b AS (
-      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    WITH e AS (
+      SELECT * FROM events WHERE value IS NULL OR isfinite(value)),
+    b AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
     binned AS (
       SELECT LEAST(CAST(FLOOR(COALESCE((value - b.vmin) * {HIST_BINS}
                                        / NULLIF(b.vmax - b.vmin, 0), 0))
@@ -465,7 +469,7 @@ HIST_BINS = 10
                * LEAST(CAST(FLOOR(COALESCE((value - b.vmin) * {HIST_BINS}
                                            / NULLIF(b.vmax - b.vmin, 0), 0))
                             AS BIGINT), {HIST_BINS - 1}) AS bin_lo
-      FROM events, b)
+      FROM e, b)
     SELECT bin, bin_lo, CAST(COUNT(*) AS BIGINT) AS n
     FROM binned GROUP BY bin, bin_lo
     """,
@@ -478,8 +482,11 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts shuffle only `HIST_BINS` groups. The float bin arithmetic
     is the same parse tree on both engines, so bin edges are
     bit-identical — no sort, no percentile pass, scales as two scans.
+    Finite-measures contract: a single NaN/Inf row would poison the
+    global min/max and every bin edge; excluded on both engines (NULL
+    values stay — they land in bin 0 via the COALESCE guard).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     b = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     # Degenerate-range guard (constant column): NULLIF + COALESCE put
     # every row in bin 0 identically on both engines, instead of
@@ -818,7 +825,7 @@ def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2,
              CAST(SUM(CAST(value * value * value AS DECIMAL(30,3))) AS DOUBLE) AS s3,
              CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,2)) ) AS DOUBLE) AS s4
-      FROM events GROUP BY event_type),
+      FROM events WHERE value IS NULL OR isfinite(value) GROUP BY event_type),
     r AS (
       SELECT event_type, n,
              s1 / n AS mean_v, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
@@ -853,8 +860,9 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom, not fraction digits. Central moments are then a fixed
     IEEE expression over those exact inputs — identical everywhere. Population g1 = m3/m2^1.5 and
     excess g2 = m4/m2^2 - 3; constant groups (m2 = 0) yield NULL on
-    both engines via the guarded denominator."""
-    e = load_table(spark, sf_dir, "events")
+    both engines via the guarded denominator. Finite-measures
+    contract: NaN/Inf rows excluded on both engines (NULLs stay)."""
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     v = F.col("value")
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -904,7 +912,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2
-      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
+      GROUP BY event_type),
     st AS (
       SELECT event_type, n, s1 / n AS mu,
              GREATEST(CAST(0 AS DOUBLE), (s2 - s1 * s1 / n) / (n - 1)) AS var_s
@@ -941,8 +950,11 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN, the catalogued divergence class), and t / df are fixed IEEE
     expressions over exact inputs written in identical association
     order on both engines — bit-equal out. Zero-variance pairs yield
-    NULL t via the guarded denominator rather than ±inf."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    NULL t via the guarded denominator rather than ±inf.
+    Finite-measures contract: NaN/Inf rows excluded on both engines."""
+    e = finite_measures(
+        load_table(spark, sf_dir, "events"), "value", keep_nulls=False
+    )
     v = F.col("value")
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1225,7 +1237,7 @@ _U_SQL = (
     sql=f"""
     WITH base AS (
       SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)),
     per_rep AS (
       SELECT rep, SUM(w) AS n_r, SUM(w * cents) AS s_r FROM (
         SELECT cents, {_boot_w(_U_SQL)} AS w, bl.block * 4 + sl.slot AS rep
@@ -1271,8 +1283,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured ~17% off the 10x wall clock; the residual cost is the
     32x expanded CASE/conv stream itself). A deployment that only
     needs within-pipeline determinism swaps md5 for xxhash64 with
-    the identical plan shape."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    the identical plan shape. Finite-measures contract: NaN/Inf rows
+    excluded on both engines (the cents cast is undefined on them)."""
+    e = finite_measures(
+        load_table(spark, sf_dir, "events"), "value", keep_nulls=False
+    )
     base = e.select(
         "event_id", (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
     )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table, timestamped
+from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
 
 # Columns profiled by dq_profile (orders table).
 _PROFILE_COLS = (
@@ -465,7 +465,7 @@ _BENFORD_SQL = "CASE g.digit " + " ".join(
     WITH f AS (
       SELECT event_type,
              regexp_extract(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS digit
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)),
     g AS (
       SELECT event_type, digit, COUNT(*) AS n_obs
       FROM f WHERE digit <> '' GROUP BY event_type, digit),
@@ -491,12 +491,14 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies are inlined literals so no runtime log(). Negative
     values contribute their magnitude digit (the sign never matches
     [1-9]); zeros carry no leading digit and drop on both engines."""
-    e = load_table(spark, sf_dir, "events")
+    # finite-measures contract: the DECIMAL rendering is undefined on
+    # NaN/Inf — excluded on both engines
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value", keep_nulls=False)
     digit = F.regexp_extract(
         F.col("value").cast("decimal(18,2)").cast("string"), "[1-9]", 0
     )
     g = (
-        e.filter(F.col("value").isNotNull())
+        e
         .select("event_type", digit.alias("digit"))
         .filter(F.col("digit") != "")
         .groupBy("event_type", "digit")
@@ -606,7 +608,8 @@ DRIFT_BIN_W = 10  # fixed-width value bins
     WITH base AS (
       SELECT event_type, ts, value,
              CAST(FLOOR(value / {DRIFT_BIN_W}) AS BIGINT) AS bin
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value)),
     bounds AS (
       SELECT event_type, MIN(ts) AS t0, MAX(ts) AS t1 FROM base GROUP BY event_type),
     tagged AS (
@@ -650,7 +653,10 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per type). PSI needs ln and is deliberately NOT here —
     the engine-divergent-log class; TV and the companion
     `agg_chi_square` cover the same alarm surface log-free."""
-    e = timestamped(load_table(spark, sf_dir, "events"), "value")
+    # finite-measures contract: FLOOR-binning is undefined on NaN/Inf
+    e = finite_measures(
+        timestamped(load_table(spark, sf_dir, "events")), "value", keep_nulls=False
+    )
     base = e.select(
         "event_type",
         F.unix_micros(F.col("ts")).alias("tus"),

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from nova_pulsar_spark.functions.exact import sql_sum_cents, sum_cents
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table, timestamped
+from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
 
 
 @register(
@@ -42,7 +42,7 @@ from nova_pulsar_spark.sources.tables import load_table, timestamped
       SELECT user_id, date_trunc('day', ts) AS day,
              {sql_sum_cents("value", 100)} AS day_value,
              CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NULL OR isfinite(value) GROUP BY 1, 2),
     bounds AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
     spine AS (
@@ -66,9 +66,11 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     span (one `sequence()` per key row — no key × calendar blowup),
     and the LOCF window partitions by the same key, so the whole plan
     is one shuffle on user_id. Day sums use long-cents for exact
-    cross-engine parity.
+    cross-engine parity. Finite-measures contract: the cents
+    accumulator is undefined on NaN/Inf (NULL values stay — the day
+    count keeps them, the sum skips them, identically on both engines).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     daily = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
         sum_cents(F.col("value"), 100).alias("day_value"),
         F.count(F.lit(1)).alias("n_events"),
@@ -522,7 +524,7 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM events WHERE value IS NULL OR isfinite(value)
     GROUP BY 1, 2
     """,
     doc="Seasonality profile: day-of-week x hour-of-day activity grid "
@@ -536,8 +538,9 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 168 rows per task no matter the corpus size. Engine note:
     Spark's dayofweek() is 1-7 Sunday-first while DuckDB's dayofweek()
     is 0-6 Sunday-first, so the Spark side subtracts 1; sums use the
-    decimal-exact idiom."""
-    e = load_table(spark, sf_dir, "events")
+    decimal-exact idiom (finite-measures contract: NaN/Inf rows
+    excluded on both engines, NULL values stay)."""
+    e = finite_measures(load_table(spark, sf_dir, "events"), "value")
     return (
         e.groupBy(
             (F.dayofweek("ts") - 1).cast("int").alias("dow"),
@@ -598,7 +601,9 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1)
     SELECT event_type,
@@ -621,9 +626,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume, so collect_list here is a rollup artifact, not a memory
     smell. alpha=0.5 is an exact binary fraction and both engines fold
     left from the first element — bit-identical smoothing."""
-    # timestamped-rows contract: time-bucketed/ordered series exclude
-    # NULL ts on both engines (engines disagree on NULL placement)
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts: NULL ts and
+    # NaN/Inf values excluded on both engines (NULL values stay)
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
@@ -762,7 +767,7 @@ def _acf_lag_sql(lag: int) -> str:
     WITH cents AS (
       SELECT event_type, ts, event_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value))
     """
     + "\n    UNION ALL\n".join(_acf_lag_sql(k) for k in range(1, ACF_LAGS + 1)),
     doc=f"Exact autocorrelation at lags 1..{ACF_LAGS} per event series "
@@ -790,7 +795,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nova_pulsar_spark.operators.ranks import grouped_rank
 
     e = load_table(spark, sf_dir, "events")
-    cents = timestamped(e, "value").select(
+    cents = finite_measures(timestamped(e), "value", keep_nulls=False).select(
         "event_type",
         "ts",
         "event_id",
@@ -842,7 +847,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -884,7 +889,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     first element IS the initial accumulator on both engines)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        timestamped(e, "value")
+        finite_measures(timestamped(e), "value", keep_nulls=False)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -935,7 +940,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -978,7 +983,7 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-point series yield NULL metrics (no forecastable step)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        timestamped(e, "value")
+        finite_measures(timestamped(e), "value", keep_nulls=False)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1051,7 +1056,7 @@ _HW_LNEW_SP = (
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                / COUNT(*) / 1000 AS m
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) GROUP BY 1, 2),
     series AS (
       SELECT event_type, list(m ORDER BY bucket_ts) AS ms FROM hourly GROUP BY 1),
     fold AS (
@@ -1099,7 +1104,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(P) array copy, n_hours * (P + 2) work per series total."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        timestamped(e, "value")
+        finite_measures(timestamped(e), "value", keep_nulls=False)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             (
@@ -1174,7 +1179,7 @@ def _xcorr_lag_sql(k: int) -> str:
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 1000, 0) AS DECIMAL(38,0))) AS DOUBLE)
                         / COUNT(*) / 1000 * 1024) AS BIGINT) AS mx
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value) GROUP BY 1, 2)
     """
     + "\n    UNION ALL\n".join(_xcorr_lag_sql(k) for k in range(0, XCORR_LAGS + 1)),
     doc=f"Lagged cross-correlation (hours 0..{XCORR_LAGS}) between every "
@@ -1201,7 +1206,7 @@ def ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constant series yield NULL via the guarded denominator."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
-        timestamped(e, "value")
+        finite_measures(timestamped(e), "value", keep_nulls=False)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
         .agg(
             F.floor(
@@ -1267,7 +1272,7 @@ LTTB_K = 24  # output points per series
     sql=f"""
     WITH RECURSIVE pts0 AS (
       SELECT event_type, epoch_us(ts) AS xa, value AS y
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value)),
     pts1 AS (
       SELECT event_type, xa - MIN(xa) OVER (PARTITION BY event_type) AS x, y,
              COUNT(*) OVER (PARTITION BY event_type) AS n
@@ -1344,7 +1349,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a fold bug cannot self-confirm. Series with n <= K pass
     through unsampled (both engines' third branch)."""
     K = LTTB_K
-    e = timestamped(load_table(spark, sf_dir, "events"), "value")
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value", keep_nulls=False)
     p0 = e.select("event_type", F.unix_micros(F.col("ts")).alias("xa"), F.col("value").alias("y"))
     # Distributed rank (ranks.py, round-5): the former PARTITION BY
     # event_type windows (min/count/row_number) each shipped a whole
@@ -1435,7 +1440,7 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cents AS (
       SELECT event_type, ts, event_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL AND isfinite(value)),
     run AS (
       SELECT event_type, c,
              MAX(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
@@ -1466,7 +1471,7 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(1) per row. Timestamped-rows contract: a non-NULL value on a
     NULL-ts row would otherwise enter the running peak at an
     engine-specific position."""
-    e = timestamped(load_table(spark, sf_dir, "events"), "value")
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value", keep_nulls=False)
     cents = e.select(
         "event_type", "ts", "event_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table, timestamped
+from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
 
 
 @register(
@@ -68,15 +68,16 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     """,
     doc="Per-user running sum/count (A6 tool-count counter shape)",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # timestamped-rows contract: time-ordered frames are undefined
-    # for NULL ts (engines disagree on NULL placement) — excluded
-    # explicitly on both sides
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts: time-ordered
+    # frames are undefined for NULL ts, and the exact DECIMAL
+    # accumulator is undefined for NaN/Inf — both excluded on both
+    # sides (NULL values stay: SUM skips them identically)
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     return e.select(
         "user_id",
@@ -127,15 +128,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     """,
     doc="Bounded ROWS frame (moving sum over last 3 events)",
 )
 def window_frame_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # timestamped-rows contract: time-ordered frames are undefined
-    # for NULL ts (engines disagree on NULL placement) — excluded
-    # explicitly on both sides
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts (see
+    # window_running_sum)
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
     return e.select(
         "user_id",

@@ -103,6 +103,33 @@ def timestamped(df: DataFrame, *extra_nonnull: str) -> DataFrame:
     return df.filter(cond)
 
 
+def finite_measures(df: DataFrame, *cols: str, keep_nulls: bool = True) -> DataFrame:
+    """The finite-measures contract (round 7, sibling of
+    ``timestamped``): every operator that feeds a measure column into
+    an EXACT accumulator (the decimal/fixed-point idiom, histogram
+    bucketing, cents-casting windows) consumes rows through this
+    helper. Non-finite doubles make those accumulators undefined —
+    DuckDB refuses ``CAST(nan AS BIGINT/DECIMAL)`` outright and Spark's
+    ANSI casts overflow on ±Inf — so before this contract a single NaN
+    row crashed 24 registered queries LOUDLY (the round-7 NaN-probe
+    sweep; zero silent divergences, but a 100 TB corpus will contain
+    one eventually). Non-finite rows are EXCLUDED on both engines (the
+    DuckDB twin carries ``isfinite(col)``); they are not lost — they
+    are exactly what ``dq_profile``/``dq_constraints`` surface, the
+    same story as NULL-ts rows. ``keep_nulls=True`` (default)
+    preserves NULL-measure rows so aggregates keep their identical
+    both-engine NULL-skip semantics; ops that already require the
+    measure non-NULL pass ``keep_nulls=False``. The edge fixture
+    carries NaN/+Inf/-Inf value rows pinning the class."""
+    cond = F.lit(True)
+    for c in cols:
+        fin = ~F.isnan(F.col(c)) & (F.abs(F.col(c)) != float("inf"))
+        cond = cond & (
+            (F.col(c).isNull() | fin) if keep_nulls else (F.col(c).isNotNull() & fin)
+        )
+    return df.filter(cond)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

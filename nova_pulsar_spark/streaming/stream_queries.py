@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from nova_pulsar_spark.plans.fixtures import STATUS_EVENTS
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table, timestamped
+from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
 from nova_pulsar_spark.streaming.state import lifecycle_batch
 
 
@@ -28,16 +28,16 @@ from nova_pulsar_spark.streaming.state import lifecycle_batch
       event_type,
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events WHERE ts IS NOT NULL
+    FROM events
+    WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
     """,
     doc="Tumbling 5-min window agg (streaming form: readStream + withWatermark + window)",
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # timestamped-rows contract: time windows are undefined for NULL
-    # ts (Spark window()/session_window drop them silently; the
-    # explicit filter keeps both engines on the same definition)
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts: time windows are
+    # undefined for NULL ts, the DECIMAL accumulator for NaN/Inf
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -56,16 +56,14 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events CROSS JOIN (SELECT UNNEST(range(0, 5)) AS k) k
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     GROUP BY 1
     """,
     doc="Sliding window 5 min / 1 min slide (each event in 5 overlapping windows)",
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # timestamped-rows contract: time windows are undefined for NULL
-    # ts (Spark window()/session_window drop them silently; the
-    # explicit filter keeps both engines on the same definition)
-    e = timestamped(load_table(spark, sf_dir, "events"))
+    # timestamped-rows + finite-measures contracts (see stream_tumbling)
+    e = finite_measures(timestamped(load_table(spark, sf_dir, "events")), "value")
     return (
         e.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
         .agg(

@@ -124,6 +124,17 @@ def main(out_dir: str) -> None:
         # rows pin that the exclusion is mirrored in every oracle
         (14, None, 7, "purchase", 6.0, None),
         (15, None, 11, "error", None, None),  # whole user un-timestamped
+        # non-finite values — the finite-measures contract (round 7):
+        # exact accumulators (decimal/cents sums, FLOOR-binning,
+        # histogram edges) are undefined on NaN/Inf; DuckDB refuses
+        # CAST(nan AS BIGINT/DECIMAL) outright. Before the contract a
+        # single NaN row crashed 24 registered queries LOUDLY (zero
+        # silent divergences — NaN sorts greatest on both engines, so
+        # rank/min/max paths agree); these rows pin that every exact-
+        # accumulator op excludes non-finite input on BOTH engines
+        (16, m(11), 7, "purchase", float("nan"), None),
+        (17, m(12), 8, "refund", float("inf"), None),
+        (18, m(13), 9, "error", float("-inf"), None),
     ]
     _write(spark.createDataFrame(
         events,
