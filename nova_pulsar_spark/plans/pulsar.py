@@ -36,15 +36,20 @@ from nova_pulsar_spark.plans.daemon import PLAN_SCHEMA, _update_board
 
 
 def _read_queue(spark: SparkSession, root: str, project: str, state: str):
-    """One project's queue dir as a DataFrame (None when empty)."""
+    """One project's queue dir as a DataFrame (None when empty).
+
+    Only the missing-directory case maps to None (= empty queue, the
+    reference's "run /nova first" path). Corrupt files, schema
+    mismatches, and permission errors PROPAGATE — an unreadable queue
+    must not masquerade as an empty one.
+    """
     path = os.path.join(root, project, state)
-    try:
-        df = spark.read.schema(PLAN_SCHEMA).option("pathGlobFilter", "*.json").json(path)
-        if not df.take(1):
-            return None
-        return df
-    except Exception:
+    if not os.path.isdir(path):
         return None
+    df = spark.read.schema(PLAN_SCHEMA).option("pathGlobFilter", "*.json").json(path)
+    if not df.take(1):
+        return None
+    return df
 
 
 def resolve_plan(

@@ -250,6 +250,7 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev_max = 1
+    converged = False
     for _ in range(max_iters):
         bumped = (
             conflicts.alias("c")
@@ -273,8 +274,17 @@ def phase_rounds(phases: DataFrame, max_iters: int = 16) -> DataFrame:
         # per step; the previous depth is remembered driver-side).
         new_max = rounds.agg(F.max("round")).first()[0]
         if new_max == prev_max:
+            converged = True
             break
         prev_max = new_max
+    if not converged:
+        # The DuckDB twin (_ROUNDS_SQL, an unbounded recursive CTE) has
+        # no such cap — a chain deeper than max_iters must error loudly
+        # here rather than silently diverge between the two engines.
+        raise ValueError(
+            f"phase_rounds did not reach a fixpoint within max_iters={max_iters}; "
+            f"conflict chain is deeper — raise max_iters (depth so far: {prev_max})"
+        )
     return rounds
 
 

@@ -102,3 +102,41 @@ def test_ts_ordered_oracle_sql_declares_contract():
             if "ts IS NOT NULL" not in rq.sql:
                 missing.append(name)
     assert not missing, f"ts-ordered oracle SQL without the contract: {missing}"
+
+
+def test_finite_measures_oracle_sql_declares_contract():
+    """The SQL half of the finite-measures contract (round 7's class,
+    lint added round 8, symmetric to the ts lint above): any oracle
+    twin that CASTs an expression containing a double measure column to
+    an exact type (BIGINT/DECIMAL/HUGEINT/INT) must carry ``isfinite``
+    — DuckDB refuses ``CAST(nan AS BIGINT/DECIMAL)`` and the matching
+    Spark ANSI cast overflows on ±Inf, so a missing guard is a crash
+    waiting for the first non-finite row at 100 TB. The round-7 probe
+    sweep found 24 such operators by hand; this pins the class
+    mechanically for every future registration.
+
+    Exemptions: casts whose operand is a rank/count function output
+    (finite by construction, e.g. CAST(ROW_NUMBER() ... AS INT)) even
+    when the rank ORDERs by the measure — ordering NaN is well-defined
+    on both engines."""
+    import re
+
+    cast_pat = re.compile(
+        r"CAST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\s+AS\s+"
+        r"(?:BIGINT|DECIMAL|HUGEINT|INTEGER|INT)\b",
+        re.I,
+    )
+    measure = re.compile(r"\b(value|score|sim|cos|cosine)\b", re.I)
+    rank_fn = re.compile(r"\b(ROW_NUMBER|RANK|DENSE_RANK|NTILE|COUNT)\s*\(", re.I)
+    flagged = []
+    for name, rq in sorted(all_queries().items()):
+        if rq.sql is None or "isfinite" in rq.sql.lower():
+            continue
+        for operand in cast_pat.findall(rq.sql):
+            if measure.search(operand) and not rank_fn.match(operand.strip()):
+                flagged.append(f"{name}: CAST({operand.strip()[:60]} ...)")
+                break
+    assert not flagged, (
+        f"oracle SQL casts a double measure to an exact type without isfinite "
+        f"(finite-measures contract): {flagged}"
+    )

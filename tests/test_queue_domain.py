@@ -62,6 +62,23 @@ def test_phase_rounds_serialize_conflicts(spark):
     assert rounds[("plan-20260228-0900", 2)] == 1
 
 
+def test_phase_rounds_raises_on_uncapped_depth(spark):
+    """A conflict chain deeper than max_iters must raise, not silently
+    truncate: the DuckDB twin (_ROUNDS_SQL) is an unbounded recursive
+    CTE, so a silent cap would be a cross-engine divergence (ADVICE r7)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [("p", i, f"phase {i}", [f"f{i}.py", f"f{i+1}.py"], "Low", "a") for i in range(1, 6)],
+        "plan_id string, phase int, title string, files array<string>, complexity string, agent string",
+    )
+    with pytest.raises(ValueError, match="fixpoint"):
+        S.phase_rounds(chain, max_iters=2)
+    # generous cap converges fine on the same input
+    depths = {r.phase: r.round for r in S.phase_rounds(chain, max_iters=16).collect()}
+    assert depths == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
 def test_model_routing_backward_compat_default(spark):
     routed = {
         (r.plan_id, r.phase): r.model

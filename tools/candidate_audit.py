@@ -104,7 +104,9 @@ def audit_dir(spark, sf_dir: str) -> dict:
         .agg(
             F.count(F.lit(1)).alias("buckets"),
             F.sum("n").alias("members"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            # Integer DIV, matching the registered llm_dedup_lsh_cap_loss
+            # ledger — float division loses exactness near 2^53 pairs.
+            F.sum(F.expr("n * (CAST(n AS BIGINT) - 1) DIV 2")).alias("pairs"),
             F.max("n").alias("biggest"),
         )
         .first()
