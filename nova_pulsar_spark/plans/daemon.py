@@ -87,7 +87,7 @@ def scan_namespaces(spark: SparkSession, root: str):
 
 
 def dispatch_once(
-    spark: SparkSession, root: str, now: datetime | None = None, scorer=None
+    spark: SparkSession, root: str, now: datetime | None = None, scorer=None, handoff=None
 ) -> dict:
     """One daemon cycle. Returns a decision record (also appended to
     the root log, reference `log()` S9).
@@ -95,7 +95,17 @@ def dispatch_once(
     ``scorer`` (S11/L1): optional external-LLM plan scorer passed to
     `scheduler.select_plan` — validated `project:plan_id` reply with
     fallback to the deterministic O1 ordering (the reference daemon's
-    `claude -p` seam, `scripts/starry-daemon.sh:136-151`)."""
+    `claude -p` seam, `scripts/starry-daemon.sh:136-151`).
+
+    ``handoff``: optional ``(root, project, plan_id) -> record``
+    callable modeling `starry-daemon.sh:203`'s call into
+    `pulsar-auto.sh` — the reference order, where the daemon does NOT
+    move the plan file; the spawned consumer activates it. With a
+    handoff the dispatch branch invokes it INSTEAD of the local
+    queued→active move + board upsert, and the returned record lands
+    in the decision (`tests/test_golden_handoff.py` pins the full
+    daemon→pulsar seam this way). Default None keeps the compact
+    single-process semantics the daemon golden replay pins."""
     now = now or datetime.utcnow()
     plans = scan_namespaces(spark, root)
     decision: dict = {"at": now.isoformat(), "action": "idle"}
@@ -124,13 +134,25 @@ def dispatch_once(
         else:
             chosen = best[0]
             project, plan_id = chosen.project, chosen.id
-            # Q2 activation: atomic file move queued → active
-            src = os.path.join(root, project, "queued/background", f"{plan_id}.json")
-            dst_dir = os.path.join(root, project, "active")
-            os.makedirs(dst_dir, exist_ok=True)
-            os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
-            _update_board(root, project, plan_id, "active", now)
-            decision.update({"action": "dispatch", "project": project, "plan_id": plan_id})
+            if handoff is not None:
+                # reference order (starry-daemon.sh:203): trigger the
+                # consumer; the plan file stays queued until IT activates
+                decision.update(
+                    {
+                        "action": "dispatch",
+                        "project": project,
+                        "plan_id": plan_id,
+                        "handoff": handoff(root, project, plan_id),
+                    }
+                )
+            else:
+                # Q2 activation: atomic file move queued → active
+                src = os.path.join(root, project, "queued/background", f"{plan_id}.json")
+                dst_dir = os.path.join(root, project, "active")
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
+                _update_board(root, project, plan_id, "active", now)
+                decision.update({"action": "dispatch", "project": project, "plan_id": plan_id})
     plans.unpersist()
     _log(root, decision)
     return decision

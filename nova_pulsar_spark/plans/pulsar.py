@@ -137,6 +137,73 @@ def quality_gate_tasks(schedule: DataFrame) -> DataFrame:
     )
 
 
+def pulsar_auto(
+    root: str,
+    project: str,
+    plan_id: str,
+    now: datetime,
+    pid: int,
+    home: str = "/home/user",
+) -> dict:
+    """The daemon→consumer HANDOFF (`scripts/pulsar-auto.sh:16-85`) —
+    the seam between the two golden stories: the daemon's Orbiter
+    selection triggers this script, which locates the plan file
+    (still in queued/background — activation belongs to the consumer
+    it spawns), extracts the project path from the plan's own
+    metadata, records the log + PID file, and composes the consumer
+    invocation ("Execute plan X using /pulsar X ...",
+    `pulsar-auto.sh:78-81`).
+
+    Faithful error surface (each an `exit 1` in the script): missing
+    project namespace (:33-36); plan queued INTERACTIVE — the
+    background executor refuses it (:42-44); plan in neither queue
+    (:45-47). Project-path fallback to ``home`` with a warning when
+    the plan carries none or a dangling one (:60-63).
+
+    Pure driver-side file protocol (like the script). Returns the
+    invocation record; the spawned consumer then runs `resolve_plan`
+    on the SAME file and does the activation move."""
+    import json
+
+    ns_dir = os.path.join(root, project)
+    if not os.path.isdir(ns_dir):
+        raise ValueError(f"project namespace '{project}' not found at {ns_dir}")
+    plan_file = os.path.join(ns_dir, "queued/background", f"{plan_id}.json")
+    if not os.path.isfile(plan_file):
+        if os.path.isfile(os.path.join(ns_dir, "queued/interactive", f"{plan_id}.json")):
+            raise ValueError(f"plan {plan_id} is in interactive queue, not background")
+        raise ValueError(f"plan {plan_id} not found in queued/background")
+    with open(plan_file) as f:
+        plan = json.load(f)
+    project_path = plan.get("project_path")
+    path_fallback = not (project_path and os.path.isdir(project_path))
+    if path_fallback:
+        project_path = home
+    logs_dir = os.path.join(ns_dir, "logs")
+    os.makedirs(logs_dir, exist_ok=True)
+    prompt = (
+        f"Execute plan {plan_id} using /pulsar {plan_id}. The plan is "
+        f"located at {plan_file}. Execute all phases, run tests, and "
+        f"mark as completed when done."
+    )
+    record = {
+        "action": "handoff",
+        "at": now.isoformat(),
+        "project": project,
+        "plan_id": plan_id,
+        "plan_file": plan_file,
+        "project_path": project_path,
+        "path_fallback": path_fallback,
+        "prompt": prompt,
+        "pid": pid,
+    }
+    with open(os.path.join(logs_dir, f"{plan_id}.log"), "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+    with open(os.path.join(logs_dir, f"{plan_id}.pid"), "w") as f:
+        f.write(f"{pid}\n")
+    return record
+
+
 def finalize_plan(root: str, project: str, plan_id: str, now: datetime) -> dict:
     """Step-7 finalization (`commands/pulsar.md:612-616`): atomic
     active → completed move plus the board upsert, mirroring the

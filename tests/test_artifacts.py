@@ -1,0 +1,84 @@
+"""Pins on committed measurement artifacts.
+
+These tests make the acceptance bars attached to committed soak/scale
+artifacts mechanical: if a future round commits an artifact that dips
+below a stated floor, the suite fails — the floor is policy, not a
+side effect of whatever the last run happened to measure.
+"""
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest(pattern: str) -> str | None:
+    paths = sorted(
+        glob.glob(os.path.join(HERE, pattern)),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    return paths[-1] if paths else None
+
+
+def test_rekey_strong_recall_floor_in_committed_soak():
+    """VERDICT r7 next-round #2: the rekey's borderline-recall price is
+    accepted POLICY with a tested floor — strong-tier (cos >= 0.9)
+    recall must stay >= REKEY_RECALL_STRONG_FLOOR in every committed
+    soak artifact. Borderline pairs shed by the rekey are re-surfaced
+    by the next full-index rebuild; strong pairs must never be."""
+    from tools.state_soak import REKEY_RECALL_STRONG_FLOOR
+
+    path = _latest("STATE_SOAK_r*.json")
+    if path is None:
+        pytest.skip("no committed soak artifact")
+    doc = json.load(open(path))
+    volumes = [
+        (label, vol["rekey_precision"])
+        for label, vol in doc.get("embedding", {}).items()
+        if isinstance(vol, dict) and "rekey_precision" in vol
+    ]
+    assert volumes, f"{os.path.basename(path)} carries no rekey measurements"
+    for label, rp in volumes:
+        rs = rp.get("rekey_recall_strong")
+        assert rs is not None and rs >= REKEY_RECALL_STRONG_FLOOR, (
+            f"{os.path.basename(path)} {label}: rekey_recall_strong={rs} "
+            f"below the accepted floor {REKEY_RECALL_STRONG_FLOOR}"
+        )
+
+
+def test_soak_tool_declares_the_policy():
+    """The floor and its prose policy live next to the measurement, and
+    newer soak artifacts must carry them (r7's artifact predates the
+    policy stamp and is exempt)."""
+    from tools.state_soak import REKEY_POLICY, REKEY_RECALL_STRONG_FLOOR
+
+    assert 0.9 <= REKEY_RECALL_STRONG_FLOOR < 1.0
+    assert "full-index rebuild" in REKEY_POLICY
+    path = _latest("STATE_SOAK_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 8:
+        return
+    doc = json.load(open(path))
+    for label, vol in doc.get("embedding", {}).items():
+        if isinstance(vol, dict) and "rekey_precision" in vol:
+            assert vol["rekey_precision"].get("rekey_policy") == REKEY_POLICY, (
+                f"{label} artifact missing the stamped rekey policy"
+            )
+
+
+def test_bench_artifact_provenance_stamp():
+    """VERDICT r7 #1: bench artifacts from round 8 on must say HOW they
+    were produced (best-of-N policy, host load at start/end) so a
+    noisy-host run can never again masquerade as a regression."""
+    path = _latest("BENCH_LOCAL_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 8:
+        pytest.skip("no round>=8 local bench artifact yet")
+    doc = json.load(open(path))
+    prov = doc.get("provenance")
+    assert prov, f"{os.path.basename(path)} has no provenance stamp"
+    for key in ("policy", "runs", "cpus", "loadavg_1m_start", "loadavg_1m_end"):
+        assert key in prov, f"provenance missing {key}"
+    assert "best-of" in prov["policy"]

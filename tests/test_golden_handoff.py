@@ -1,0 +1,285 @@
+"""Golden end-to-end replay of the daemon→pulsar HANDOFF seam
+(VERDICT r7 task #5) — the one reference path the two existing golden
+replays stop short of: `starry-daemon.sh:203` calling
+`pulsar-auto.sh:16-85`, which locates the STILL-QUEUED plan file,
+extracts the project path from the plan's own metadata, records the
+log + PID file, and spawns the interactive consumer — whose `/pulsar
+<plan-id>` then resolves the SAME file, activates it, and runs the
+schedule/gates/finalize story.
+
+One synthetic timeline drives ONE plan through both halves:
+
+  Orbiter selects gamma's oldest bug plan → handoff (plan file NOT
+  moved; prompt composed; pid + log written) → pulsar-auto's three
+  error exits pinned (interactive-queue refusal, unknown plan,
+  missing namespace) → project-path fallback pinned on a second plan
+  → consumer resolve (finds it in queued/background) → activation
+  move + board → re-derived rounds + model routing on the dispatched
+  plan's phases → per-round quality-gate pairs → gate status poll →
+  finalize → completed.
+
+Every clock and pid is injected and tmp paths are normalized to
+placeholders, so the replay is a pure function of this file;
+regenerate deliberately with REGEN_GOLDEN=1 and review the diff like
+code (same discipline as the daemon and pulsar goldens).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from nova_pulsar_spark.plans.daemon import _update_board, dispatch_once
+from nova_pulsar_spark.plans.pulsar import (
+    execution_schedule,
+    finalize_plan,
+    pulsar_auto,
+    quality_gate_tasks,
+    resolve_plan,
+)
+from nova_pulsar_spark.streaming.topics import QueueNamespace, atomic_write_json
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "handoff_replay.json")
+
+T0 = datetime(2026, 3, 3, 8, 0, 0)
+T1 = datetime(2026, 3, 3, 8, 1, 0)
+T2 = datetime(2026, 3, 3, 9, 30, 0)
+H1, H2, D1 = "plan-20260225-0800", "plan-20260226-1400", "plan-20260301-1200"
+
+# H1: the dispatched plan — ph2 shares core.py with ph1 (round 2);
+# ph3 independent with the missing-complexity default routing.
+H1_PHASES = [
+    (1, "Fix race in core", ["core.py"], "High (Architectural)"),
+    (2, "Harden call sites", ["core.py", "util.py"], "Medium"),
+    (3, "Changelog", ["docs.md"], None),
+]
+
+
+def _plan(pid, ptype, created, phases, project_path=None):
+    plan = {
+        "id": pid,
+        "title": pid,
+        "project": "gamma",
+        "type": ptype,
+        "execution_mode": "background",
+        "created_at": created,
+        "n_phases": len(phases),
+        "phases": [
+            {"phase": p, "title": t, "files": files, "complexity": cx}
+            for p, t, files, cx in phases
+        ],
+    }
+    if project_path is not None:
+        plan["project_path"] = project_path
+    return plan
+
+
+def _norm(obj, repl):
+    """Replace run-specific path prefixes with stable placeholders so
+    the golden artifact is byte-reproducible."""
+    if isinstance(obj, str):
+        for real, ph in repl.items():
+            obj = obj.replace(real, ph)
+        return obj
+    if isinstance(obj, dict):
+        return {k: _norm(v, repl) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_norm(v, repl) for v in obj]
+    return obj
+
+
+def _replay(spark, tmp_path) -> dict:
+    root = str(tmp_path / "handoff_comms")
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+    gamma = QueueNamespace(root=root, project="gamma")
+    delta = QueueNamespace(root=root, project="delta")
+    gamma.setup()
+    delta.setup()
+    gamma.enqueue_plan(_plan(H1, "bug", "2026-02-25T08:00:00", H1_PHASES, project_path=repo))
+    gamma.enqueue_plan(_plan(H2, "feature", "2026-02-26T14:00:00", [(1, "ph1", ["x.py"], "Low")]))
+    delta.enqueue_plan(
+        {**_plan(D1, "feature", "2026-03-01T12:00:00", []), "project": "delta"},
+        interactive=True,
+    )
+
+    # 1. pulsar-auto's error exits (pulsar-auto.sh:33-47)
+    errors = {}
+    with pytest.raises(ValueError) as e:
+        pulsar_auto(root, "nope", H1, now=T0, pid=1)
+    errors["missing_namespace"] = str(e.value)
+    with pytest.raises(ValueError) as e:
+        pulsar_auto(root, "gamma", "plan-unknown", now=T0, pid=1)
+    errors["not_found"] = str(e.value)
+    with pytest.raises(ValueError) as e:
+        pulsar_auto(root, "delta", D1, now=T0, pid=1)
+    errors["interactive_refused"] = str(e.value)
+
+    # 2. daemon cycle in the REFERENCE order: Orbiter top-1 → handoff;
+    #    the plan file stays in queued/background
+    plan_file = os.path.join(root, "gamma", "queued/background", f"{H1}.json")
+    bytes_at_enqueue = open(plan_file, "rb").read()
+    d1 = dispatch_once(
+        spark,
+        root,
+        T0,
+        handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=T0, pid=4242, home="<home>"),
+    )
+    after_dispatch = {
+        "queued_background": sorted(
+            os.listdir(os.path.join(root, "gamma", "queued", "background"))
+        ),
+        "active": sorted(os.listdir(os.path.join(root, "gamma", "active"))),
+        "plan_file_unchanged": open(plan_file, "rb").read() == bytes_at_enqueue,
+    }
+
+    # 3. project-path fallback (pulsar-auto.sh:60-63) on the plan that
+    #    carries none — still queued, legal to probe
+    fallback = pulsar_auto(root, "gamma", H2, now=T0, pid=4243, home="<home>")
+
+    # 4. the spawned consumer: /pulsar H1 resolves the SAME file ...
+    resolution = resolve_plan(spark, root, "gamma", H1)
+    # ... and activates it (pulsar.md:159-165)
+    gamma.move_plan(H1, "queued_background", "active")
+    _update_board(root, "gamma", H1, "active", T1)
+
+    # 5. schedule + gates on the DISPATCHED plan file, read back from
+    #    the active dir (not the fixture) — the seam's whole point
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.plans.daemon import PLAN_SCHEMA
+
+    active = spark.read.schema(PLAN_SCHEMA).json(os.path.join(root, "gamma", "active"))
+    phases = active.select(
+        F.col("id").alias("plan_id"), F.explode("phases").alias("ph")
+    ).select(
+        "plan_id",
+        F.col("ph.phase").alias("phase"),
+        F.col("ph.title").alias("title"),
+        F.col("ph.files").alias("files"),
+        F.col("ph.complexity").alias("complexity"),
+    )
+    schedule = [
+        dict(r.asDict())
+        for r in execution_schedule(phases).orderBy("round", "phase").collect()
+    ]
+    gates = [dict(r.asDict()) for r in quality_gate_tasks(execution_schedule(phases)).collect()]
+
+    # 6. gates publish status; poll with the reference's jq projection
+    status_dir = gamma.dir_for("status")
+    for g in gates:
+        atomic_write_json(
+            status_dir,
+            f"{g['task_id']}.json",
+            {
+                "task_id": g["task_id"],
+                "project": "gamma",
+                "plan_id": H1,
+                "status": "completed",
+                "tool_count": 3 + g["round"],
+                "last_tool": "Bash",
+                "updated_at": f"2026-03-03T08:{30 + 10 * g['round']:02d}:00",
+            },
+        )
+    polled = [
+        {"task": r["task_id"], "status": r["status"], "tools": r["tool_count"]}
+        for r in spark.read.json(status_dir)
+        .select("task_id", "status", "tool_count")
+        .orderBy("task_id")
+        .collect()
+    ]
+
+    # 7. finalize
+    final = finalize_plan(root, "gamma", H1, T2)
+    board = json.load(open(os.path.join(root, "board.json")))
+    log_actions = [
+        json.loads(line.split(" - ", 1)[1])["action"]
+        for line in open(os.path.join(root, "daemon.log"))
+    ]
+    handoff_log = [
+        json.loads(line)
+        for line in open(os.path.join(root, "gamma", "logs", f"{H1}.log"))
+    ]
+    pid_file = open(os.path.join(root, "gamma", "logs", f"{H1}.pid")).read()
+
+    out = {
+        "errors": errors,
+        "dispatch": d1,
+        "after_dispatch": after_dispatch,
+        "fallback": {k: fallback[k] for k in ("plan_id", "project_path", "path_fallback")},
+        "resolution": resolution,
+        "schedule": schedule,
+        "quality_gates": gates,
+        "gate_status_poll": polled,
+        "finalize": final,
+        "board": board,
+        "daemon_log_actions": log_actions,
+        "handoff_log": handoff_log,
+        "pid_file": pid_file,
+        "files": {
+            "queued_remains": sorted(
+                os.listdir(os.path.join(root, "gamma", "queued", "background"))
+            ),
+            "completed": sorted(os.listdir(os.path.join(root, "gamma", "completed"))),
+            "active": sorted(os.listdir(os.path.join(root, "gamma", "active"))),
+            "logs": sorted(os.listdir(os.path.join(root, "gamma", "logs"))),
+        },
+    }
+    return _norm(out, {root: "<root>", repo: "<repo>"})
+
+
+def test_golden_handoff_replay(spark, tmp_path):
+    replay = _replay(spark, tmp_path)
+    actual = json.dumps(replay, sort_keys=True, indent=1, default=str) + "\n"
+    if os.environ.get("REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as f:
+            f.write(actual)
+    with open(GOLDEN) as f:
+        expected = f.read()
+    assert actual == expected, (
+        "handoff replay diverged from the golden artifact; if the change is "
+        "intentional, regenerate with REGEN_GOLDEN=1 and review the diff"
+    )
+
+
+def test_golden_handoff_semantics():
+    """Pin the INTENT independently of the byte comparison."""
+    with open(GOLDEN) as f:
+        g = json.load(f)
+    # the daemon triggered the consumer but did NOT move the file
+    assert g["dispatch"]["action"] == "dispatch"
+    assert g["dispatch"]["handoff"]["prompt"].count(f"/pulsar {H1}") == 1
+    assert g["dispatch"]["handoff"]["plan_file"].endswith(f"queued/background/{H1}.json")
+    assert f"{H1}.json" in g["after_dispatch"]["queued_background"]
+    assert g["after_dispatch"]["active"] == []
+    assert g["after_dispatch"]["plan_file_unchanged"] is True
+    # project path came from the plan's own metadata; H2 fell back
+    assert g["dispatch"]["handoff"]["project_path"] == "<repo>"
+    assert g["dispatch"]["handoff"]["path_fallback"] is False
+    assert g["fallback"] == {"plan_id": H2, "project_path": "<home>", "path_fallback": True}
+    # the three pulsar-auto error exits
+    assert "interactive queue, not background" in g["errors"]["interactive_refused"]
+    assert "not found in queued/background" in g["errors"]["not_found"]
+    assert "namespace" in g["errors"]["missing_namespace"]
+    # the consumer resolved the SAME plan in the background queue
+    assert g["resolution"] == {"action": "load", "plan_id": H1, "queue": "background"}
+    # schedule re-derived from the dispatched file: ph2 conflicts on
+    # core.py → round 2; missing complexity → sonnet
+    rounds = {s["phase"]: s["round"] for s in g["schedule"]}
+    assert rounds == {1: 1, 3: 1, 2: 2}
+    models = {s["phase"]: s["model"] for s in g["schedule"]}
+    assert models == {1: "opus", 2: "opus", 3: "sonnet"}
+    # both gate kinds per round, pid file written by the handoff
+    assert len(g["quality_gates"]) == 4
+    assert g["pid_file"] == "4242\n"
+    # end state: completed + board, H2 still queued
+    assert g["board"]["entries"][0]["status"] == "completed"
+    assert g["files"]["completed"] == [f"{H1}.json"]
+    assert g["files"]["queued_remains"] == [f"{H2}.json"]
+    assert sorted(g["files"]["logs"]) == [
+        f"{H1}.log", f"{H1}.pid", f"{H2}.log", f"{H2}.pid",
+    ]

@@ -42,6 +42,23 @@ from nova_pulsar_spark.streaming.statestore import rocksdb_state_store  # noqa: 
 N_FILES = 8
 VOCAB = [f"w{i:03d}" for i in range(400)]
 
+# --- rekey acceptance policy (VERDICT r7 next-round #2) -------------
+# The stream→stored rekey trades borderline-tier recall (cos >= 0.4,
+# measured 0.27 -> 0.018 at r7) for precision (0.33 -> 0.70). That
+# trade is ACCEPTED POLICY, with a tested floor on what may NOT be
+# traded away: strong-tier recall (cos >= 0.9 — the production dedup
+# bar; r7 measured 0.985-1.0). Borderline pairs are re-surfaced by the
+# next full-index rebuild (`llm_dedup_embedding_lsh` over the batch
+# corpus), so dropping them from the STREAMING compaction loses no
+# pair permanently. `rekey_precision()` raises if a soak run ever
+# measures strong-tier recall below this floor.
+REKEY_RECALL_STRONG_FLOOR = 0.95
+REKEY_POLICY = (
+    "strong-tier (cos>=0.9) recall >= 0.95 is the acceptance bar; "
+    "borderline (cos>=0.4) pairs may be shed by the rekey and are "
+    "re-surfaced by the next full-index rebuild (llm_dedup_embedding_lsh)"
+)
+
 
 def _doc_text(i: int) -> str:
     # 20-word doc from a deterministic vocab, md5-mixed so DISTINCT
@@ -293,7 +310,7 @@ def _rekey_recall(spark, e, sigs, bands_tbl) -> dict:
 
     before = recall_at(EMB_STREAM_BITS)
     after = recall_at(BAND_BITS)
-    return {
+    out = {
         "recall_anchor_mod": mod,
         "recall_n_truth": before["n_truth"],
         "recall_n_truth_strong": before["n_truth_strong"],
@@ -301,7 +318,17 @@ def _rekey_recall(spark, e, sigs, bands_tbl) -> dict:
         "claim_recall_strong": before["recall_strong"],
         "rekey_recall": after["recall"],
         "rekey_recall_strong": after["recall_strong"],
+        "rekey_recall_strong_floor": REKEY_RECALL_STRONG_FLOOR,
+        "rekey_policy": REKEY_POLICY,
     }
+    rs = out["rekey_recall_strong"]
+    if rs is not None and rs < REKEY_RECALL_STRONG_FLOOR:
+        raise AssertionError(
+            f"rekey strong-tier recall {rs} below the accepted floor "
+            f"{REKEY_RECALL_STRONG_FLOOR} — the compaction is dropping "
+            "true near-duplicates, not just borderline pairs"
+        )
+    return out
 
 
 def soak(spark, n_docs: int, workdir: str, modality: str = "text") -> dict:
