@@ -69,6 +69,43 @@ def test_soak_tool_declares_the_policy():
             )
 
 
+def test_exact_first_demonstration_in_committed_scaling3():
+    """VERDICT r7 #3: the x1000 cap-shed story is demonstrated, not
+    asserted, in every round>=8 SCALING3 artifact — exact-dedup-first
+    zeroes the shed on the byte-identical-replica (boilerplate) corpus
+    and leaves the perturbed generator's near-dup shed to the cap."""
+    path = _latest("SCALING3_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 8:
+        pytest.skip("no round>=8 SCALING3 artifact yet")
+    doc = json.load(open(path))
+    ef = doc.get("x1000_exact_first")
+    assert ef, f"{os.path.basename(path)} missing x1000_exact_first"
+    # boilerplate class: exact dedup collapses the corpus and the shed
+    assert ef["exact_replica_shed_post_exact"] == 0
+    assert ef["exact_replica_survivors"] < ef["exact_replica_n_docs"] / 100
+    # perturbed class: exact dedup barely bites; the cap still handles
+    # the clique mass (shed within 5% of the pre-exact main audit)
+    assert ef["perturbed_survivors"] > ef["perturbed_n_docs"] * 0.99
+    main_shed = doc["x1000"]["mh_pairs_shed_by_cap"]
+    assert abs(ef["perturbed_shed_post_exact"] - main_shed) < 0.05 * main_shed
+
+
+def test_recall_attribution_in_committed_scaling2():
+    """VERDICT r7 #4: round>=8 SCALING2 artifacts carry the measured
+    recall-ledger decade-ratio attribution (tools/recall_ab.py)."""
+    path = _latest("SCALING2_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 8:
+        pytest.skip("no round>=8 SCALING2 artifact yet")
+    doc = json.load(open(path))
+    ab = doc.get("recall_ab")
+    assert ab, f"{os.path.basename(path)} missing recall_ab attribution"
+    for key in ("ratio_stock", "ratio_truth_only", "rung_shift_cost_big", "note"):
+        assert key in ab, f"recall_ab missing {key}"
+    # the attribution's substance: anchors bounded, truth-stage ratio
+    # explains the full-query ratio (probe/rung are not the excess)
+    assert ab["ratio_truth_only"] >= 0.8 * ab["ratio_stock"]
+
+
 def test_bench_artifact_provenance_stamp():
     """VERDICT r7 #1: bench artifacts from round 8 on must say HOW they
     were produced (best-of-N policy, host load at start/end) so a
