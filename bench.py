@@ -223,30 +223,45 @@ def _provenance_end(prov: dict) -> None:
 
 
 def _sibling_procs() -> int:
-    """Count OTHER live python/java processes (excluding this
-    interpreter, its own JVM child, and kernel threads) — the usual
-    culprit when a bench run lands 10-15% slow is a sibling Spark
-    session still holding cores."""
+    """Count OTHER live python/java processes — the usual culprit when
+    a bench run lands 10-15% slow is a sibling Spark session still
+    holding cores. Excludes this interpreter and its WHOLE descendant
+    tree (the bench's own JVM is a child, but its pyspark.daemon
+    workers are grandchildren — a plain ppid check would count them
+    and stamp a false 'contended host' signal). Interpreter names are
+    prefix-matched so versioned comms like 'python3.12' count too."""
     me = os.getpid()
-    count = 0
     try:
+        ppid_of: dict[int, int] = {}
+        comm_of: dict[int, str] = {}
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == me:
+            if not pid.isdigit():
                 continue
             try:
                 with open(f"/proc/{pid}/comm") as f:
-                    comm = f.read().strip()
+                    comm_of[int(pid)] = f.read().strip()
                 with open(f"/proc/{pid}/stat") as f:
-                    ppid = int(f.read().split(")")[-1].split()[1])
+                    ppid_of[int(pid)] = int(f.read().split(")")[-1].split()[1])
             except OSError:
                 continue
-            if ppid == me:
-                continue  # our own JVM / py4j children
-            if comm in ("python", "python3", "java"):
-                count += 1
+
+        def mine(pid: int) -> bool:
+            seen = set()
+            while pid and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = ppid_of.get(pid, 0)
+            return False
+
+        return sum(
+            1
+            for pid, comm in comm_of.items()
+            if (comm.startswith("python") or comm.startswith("java"))
+            and not mine(pid)
+        )
     except OSError:  # pragma: no cover
         return -1
-    return count
 
 
 def _write_local_artifact(doc: dict) -> None:

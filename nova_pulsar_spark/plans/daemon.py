@@ -60,15 +60,27 @@ PLAN_SCHEMA = T.StructType(
 
 def _read_plans(spark: SparkSession, root: str, state_glob: str, status: str):
     """Read every project's `{state}` dir as one DataFrame with the
-    plan's queue state derived from its path (S1/P8)."""
+    plan's queue state derived from its path (S1/P8).
+
+    Only the nothing-matches-the-glob case (AnalysisException) maps to
+    None (= no plans in this state yet). Corrupt plan files raise —
+    FAILFAST, mirroring `plans/pulsar._read_queue`: a PERMISSIVE read
+    would hand the Orbiter an all-null plan row instead of failing."""
     path = os.path.join(root, "*", state_glob)
+    from pyspark.errors import AnalysisException
+
     try:
-        df = spark.read.schema(PLAN_SCHEMA).option("pathGlobFilter", "*.json").json(path)
+        df = (
+            spark.read.schema(PLAN_SCHEMA)
+            .option("pathGlobFilter", "*.json")
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
         if not df.take(1):  # stays in the DataFrame/codegen path (no RDD conversion)
             return None
         return df.withColumn("status", F.lit(status))
-    except Exception:
-        return None  # no files yet for this state
+    except AnalysisException:
+        return None  # no files yet for this state (path not found)
 
 
 def scan_namespaces(spark: SparkSession, root: str):
@@ -87,7 +99,12 @@ def scan_namespaces(spark: SparkSession, root: str):
 
 
 def dispatch_once(
-    spark: SparkSession, root: str, now: datetime | None = None, scorer=None, handoff=None
+    spark: SparkSession,
+    root: str,
+    now: datetime | None = None,
+    scorer=None,
+    handoff=None,
+    pid_alive=None,
 ) -> dict:
     """One daemon cycle. Returns a decision record (also appended to
     the root log, reference `log()` S9).
@@ -105,7 +122,24 @@ def dispatch_once(
     queued→active move + board upsert, and the returned record lands
     in the decision (`tests/test_golden_handoff.py` pins the full
     daemon→pulsar seam this way). Default None keeps the compact
-    single-process semantics the daemon golden replay pins."""
+    single-process semantics the daemon golden replay pins.
+
+    Handoff idempotence: because the plan stays queued until the
+    consumer activates it, a second cycle firing before that move
+    would re-select the same plan. The reference closes this window
+    with PID-file liveness (`starry-daemon.sh:77-85`: `ps -p $(cat
+    pidfile)`); here, a QUEUED plan whose `logs/{plan_id}.pid` file
+    exists and passes ``pid_alive`` is treated as IN FLIGHT and the
+    cycle waits instead of re-dispatching. ``pid_alive(pid) -> bool``
+    defaults to True (presence = alive — tests inject synthetic pids;
+    production would probe the process table exactly as the script
+    does); returning False marks the pid file stale, and the plan is
+    re-dispatched, the reference's crashed-consumer recovery.
+
+    The scan cache is released and the cycle is logged even when the
+    handoff raises (the decision records ``handoff_error`` before the
+    exception propagates) — an unreadable queue must not leak cached
+    state or leave the cycle invisible in the daemon log."""
     now = now or datetime.utcnow()
     plans = scan_namespaces(spark, root)
     decision: dict = {"at": now.isoformat(), "action": "idle"}
@@ -113,48 +147,78 @@ def dispatch_once(
         _log(root, decision)
         return decision
     plans = plans.cache()
-    n_queued = plans.filter(F.col("status") == "queued").count()
-    n_active = plans.filter(F.col("status") == "active").count()
-    decision.update({"n_queued": n_queued, "n_active": n_active})
-    if n_queued == 0:
-        decision["action"] = "idle"  # starry-daemon.sh:178 "No queued plans"
-    elif n_active > 0:
-        decision["action"] = "wait"  # at-most-one-active gate (P2)
-    else:
-        # Orbiter pipeline on the scanned metadata (flatten phases)
-        plan_meta = plans.select(
-            "id", "title", "project", "type", "status", "execution_mode", "created_at", "n_phases"
-        )
-        phases = plans.select(F.col("id").alias("plan_id"), F.explode("phases").alias("ph")).select(
-            "plan_id", F.col("ph.phase").alias("phase"), F.col("ph.files").alias("files")
-        )
-        best = S.select_plan(plan_meta, phases, scorer=scorer).collect()
-        if not best:
-            decision["action"] = "blocked"  # queued but all dependency-blocked
+    try:
+        n_queued = plans.filter(F.col("status") == "queued").count()
+        n_active = plans.filter(F.col("status") == "active").count()
+        decision.update({"n_queued": n_queued, "n_active": n_active})
+        in_flight: set[str] = set()
+        if handoff is not None and n_queued > 0:
+            import glob as _glob
+
+            for p in _glob.glob(os.path.join(root, "*", "logs", "*.pid")):
+                try:
+                    pid = int(open(p).read().strip())
+                except (OSError, ValueError):
+                    continue
+                if pid_alive is None or pid_alive(pid):
+                    in_flight.add(os.path.splitext(os.path.basename(p))[0])
+        if n_queued == 0:
+            decision["action"] = "idle"  # starry-daemon.sh:178 "No queued plans"
+        elif n_active > 0:
+            decision["action"] = "wait"  # at-most-one-active gate (P2)
+        elif in_flight and plans.filter(
+            (F.col("status") == "queued") & F.col("id").isin(in_flight)
+        ).take(1):
+            # a handed-off consumer is still between spawn and
+            # activation — sequential mode waits, it does not respawn
+            decision["action"] = "wait_in_flight"
+            decision["in_flight"] = sorted(in_flight)
         else:
-            chosen = best[0]
-            project, plan_id = chosen.project, chosen.id
-            if handoff is not None:
-                # reference order (starry-daemon.sh:203): trigger the
-                # consumer; the plan file stays queued until IT activates
-                decision.update(
-                    {
-                        "action": "dispatch",
-                        "project": project,
-                        "plan_id": plan_id,
-                        "handoff": handoff(root, project, plan_id),
-                    }
-                )
+            # Orbiter pipeline on the scanned metadata (flatten phases)
+            plan_meta = plans.select(
+                "id", "title", "project", "type", "status", "execution_mode", "created_at", "n_phases"
+            )
+            phases = plans.select(
+                F.col("id").alias("plan_id"), F.explode("phases").alias("ph")
+            ).select(
+                "plan_id", F.col("ph.phase").alias("phase"), F.col("ph.files").alias("files")
+            )
+            best = S.select_plan(plan_meta, phases, scorer=scorer).collect()
+            if not best:
+                decision["action"] = "blocked"  # queued but all dependency-blocked
             else:
-                # Q2 activation: atomic file move queued → active
-                src = os.path.join(root, project, "queued/background", f"{plan_id}.json")
-                dst_dir = os.path.join(root, project, "active")
-                os.makedirs(dst_dir, exist_ok=True)
-                os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
-                _update_board(root, project, plan_id, "active", now)
-                decision.update({"action": "dispatch", "project": project, "plan_id": plan_id})
-    plans.unpersist()
-    _log(root, decision)
+                chosen = best[0]
+                project, plan_id = chosen.project, chosen.id
+                if handoff is not None:
+                    # reference order (starry-daemon.sh:203): trigger the
+                    # consumer; the plan file stays queued until IT activates
+                    try:
+                        record = handoff(root, project, plan_id)
+                    except Exception as e:
+                        decision.update(
+                            {"action": "handoff_error", "project": project,
+                             "plan_id": plan_id, "error": str(e)}
+                        )
+                        raise
+                    decision.update(
+                        {
+                            "action": "dispatch",
+                            "project": project,
+                            "plan_id": plan_id,
+                            "handoff": record,
+                        }
+                    )
+                else:
+                    # Q2 activation: atomic file move queued → active
+                    src = os.path.join(root, project, "queued/background", f"{plan_id}.json")
+                    dst_dir = os.path.join(root, project, "active")
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
+                    _update_board(root, project, plan_id, "active", now)
+                    decision.update({"action": "dispatch", "project": project, "plan_id": plan_id})
+    finally:
+        plans.unpersist()
+        _log(root, decision)
     return decision
 
 

@@ -25,6 +25,7 @@ transforms reusable over any conforming plans/phases tables.
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import datetime
 
@@ -46,7 +47,16 @@ def _read_queue(spark: SparkSession, root: str, project: str, state: str):
     path = os.path.join(root, project, state)
     if not os.path.isdir(path):
         return None
-    df = spark.read.schema(PLAN_SCHEMA).option("pathGlobFilter", "*.json").json(path)
+    # FAILFAST, not the default PERMISSIVE: a corrupt or truncated plan
+    # file must raise at read time, not arrive as an all-null row that
+    # resolve_plan would happily "load" as plan None. The missing-dir
+    # check above is the ONLY empty-queue path.
+    df = (
+        spark.read.schema(PLAN_SCHEMA)
+        .option("pathGlobFilter", "*.json")
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
     if not df.take(1):
         return None
     return df
@@ -163,8 +173,6 @@ def pulsar_auto(
     Pure driver-side file protocol (like the script). Returns the
     invocation record; the spawned consumer then runs `resolve_plan`
     on the SAME file and does the activation move."""
-    import json
-
     ns_dir = os.path.join(root, project)
     if not os.path.isdir(ns_dir):
         raise ValueError(f"project namespace '{project}' not found at {ns_dir}")

@@ -10,13 +10,16 @@ schedule/gates/finalize story.
 One synthetic timeline drives ONE plan through both halves:
 
   Orbiter selects gamma's oldest bug plan → handoff (plan file NOT
-  moved; prompt composed; pid + log written) → pulsar-auto's three
-  error exits pinned (interactive-queue refusal, unknown plan,
-  missing namespace) → project-path fallback pinned on a second plan
-  → consumer resolve (finds it in queued/background) → activation
-  move + board → re-derived rounds + model routing on the dispatched
-  plan's phases → per-round quality-gate pairs → gate status poll →
-  finalize → completed.
+  moved; prompt composed; pid + log written) → a second cycle before
+  activation WAITS on the pid-file in-flight gate (no duplicate
+  consumer) → the same cycle with the pid probed dead RE-dispatches
+  (crashed-consumer recovery, `starry-daemon.sh:77-85`) →
+  pulsar-auto's three error exits pinned (interactive-queue refusal,
+  unknown plan, missing namespace) → project-path fallback pinned on
+  a second plan → consumer resolve (finds it in queued/background) →
+  activation move + board → re-derived rounds + model routing on the
+  dispatched plan's phases → per-round quality-gate pairs → gate
+  status poll → finalize → completed.
 
 Every clock and pid is injected and tmp paths are normalized to
 placeholders, so the replay is a pure function of this file;
@@ -136,6 +139,27 @@ def _replay(spark, tmp_path) -> dict:
         "plan_file_unchanged": open(plan_file, "rb").read() == bytes_at_enqueue,
     }
 
+    # 2b. a second cycle fires BEFORE the consumer activates: the pid
+    #     file written by the handoff marks H1 in flight — sequential
+    #     mode waits instead of respawning a duplicate consumer
+    d2 = dispatch_once(
+        spark,
+        root,
+        T0,
+        handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=T0, pid=4242, home="<home>"),
+    )
+
+    # 2c. crashed-consumer recovery (starry-daemon.sh:77-85 `ps -p`):
+    #     the same cycle with the pid probed DEAD re-dispatches —
+    #     a fresh handoff, new pid, second log record
+    d3 = dispatch_once(
+        spark,
+        root,
+        T0,
+        handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=T0, pid=4244, home="<home>"),
+        pid_alive=lambda pid: False,
+    )
+
     # 3. project-path fallback (pulsar-auto.sh:60-63) on the plan that
     #    carries none — still queued, legal to probe
     fallback = pulsar_auto(root, "gamma", H2, now=T0, pid=4243, home="<home>")
@@ -208,6 +232,8 @@ def _replay(spark, tmp_path) -> dict:
     out = {
         "errors": errors,
         "dispatch": d1,
+        "gate_in_flight": d2,
+        "redispatch_stale_pid": {k: d3[k] for k in ("action", "plan_id")},
         "after_dispatch": after_dispatch,
         "fallback": {k: fallback[k] for k in ("plan_id", "project_path", "path_fallback")},
         "resolution": resolution,
@@ -273,9 +299,15 @@ def test_golden_handoff_semantics():
     assert rounds == {1: 1, 3: 1, 2: 2}
     models = {s["phase"]: s["model"] for s in g["schedule"]}
     assert models == {1: "opus", 2: "opus", 3: "sonnet"}
-    # both gate kinds per round, pid file written by the handoff
+    # the in-flight gate: second cycle waits on the pid file instead of
+    # respawning; a DEAD pid re-dispatches (crashed-consumer recovery)
+    assert g["gate_in_flight"]["action"] == "wait_in_flight"
+    assert g["gate_in_flight"]["in_flight"] == [H1]
+    assert g["redispatch_stale_pid"] == {"action": "dispatch", "plan_id": H1}
+    # both gate kinds per round; pid file carries the RESPAWNED pid
     assert len(g["quality_gates"]) == 4
-    assert g["pid_file"] == "4242\n"
+    assert g["pid_file"] == "4244\n"
+    assert [r["pid"] for r in g["handoff_log"]] == [4242, 4244]
     # end state: completed + board, H2 still queued
     assert g["board"]["entries"][0]["status"] == "completed"
     assert g["files"]["completed"] == [f"{H1}.json"]

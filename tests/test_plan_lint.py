@@ -118,7 +118,19 @@ def test_finite_measures_oracle_sql_declares_contract():
     Exemptions: casts whose operand is a rank/count function output
     (finite by construction, e.g. CAST(ROW_NUMBER() ... AS INT)) even
     when the rank ORDERs by the measure — ordering NaN is well-defined
-    on both engines."""
+    on both engines.
+
+    Granularity note: the lint exempts a query as soon as ``isfinite``
+    appears anywhere in its SQL, because the contract guards at the
+    SOURCE (the `finite_measures()` CTE filters rows before ANY cast),
+    not per-cast — per-operand checking would false-positive every
+    correctly contract-bound query. The residual gap (one guarded and
+    one separately-sourced unguarded cast in the same query) is pinned
+    EMPIRICALLY, not lexically: the edge fixture carries NaN/±Inf
+    `value` rows, so an unguarded exact cast on a measure CRASHES the
+    edge sweep for that key — the sweep, not this lint, is the
+    load-bearing mechanical check; the lint exists to fail FAST at
+    pytest time for the common miss (no isfinite at all)."""
     import re
 
     cast_pat = re.compile(

@@ -115,3 +115,47 @@ def test_stale_heartbeat_active_plan_is_not_live(spark):
     rows = {r.plan_id: r.live for r in scan_active_live(spark, "unused").collect()}
     assert rows["plan-20260227-1100"] is True  # heartbeat 30 s before NOW
     assert rows["plan-20260224-0850"] is False  # heartbeat days old
+
+
+def test_resolve_plan_corrupt_queue_file_raises(spark, tmp_path):
+    """ADVICE r7 follow-through, closed properly in r8: a corrupt plan
+    file must RAISE out of resolve_plan, not be PERMISSIVE-parsed into
+    an all-null row that resolves as `load plan None`. The read is
+    FAILFAST; only a missing queue DIRECTORY means 'empty queue'."""
+    import os
+
+    import pytest
+
+    from nova_pulsar_spark.plans.pulsar import resolve_plan
+    from nova_pulsar_spark.streaming.topics import QueueNamespace
+
+    root = str(tmp_path / "comms")
+    ns = QueueNamespace(root=root, project="p")
+    ns.setup()
+    with open(os.path.join(ns.dir_for("queued_interactive"), "bad.json"), "w") as f:
+        f.write('{"id": "plan-x", "created_at": TRUNCATED')
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        resolve_plan(spark, root, "p")
+    # explicit-id lookup scans the same dir and must also raise
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        resolve_plan(spark, root, "p", "plan-x")
+
+
+def test_dispatch_corrupt_plan_file_raises(spark, tmp_path):
+    """The daemon scan is FAILFAST too — an unreadable plan must not
+    silently become an all-null Orbiter candidate (r8, same class)."""
+    import json
+    import os
+
+    import pytest
+
+    from nova_pulsar_spark.plans.daemon import dispatch_once
+    from nova_pulsar_spark.streaming.topics import QueueNamespace
+
+    root = str(tmp_path / "comms")
+    ns = QueueNamespace(root=root, project="p")
+    ns.setup()
+    with open(os.path.join(ns.dir_for("queued_background"), "bad.json"), "w") as f:
+        f.write("not json at all")
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        dispatch_once(spark, root)
