@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +31,36 @@ from pyspark.sql import types as T
 
 from nova_pulsar_spark.plans import scheduler as S
 from nova_pulsar_spark.streaming.topics import atomic_write_json
+
+def _utcnow() -> datetime:
+    """Naive-UTC wall clock (the serialization boundary is naive ISO
+    strings, matching the reference's `date -u`); `datetime.utcnow()`
+    is deprecated in 3.12+."""
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def pid_alive_probe(pid: int) -> bool:
+    """Real process-table liveness probe — the production default for
+    `dispatch_once(pid_alive=...)`, mirroring the reference's
+    `ps -p $(cat pidfile)` (`scripts/starry-daemon.sh:77-85`).
+
+    `os.kill(pid, 0)` sends no signal; it only checks deliverability:
+    ProcessLookupError = no such process (stale pid file → the daemon
+    re-dispatches, the crashed-consumer recovery), PermissionError =
+    the process exists but belongs to another user (alive — exactly
+    what `ps -p` would report)."""
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
+
 
 PLAN_SCHEMA = T.StructType(
     [
@@ -131,23 +161,39 @@ def dispatch_once(
     pidfile)`); here, a QUEUED plan whose `logs/{plan_id}.pid` file
     exists and passes ``pid_alive`` is treated as IN FLIGHT and the
     cycle waits instead of re-dispatching. ``pid_alive(pid) -> bool``
-    defaults to True (presence = alive — tests inject synthetic pids;
-    production would probe the process table exactly as the script
-    does); returning False marks the pid file stale, and the plan is
-    re-dispatched, the reference's crashed-consumer recovery.
+    defaults to :func:`pid_alive_probe` — a real `os.kill(pid, 0)`
+    process-table probe, exactly the script's `ps -p` — so a consumer
+    that died without cleanup can never park the daemon in
+    ``wait_in_flight`` forever; returning False marks the pid file
+    stale, and the plan is re-dispatched, the reference's
+    crashed-consumer recovery. Tests inject a synthetic probe.
+
+    Pid-file lifecycle: the gate covers the spawn→activation window
+    only (a QUEUED plan with a live pid). Once the consumer activates,
+    the at-most-one-active gate takes over, and `pulsar.finalize_plan`
+    REMOVES the pid file at completion — so pid files never
+    accumulate, and a recycled OS pid can never make a long-finished
+    plan look in-flight.
 
     The scan cache is released and the cycle is logged even when the
-    handoff raises (the decision records ``handoff_error`` before the
-    exception propagates) — an unreadable queue must not leak cached
-    state or leave the cycle invisible in the daemon log."""
-    now = now or datetime.utcnow()
-    plans = scan_namespaces(spark, root)
+    scan or the handoff raises — an unreadable queue must not leak
+    cached state or leave the cycle invisible in the daemon log. A
+    scan-stage failure (e.g. a corrupt plan file surfacing at the
+    lazily-evaluated count, past `_read_plans`' take(1)) is logged as
+    ``scan_error`` with the exception string, never as a normal idle
+    cycle; FAILFAST means one corrupt plan file halts dispatch for
+    every project until it is repaired or removed — deliberate, the
+    same all-stop the reference's `set -e` would produce."""
+    now = now or _utcnow()
+    if pid_alive is None:
+        pid_alive = pid_alive_probe
     decision: dict = {"at": now.isoformat(), "action": "idle"}
-    if plans is None:
-        _log(root, decision)
-        return decision
-    plans = plans.cache()
+    plans = None
     try:
+        plans = scan_namespaces(spark, root)
+        if plans is None:
+            return decision
+        plans = plans.cache()
         n_queued = plans.filter(F.col("status") == "queued").count()
         n_active = plans.filter(F.col("status") == "active").count()
         decision.update({"n_queued": n_queued, "n_active": n_active})
@@ -160,7 +206,7 @@ def dispatch_once(
                     pid = int(open(p).read().strip())
                 except (OSError, ValueError):
                     continue
-                if pid_alive is None or pid_alive(pid):
+                if pid_alive(pid):
                     in_flight.add(os.path.splitext(os.path.basename(p))[0])
         if n_queued == 0:
             decision["action"] = "idle"  # starry-daemon.sh:178 "No queued plans"
@@ -216,8 +262,16 @@ def dispatch_once(
                     os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
                     _update_board(root, project, plan_id, "active", now)
                     decision.update({"action": "dispatch", "project": project, "plan_id": plan_id})
+    except Exception as e:
+        # A crashed SCAN must not be logged as a normal idle cycle
+        # (ADVICE r8): mark it, unless the handoff branch already
+        # recorded its own error action.
+        if "error" not in decision:
+            decision.update({"action": "scan_error", "error": str(e)})
+        raise
     finally:
-        plans.unpersist()
+        if plans is not None:
+            plans.unpersist()
         _log(root, decision)
     return decision
 
@@ -240,7 +294,7 @@ def dispatch_stream(
     ``Trigger.AvailableNow`` (the daemon's ``--once``) so tests drive a
     complete cycle synchronously.
     """
-    now = now or datetime.utcnow()
+    now = now or _utcnow()
     stream = (
         spark.readStream.schema(PLAN_SCHEMA)
         .option("pathGlobFilter", "*.json")

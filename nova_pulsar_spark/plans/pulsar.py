@@ -215,10 +215,25 @@ def pulsar_auto(
 def finalize_plan(root: str, project: str, plan_id: str, now: datetime) -> dict:
     """Step-7 finalization (`commands/pulsar.md:612-616`): atomic
     active → completed move plus the board upsert, mirroring the
-    daemon's completion protocol."""
+    daemon's completion protocol.
+
+    Also removes the handoff's `logs/{plan_id}.pid` file (ADVICE r8,
+    documented choice between the two offered fixes): the daemon's
+    in-flight gate only consults pid files of still-QUEUED plans, so
+    after finalization a lingering file is pure garbage — left in
+    place, files accumulate forever and a recycled OS pid could make
+    a long-finished plan look alive to any `ps -p`-style audit. The
+    alternative (gate on ANY live pid regardless of queue state) was
+    rejected because it re-opens the recycled-pid false-positive the
+    reference itself suffers: with cleanup, a pid file existing at all
+    means a consumer was spawned and has not finalized. The log file
+    stays — it is the audit trail."""
     src = os.path.join(root, project, "active", f"{plan_id}.json")
     dst_dir = os.path.join(root, project, "completed")
     os.makedirs(dst_dir, exist_ok=True)
     os.replace(src, os.path.join(dst_dir, f"{plan_id}.json"))
+    pid_file = os.path.join(root, project, "logs", f"{plan_id}.pid")
+    if os.path.exists(pid_file):
+        os.remove(pid_file)
     _update_board(root, project, plan_id, "completed", now)
     return {"action": "finalize", "plan_id": plan_id, "status": "completed"}

@@ -175,3 +175,118 @@ def test_dispatch_subprocess_scorer_end_to_end(spark, tmp_path):
     d = dispatch_once(spark, root, NOW, scorer=subprocess_scorer([sys.executable, "-c", prog]))
     assert d["action"] == "dispatch"
     assert (d["project"], d["plan_id"]) == ("alpha", "plan-20260228-1000")
+
+
+def test_pid_alive_probe_real_process_table():
+    """VERDICT r8 #2 / ADVICE r8: the production default probes the
+    process table like the reference's `ps -p` (starry-daemon.sh:77-85)
+    — alive for this interpreter, dead for an exited child, dead for
+    non-positive pids."""
+    import subprocess
+
+    from nova_pulsar_spark.plans.daemon import pid_alive_probe
+
+    assert pid_alive_probe(os.getpid()) is True
+    child = subprocess.Popen(["true"])
+    child.wait()  # reaped by Popen → the pid is gone from the table
+    assert pid_alive_probe(child.pid) is False
+    assert pid_alive_probe(0) is False
+    assert pid_alive_probe(-1) is False
+
+
+def test_stale_pid_file_redispatches_under_default_probe(spark, tmp_path):
+    """The regression the old presence-equals-alive default would fail:
+    a consumer that died between spawn and activation leaves a stale
+    pid file, and a cycle with NO injected pid_alive must re-dispatch
+    (crashed-consumer recovery) instead of parking in wait_in_flight
+    forever."""
+    import subprocess
+
+    from nova_pulsar_spark.plans.pulsar import pulsar_auto
+
+    root = str(tmp_path / "comms_stale")
+    _setup_queues(root)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    handoffs = []
+
+    def handoff(r, p, pl):
+        rec = pulsar_auto(r, p, pl, now=NOW, pid=dead.pid)
+        handoffs.append(rec)
+        return rec
+
+    d1 = dispatch_once(spark, root, NOW, handoff=handoff)
+    assert d1["action"] == "dispatch"
+    # consumer crashed before activating: plan still queued, pid dead.
+    # Default probe (no pid_alive arg) must detect it and re-dispatch.
+    d2 = dispatch_once(spark, root, NOW, handoff=handoff)
+    assert d2["action"] == "dispatch"
+    assert d2["plan_id"] == d1["plan_id"]
+    assert len(handoffs) == 2
+
+
+def test_live_pid_file_waits_under_default_probe(spark, tmp_path):
+    """Counterpart: a genuinely live consumer pid parks the next cycle
+    in wait_in_flight under the default probe."""
+    import subprocess
+    import sys
+
+    from nova_pulsar_spark.plans.pulsar import pulsar_auto
+
+    root = str(tmp_path / "comms_live")
+    _setup_queues(root)
+    live = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        d1 = dispatch_once(
+            spark, root, NOW, handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=NOW, pid=live.pid)
+        )
+        assert d1["action"] == "dispatch"
+        d2 = dispatch_once(
+            spark, root, NOW, handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=NOW, pid=live.pid)
+        )
+        assert d2["action"] == "wait_in_flight"
+        assert d2["in_flight"] == [d1["plan_id"]]
+    finally:
+        live.kill()
+        live.wait()
+
+
+def test_finalize_removes_pid_file(tmp_path):
+    """ADVICE r8 (documented choice): finalize_plan cleans up the
+    handoff pid file so logs/ never accumulates stale pids and a
+    recycled OS pid cannot make a finished plan look in-flight."""
+    from nova_pulsar_spark.plans.pulsar import finalize_plan
+
+    root = str(tmp_path / "comms_fin")
+    ns = QueueNamespace(root=root, project="alpha")
+    ns.setup()
+    ns.enqueue_plan(_plan("plan-x", "alpha", "bug", "2026-02-26T09:00:00", [["a.py"]]))
+    ns.move_plan("plan-x", "queued_background", "active")
+    logs = os.path.join(root, "alpha", "logs")
+    os.makedirs(logs, exist_ok=True)
+    with open(os.path.join(logs, "plan-x.pid"), "w") as f:
+        f.write("12345\n")
+    with open(os.path.join(logs, "plan-x.log"), "w") as f:
+        f.write("{}\n")
+    finalize_plan(root, "alpha", "plan-x", NOW)
+    assert not os.path.exists(os.path.join(logs, "plan-x.pid"))
+    assert os.path.exists(os.path.join(logs, "plan-x.log"))  # audit trail stays
+
+
+def test_corrupt_scan_logs_scan_error_not_idle(spark, tmp_path):
+    """ADVICE r8: a FAILFAST scan crash must be visible in daemon.log
+    as scan_error (with the exception string), never recorded as a
+    normal idle cycle."""
+    import pytest
+
+    root = str(tmp_path / "comms_corrupt")
+    _setup_queues(root)
+    bad = os.path.join(root, "alpha", "queued", "background", "zz-corrupt.json")
+    with open(bad, "w") as f:
+        f.write('{"id": "broken", ')  # truncated JSON
+    with pytest.raises(Exception):
+        dispatch_once(spark, root, NOW)
+    last = open(os.path.join(root, "daemon.log")).read().strip().splitlines()[-1]
+    rec = json.loads(last.split(" - ", 1)[1])
+    assert rec["action"] == "scan_error"
+    assert rec["error"]

@@ -19,12 +19,19 @@ One synthetic timeline drives ONE plan through both halves:
   a second plan → consumer resolve (finds it in queued/background) →
   activation move + board → re-derived rounds + model routing on the
   dispatched plan's phases → per-round quality-gate pairs → gate
-  status poll → finalize → completed.
+  status poll → stall-kill + retry INSIDE the handoff world (a phase
+  goes silent past the threshold, monitor_once raises the
+  stalled_kill incident, a fresh status heartbeat clears it — Q5/Q7
+  exercised on this seam, VERDICT r8 #6) → finalize (which also
+  removes the handoff pid file, ADVICE r8) → completed.
 
 Every clock and pid is injected and tmp paths are normalized to
-placeholders, so the replay is a pure function of this file;
-regenerate deliberately with REGEN_GOLDEN=1 and review the diff like
-code (same discipline as the daemon and pulsar goldens).
+placeholders, so the replay is a pure function of this file; the
+daemon cycles inject presence-equals-alive `pid_alive` because 4242
+is a synthetic pid (the production default is the real
+`pid_alive_probe`, pinned separately in test_daemon.py); regenerate
+deliberately with REGEN_GOLDEN=1 and review the diff like code (same
+discipline as the daemon and pulsar goldens).
 """
 
 from __future__ import annotations
@@ -130,6 +137,7 @@ def _replay(spark, tmp_path) -> dict:
         root,
         T0,
         handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=T0, pid=4242, home="<home>"),
+        pid_alive=lambda pid: True,
     )
     after_dispatch = {
         "queued_background": sorted(
@@ -147,6 +155,7 @@ def _replay(spark, tmp_path) -> dict:
         root,
         T0,
         handoff=lambda r, p, pl: pulsar_auto(r, p, pl, now=T0, pid=4242, home="<home>"),
+        pid_alive=lambda pid: True,
     )
 
     # 2c. crashed-consumer recovery (starry-daemon.sh:77-85 `ps -p`):
@@ -216,8 +225,52 @@ def _replay(spark, tmp_path) -> dict:
         .collect()
     ]
 
-    # 7. finalize
+    # 6b. stall-kill + retry on the HANDED-OFF plan (Q5/Q7 on this
+    #     seam): phase 2's executor goes silent at 08:50; the watcher
+    #     cycle at T2 (09:30, 40 min of silence > the 10-min threshold)
+    #     raises the stalled_kill incident — then the retried executor
+    #     heartbeats at 09:29 and the next cycle clears it.
+    from nova_pulsar_spark.plans.daemon import monitor_once
+
+    def _phase2_status(updated_at: str, tool_count: int) -> None:
+        atomic_write_json(
+            status_dir,
+            f"{H1}-ph-2.json",
+            {
+                "task_id": f"{H1}-ph-2",
+                "project": "gamma",
+                "plan_id": H1,
+                "phase": 2,
+                "status": "running",
+                "tool_count": tool_count,
+                "last_tool": "Edit",
+                "updated_at": updated_at,
+            },
+        )
+
+    _phase2_status("2026-03-03T08:50:00", 11)
+    stalled_pulse = monitor_once(spark, root, T2)
+    _phase2_status("2026-03-03T09:29:00", 12)  # the retried executor
+    recovered_pulse = monitor_once(spark, root, T2)
+    stall_kill = {
+        "incidents": stalled_pulse["incidents"],
+        "incidents_after_retry": recovered_pulse["incidents"],
+        "phase2_after_retry": [
+            p
+            for g in recovered_pulse["rounds"]
+            if g["plan_id"] == H1
+            for p in g["phases"]
+            if p.get("phase") == 2  # qg statuses carry no phase (null-dropped)
+        ],
+    }
+
+    # 7. finalize — reads the pid file FIRST: finalize_plan removes it
+    #    (ADVICE r8; the gate never needs a finalized plan's pid)
+    pid_file = open(os.path.join(root, "gamma", "logs", f"{H1}.pid")).read()
     final = finalize_plan(root, "gamma", H1, T2)
+    pid_file_removed = not os.path.exists(
+        os.path.join(root, "gamma", "logs", f"{H1}.pid")
+    )
     board = json.load(open(os.path.join(root, "board.json")))
     log_actions = [
         json.loads(line.split(" - ", 1)[1])["action"]
@@ -227,7 +280,6 @@ def _replay(spark, tmp_path) -> dict:
         json.loads(line)
         for line in open(os.path.join(root, "gamma", "logs", f"{H1}.log"))
     ]
-    pid_file = open(os.path.join(root, "gamma", "logs", f"{H1}.pid")).read()
 
     out = {
         "errors": errors,
@@ -240,7 +292,9 @@ def _replay(spark, tmp_path) -> dict:
         "schedule": schedule,
         "quality_gates": gates,
         "gate_status_poll": polled,
+        "stall_kill": stall_kill,
         "finalize": final,
+        "pid_file_removed": pid_file_removed,
         "board": board,
         "daemon_log_actions": log_actions,
         "handoff_log": handoff_log,
@@ -308,10 +362,23 @@ def test_golden_handoff_semantics():
     assert len(g["quality_gates"]) == 4
     assert g["pid_file"] == "4244\n"
     assert [r["pid"] for r in g["handoff_log"]] == [4242, 4244]
-    # end state: completed + board, H2 still queued
+    # stall-kill + retry on the handed-off plan: 40 silent minutes
+    # raise the incident; the fresh heartbeat clears it (Q5/Q7)
+    assert len(g["stall_kill"]["incidents"]) == 1
+    inc = g["stall_kill"]["incidents"][0]
+    assert inc["type"] == "stalled_kill"
+    assert inc["plan_id"] == H1 and inc["phase"] == 2
+    assert inc["stalled_for_minutes"] == 40
+    assert g["stall_kill"]["incidents_after_retry"] == []
+    assert g["stall_kill"]["phase2_after_retry"][0]["stalled"] is False
+    assert g["stall_kill"]["phase2_after_retry"][0]["tool_count"] == 12
+    # end state: completed + board, H2 still queued; finalize removed
+    # H1's pid file (ADVICE r8) — H2 was handed off but never
+    # finalized, so its pid file legitimately remains in flight
+    assert g["pid_file_removed"] is True
     assert g["board"]["entries"][0]["status"] == "completed"
     assert g["files"]["completed"] == [f"{H1}.json"]
     assert g["files"]["queued_remains"] == [f"{H2}.json"]
     assert sorted(g["files"]["logs"]) == [
-        f"{H1}.log", f"{H1}.pid", f"{H2}.log", f"{H2}.pid",
+        f"{H1}.log", f"{H2}.log", f"{H2}.pid",
     ]
