@@ -202,6 +202,12 @@ def _provenance_start() -> dict:
         "loadavg_1m_start": round(load1, 2),
         "loadavg_5m_start": round(load5, 2),
         "sibling_procs_start": _sibling_procs(),
+        # ADVICE r8 (medium): the overwrite guard compares runs of the
+        # SAME code only — the SHA ties the measurement to what it
+        # measured, so a slower run of NEWER code replaces the
+        # artifact instead of being refused as noise.
+        "git_sha": _git_sha(),
+        "git_dirty": _git_dirty(),
     }
     # Loud, not fatal: a loaded host inflates best-of-N by well over
     # the ±12% noise band; the artifact records it either way.
@@ -212,6 +218,38 @@ def _provenance_start() -> dict:
             file=sys.stderr,
         )
     return prov
+
+
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _git_dirty() -> bool:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        # artifact writes themselves dirty the tree; only SOURCE edits
+        # mean "different code than the committed SHA"
+        return any(
+            line[3:].split(" -> ")[-1].endswith((".py", ".sql"))
+            for line in out.splitlines()
+        )
+    except Exception:
+        return False
 
 
 def _provenance_end(prov: dict) -> None:
@@ -287,22 +325,72 @@ def _write_local_artifact(doc: dict) -> None:
     # silently replace a faster committed same-round artifact — that is
     # exactly how the 66.3 s doc ended up next to a 77.3 s artifact.
     # A slower re-run is refused unless explicitly forced; the fresh
-    # numbers still go to stdout either way.
+    # numbers still go to stdout either way. ADVICE r8 (medium): the
+    # refusal applies ONLY when the prior artifact measured the SAME
+    # commit — a slower run of newer code is not noise, it is the new
+    # truth about HEAD, and keeping the old artifact would leave it
+    # describing code that no longer exists.
+    accepted = True
     if os.path.exists(path) and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
         try:
-            prior = json.load(open(path)).get("value")
+            prior_doc = json.load(open(path))
+            prior = prior_doc.get("value")
+            prior_sha = (prior_doc.get("provenance") or {}).get("git_sha")
         except Exception:
-            prior = None
-        if isinstance(prior, (int, float)) and doc["value"] > prior:
+            prior = prior_sha = None
+        same_code = prior_sha is None or prior_sha == doc["provenance"].get("git_sha")
+        if isinstance(prior, (int, float)) and doc["value"] > prior and same_code:
             print(
                 f"BENCH GUARD: not overwriting {os.path.basename(path)} "
-                f"({prior}s) with a slower run ({doc['value']}s); set "
-                "SPARK_GRAFT_BENCH_FORCE=1 to force",
+                f"({prior}s, same commit) with a slower run "
+                f"({doc['value']}s); set SPARK_GRAFT_BENCH_FORCE=1 to force",
                 file=sys.stderr,
             )
-            return
+            accepted = False
+    _append_spread(here, n, doc, accepted)
+    if accepted:
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+
+
+def _append_spread(here: str, n: int, doc: dict, accepted: bool) -> None:
+    """VERDICT r8 #3: every full default-SF run — accepted OR refused
+    by the overwrite guard — lands in ``BENCH_SPREAD_r{N}.json`` with
+    its complete provenance. The committed BENCH_LOCAL artifact is the
+    round's monotone-best FLOOR by policy; this file is the measured
+    noise BAND around it, machine-readable instead of session-log
+    prose (the r8 70.0/80.1/87.1/73.4 s story)."""
+    path = os.path.join(here, f"BENCH_SPREAD_r{n:02d}.json")
+    runs = []
+    if os.path.exists(path):
+        try:
+            runs = json.load(open(path)).get("runs", [])
+        except Exception:
+            runs = []
+    runs.append(
+        {
+            "value": doc["value"],
+            "sf": doc["sf"],
+            "accepted": accepted,
+            "provenance": doc["provenance"],
+            "queries": doc["queries"],
+        }
+    )
+    values = [r["value"] for r in runs]
     with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+        json.dump(
+            {
+                "note": "all full default-SF bench runs this round, accepted and "
+                "guard-refused alike; the committed BENCH_LOCAL artifact is the "
+                "floor by policy, this is the measured band",
+                "n_runs": len(runs),
+                "min": min(values),
+                "max": max(values),
+                "runs": runs,
+            },
+            f,
+            indent=1,
+        )
 
 
 def _regression_guard(per_query: dict[str, float], factor: float = 1.5) -> None:
