@@ -962,6 +962,37 @@ _SH64_BITSUMS_SQL = ",\n             ".join(
 _SH64_RECOMBINE_SQL = "\n             + ".join(
     f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH64_BITS)
 )
+def simhash64_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): the 60-bit SimHash fingerprint over distinct
+    tokens — one groupBy pass carrying 60 bit-sums per doc. Factored
+    out of `llm_dedup_simhash_banded` (identical plan) so the
+    cascade-recovery audit (`tools/candidate_audit.py`) evaluates the
+    EXACT production fingerprint on its sampled shed pairs."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token")
+    )
+    h = F.md5(F.col("token").cast("binary"))
+
+    def nib(i: int):
+        return (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1).cast("long")
+
+    hv = sum(nib(i) * (16 ** (15 - i)) for i in range(1, 16)).alias("hv")
+    bitsrc = tok.select("doc_id", hv)
+    sums = bitsrc.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
+            .cast("bigint")
+            .alias(f"s{b}")
+            for b in range(SIMHASH64_BITS)
+        ]
+    )
+    recombine = None
+    for b in range(SIMHASH64_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        recombine = term if recombine is None else recombine + term
+    return sums.select("doc_id", recombine.cast("bigint").alias("sig"))
+
+
 _SH64_BAND_SELECTS = "\n      UNION ALL\n      ".join(
     f"SELECT doc_id, sig, {k} AS band_idx, "
     f"(sig // {1 << (k * SIMHASH64_BAND_BITS)}) % {1 << SIMHASH64_BAND_BITS} AS band_val FROM sigs"
@@ -1026,27 +1057,7 @@ def llm_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-fingerprint boilerplate clusters saturate a bucket at
     any size and belong to exact dedup upstream."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
-    h = F.md5(F.col("token").cast("binary"))
-
-    def nib(i: int):
-        return (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1).cast("long")
-
-    hv = sum(nib(i) * (16 ** (15 - i)) for i in range(1, 16)).alias("hv")
-    bitsrc = tok.select("doc_id", hv)
-    sums = bitsrc.groupBy("doc_id").agg(
-        *[
-            F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
-            .cast("bigint")
-            .alias(f"s{b}")
-            for b in range(SIMHASH64_BITS)
-        ]
-    )
-    recombine = None
-    for b in range(SIMHASH64_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        recombine = term if recombine is None else recombine + term
-    sigs = sums.select("doc_id", recombine.cast("bigint").alias("sig"))
+    sigs = simhash64_signatures(d)
     band_rows = []
     for k in range(SIMHASH64_BANDS):
         band_rows.append(

@@ -119,3 +119,63 @@ def test_bench_artifact_provenance_stamp():
     for key in ("policy", "runs", "cpus", "loadavg_1m_start", "loadavg_1m_end"):
         assert key in prov, f"provenance missing {key}"
     assert "best-of" in prov["policy"]
+
+
+def test_bench_spread_artifact_from_round9():
+    """VERDICT r8 #3: the bench noise band is a machine-readable
+    artifact, not SCALE.md prose — every full default-SF run of the
+    round (accepted AND guard-refused) must be in BENCH_SPREAD_r{N}
+    with complete provenance."""
+    path = _latest("BENCH_LOCAL_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 9:
+        pytest.skip("no round>=9 local bench artifact yet")
+    n = int(re.search(r"_r(\d+)", path).group(1))
+    spread_path = os.path.join(HERE, f"BENCH_SPREAD_r{n:02d}.json")
+    assert os.path.exists(spread_path), (
+        f"BENCH_LOCAL_r{n:02d}.json committed without its BENCH_SPREAD twin"
+    )
+    spread = json.load(open(spread_path))
+    assert spread["n_runs"] == len(spread["runs"]) >= 1
+    assert spread["min"] <= spread["max"]
+    for run in spread["runs"]:
+        assert isinstance(run["accepted"], bool)
+        prov = run["provenance"]
+        for key in ("policy", "loadavg_1m_start", "loadavg_5m_start", "git_sha"):
+            assert key in prov, f"spread run provenance missing {key}"
+    # the committed floor artifact must BE one of the spread's runs
+    local = json.load(open(path))
+    assert any(r["value"] == local["value"] for r in spread["runs"])
+    # ADVICE r8 (medium): the floor artifact says which code it measured
+    assert local["provenance"].get("git_sha"), "BENCH_LOCAL missing git_sha"
+
+
+def test_cascade_recovery_in_committed_scaling3():
+    """VERDICT r8 #1: the LAST asserted-not-measured sentence of the
+    scale story — what the tiers above the MinHash hot-bucket cap
+    actually recover of the shed mass on the perturbed x1000 corpus —
+    is a measured SCALING3 field from round 9 on."""
+    path = _latest("SCALING3_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 9:
+        pytest.skip("no round>=9 SCALING3 artifact yet")
+    doc = json.load(open(path))
+    cr = doc.get("x1000_cascade_recovery")
+    assert cr, f"{os.path.basename(path)} missing x1000_cascade_recovery"
+    # a meaningful sample, anti-joined down to genuinely-shed pairs
+    assert cr["sampled_pairs_shed"] >= 200
+    assert cr["sampled_pairs_shed"] <= cr["sampled_pairs_raw"]
+    fracs = {k: v for k, v in cr.items() if k.endswith("_frac") or "_frac_" in k}
+    assert fracs, "no recovery fractions measured"
+    for k, v in fracs.items():
+        assert 0.0 <= v <= 1.0, f"{k}={v} out of range"
+    # the recovery floor is POLICY (same discipline as the rekey
+    # floor): on the true near-dup (same-clique) shed class, the best
+    # upper-tier criterion must clear CASCADE_RECOVERY_FLOOR
+    from tools.candidate_audit import CASCADE_RECOVERY_FLOOR
+
+    clique_fracs = [v for k, v in cr.items() if k.endswith("_frac_clique")]
+    if cr.get("frac_same_clique", 0) > 0:
+        assert clique_fracs, "clique-restricted recovery missing"
+        assert max(clique_fracs) >= CASCADE_RECOVERY_FLOOR, (
+            f"best upper-tier recovery {max(clique_fracs)} below the "
+            f"accepted floor {CASCADE_RECOVERY_FLOOR}"
+        )

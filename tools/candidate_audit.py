@@ -182,6 +182,259 @@ def exact_first_audit(spark, perturbed_dir: str, base: str, n: int = 1000) -> di
     return out
 
 
+CASCADE_SAMPLE_MOD = 8192  # ~2k sampled shed pairs from the x1000 corpus's ~18M over-cap members
+
+# POLICY (same discipline as state_soak.REKEY_RECALL_STRONG_FLOOR): on
+# the TRUE near-dup portion of the cap-shed sample (same-clique pairs),
+# the best tier above the cap must recover at least this fraction by
+# its own emission criterion — otherwise the cap's shedding is a real
+# recall hole, not priced-and-recoverable mass, and the committed
+# SCALING3 artifact fails tests/test_artifacts.py.
+CASCADE_RECOVERY_FLOOR = 0.95
+
+
+def cascade_recovery_audit(
+    spark, perturbed_dir: str, base: str, sample_mod: int = CASCADE_SAMPLE_MOD
+) -> dict:
+    """VERDICT r8 #1 — measure, don't assert, the LAST sentence of the
+    x1000 cap story: that the pairs the MinHash hot-bucket cap sheds on
+    the everywhere-perturbed corpus are near-dups the tiers above the
+    cap still surface.
+
+    Truth set: a deterministic hash-mod sample of pairs co-resident in
+    an over-cap MinHash bucket, ANTI-joined against every under-cap
+    bucket in every band — so each sampled pair is one the capped
+    MinHash tier genuinely does NOT emit. Per pair, three tier
+    criteria are evaluated with the production code paths:
+
+    - ``setsim``: exact shingle Jaccard >= SETSIM_NUM/SETSIM_DEN.
+      Prefix filtering is LOSSLESS at its threshold (oracle-pinned),
+      so clearing the threshold == `llm_setsim_prefix` surfaces the
+      pair. (Its un-capped self-join priced on THIS clique shape needs
+      exact-dedup-first upstream — the production order SCALE.md
+      documents — which is why the criterion, not a 5M-doc lossless
+      join, is what local mode can measure.)
+    - ``winnow``: >= WNW_MIN_SHARED shared winnowing fingerprints
+      (`llm_dedup_winnow`'s emission predicate, before any hot-bucket
+      cap its index would add at this shape).
+    - ``simhash``: full-signature Hamming <= SIMHASH64_HAMMING_T
+      (the verify radius) and >= 1 shared 15-bit band (the blocking
+      reach) on the production 60-bit fingerprint.
+
+    Plus the one tier whose CAPPED full run is feasible in local mode:
+    `llm_dedup_simhash_banded` executed over the whole 5M-doc corpus,
+    measuring the fraction of sampled shed docs that the as-run tier
+    flags as near-dup of a true clique-mate (``simhash_asrun_*``) —
+    per-DOCUMENT recovery with the hot-band cap engaged, exactly what
+    a user of the registered query gets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from nova_pulsar_spark.operators.dedup import (
+        MAX_BUCKET,
+        SETSIM_DEN,
+        SETSIM_NUM,
+        SIMHASH64_BAND_BITS,
+        SIMHASH64_BANDS,
+        SIMHASH64_HAMMING_T,
+        _shingles_expr,
+        band_sigs,
+        minhash_signatures,
+        simhash64_signatures,
+    )
+    from nova_pulsar_spark.operators.textstats import (
+        WNW_MIN_SHARED,
+        winnowing_fingerprints,
+    )
+    from nova_pulsar_spark.sources.tables import load_table
+
+    out: dict = {"sample_mod": sample_mod}
+    d = load_table(spark, perturbed_dir, "documents")
+    base_count = (
+        load_table(spark, base, "documents").agg(F.max("doc_id")).first()[0] + 1
+    )
+
+    t0 = time.time()
+    bands = band_sigs(minhash_signatures(d)).localCheckpoint()
+    census = (
+        bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
+    members = bands.join(
+        census.filter(F.col("n") > MAX_BUCKET).select("band", "sig"),
+        ["band", "sig"],
+        "left_semi",
+    )
+    shed_docs = members.select("doc_id").distinct().localCheckpoint()
+    out["shed_docs_distinct"] = shed_docs.count()
+
+    # one candidate pair per sampled over-cap member: (bucket-min, member)
+    w = W.partitionBy("band", "sig")
+    pairs = (
+        members.withColumn("min_doc", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("min_doc"))
+        .select(F.col("min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+        .filter(
+            F.pmod(F.xxhash64(F.concat_ws("_", "doc_a", "doc_b")), F.lit(sample_mod))
+            == 0
+        )
+        .localCheckpoint()
+    )
+    out["sampled_pairs_raw"] = pairs.count()
+
+    # keep only GENUINELY shed pairs: drop any that co-occur in an
+    # under-cap bucket of another band (those the capped tier emits)
+    bs = bands.join(census, ["band", "sig"])
+    pa = pairs.join(
+        bs.select(F.col("doc_id").alias("doc_a"), "band", "sig", "n"), "doc_a"
+    )
+    emitted = (
+        pa.filter(F.col("n") <= MAX_BUCKET)
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["doc_b", "band", "sig"],
+            "left_semi",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = pairs.join(emitted, ["doc_a", "doc_b"], "left_anti").localCheckpoint()
+    n_truth = truth.count()
+    out["sampled_pairs_shed"] = n_truth
+    out["truth_sample_secs"] = round(time.time() - t0, 1)
+    if n_truth == 0:
+        return out
+
+    # A shed pair is only a RECALL loss if it is a true near-dup; the
+    # generator's clique structure (same base doc) is ground truth. The
+    # x10 decade shows why the split matters: its over-cap buckets are
+    # cross-clique band collisions (same_clique = 0), i.e. pairs the
+    # cap sheds there were never near-dups at all.
+    truth = truth.withColumn(
+        "same_clique",
+        (F.col("doc_a") % base_count) == (F.col("doc_b") % base_count),
+    ).localCheckpoint()
+    n_clique = truth.filter(F.col("same_clique")).count()
+    out["frac_same_clique"] = round(n_clique / n_truth, 4)
+
+    ids = (
+        truth.select(F.col("doc_a").alias("doc_id"))
+        .union(truth.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = d.join(ids, "doc_id", "left_semi").localCheckpoint()
+
+    # setsim criterion: exact Jaccard on the pair's shingle sets
+    t0 = time.time()
+    toksets = (
+        sub.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(_shingles_expr()).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("sh")).alias("toks"))
+    )
+    j = (
+        truth.join(
+            toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "same_clique",
+            (F.size(F.array_intersect("ta", "tb"))).alias("ni"),
+            (F.size("ta") + F.size("tb")).alias("stot"),
+        )
+    )
+    hit = j.filter(
+        F.col("ni") * SETSIM_DEN >= (F.col("stot") - F.col("ni")) * SETSIM_NUM
+    )
+    out["setsim_criterion_recovered_frac"] = round(hit.count() / n_truth, 4)
+    if n_clique:
+        out["setsim_criterion_recovered_frac_clique"] = round(
+            hit.filter(F.col("same_clique")).count() / n_clique, 4
+        )
+    out["setsim_secs"] = round(time.time() - t0, 1)
+
+    # winnowing criterion: shared selected fingerprints
+    t0 = time.time()
+    fps = winnowing_fingerprints(sub).select("doc_id", "fps").localCheckpoint()
+    wj = truth.join(
+        fps.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fa")), "doc_a"
+    ).join(fps.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fb")), "doc_b")
+    whit = wj.filter(F.size(F.array_intersect("fa", "fb")) >= WNW_MIN_SHARED)
+    out["winnow_criterion_recovered_frac"] = round(whit.count() / n_truth, 4)
+    if n_clique:
+        out["winnow_criterion_recovered_frac_clique"] = round(
+            whit.filter(F.col("same_clique")).count() / n_clique, 4
+        )
+    out["winnow_secs"] = round(time.time() - t0, 1)
+
+    # simhash criterion: verify radius + band-collision reach
+    t0 = time.time()
+    sigs = simhash64_signatures(sub).localCheckpoint()
+    sj = truth.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    band_hit = None
+    for k in range(SIMHASH64_BANDS):
+        mask = (1 << SIMHASH64_BAND_BITS) - 1
+        eq = (
+            F.shiftright(F.col("sig_a"), k * SIMHASH64_BAND_BITS).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("sig_b"), k * SIMHASH64_BAND_BITS).bitwiseAND(F.lit(mask))
+        )
+        band_hit = eq if band_hit is None else (band_hit | eq)
+    sj = sj.select(
+        "same_clique", ham.alias("ham"), band_hit.alias("band_hit")
+    ).localCheckpoint()
+    out["simhash_hamming_le_t_frac"] = round(
+        sj.filter(F.col("ham") <= SIMHASH64_HAMMING_T).count() / n_truth, 4
+    )
+    out["simhash_band_match_frac"] = round(
+        sj.filter(F.col("band_hit")).count() / n_truth, 4
+    )
+    if n_clique:
+        out["simhash_hamming_le_t_frac_clique"] = round(
+            sj.filter(F.col("same_clique") & (F.col("ham") <= SIMHASH64_HAMMING_T)).count()
+            / n_clique,
+            4,
+        )
+        out["simhash_band_match_frac_clique"] = round(
+            sj.filter(F.col("same_clique") & F.col("band_hit")).count() / n_clique, 4
+        )
+    out["simhash_criterion_secs"] = round(time.time() - t0, 1)
+
+    # the as-run capped tier over the FULL corpus: per-document recovery
+    t0 = time.time()
+    from nova_pulsar_spark.registry import all_queries
+
+    nn = all_queries()["llm_dedup_simhash_banded"].fn(spark, perturbed_dir)
+    flagged = (
+        nn.filter(
+            F.col("is_dup")
+            & ((F.col("doc_id") % base_count) == (F.col("nn_doc") % base_count))
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    n_sampled_docs = ids.count()
+    out["sampled_shed_docs"] = n_sampled_docs
+    out["simhash_asrun_sampled_doc_recovered_frac"] = round(
+        ids.join(flagged, "doc_id", "left_semi").count() / n_sampled_docs, 4
+    )
+    out["simhash_asrun_all_shed_docs_recovered_frac"] = round(
+        shed_docs.join(flagged, "doc_id", "left_semi").count()
+        / max(out["shed_docs_distinct"], 1),
+        4,
+    )
+    out["simhash_asrun_secs"] = round(time.time() - t0, 1)
+    return out
+
+
 def audit_dir(spark, sf_dir: str) -> dict:
     """Candidate counts per blocking stage; caches and stores are
     bypassed (sf_dir=None paths) so every count is a fresh derivation
@@ -246,6 +499,9 @@ def main() -> dict:
             results[label] = audit_dir(spark, wd)
             if label == "x1000":
                 results["x1000_exact_first"] = exact_first_audit(spark, wd, base, n)
+                results["x1000_cascade_recovery"] = cascade_recovery_audit(
+                    spark, wd, base
+                )
         finally:
             shutil.rmtree(wd, ignore_errors=True)
     results["note"] = (

@@ -6,12 +6,20 @@ order-insensitive values (exact; floats compared bit-exact after
 normalization, which our decimal-exact aggregation idiom makes
 possible). Usage:
 
-    python tools/check_oracle.py [--out FILE] [sf_dir] [query ...]
+    python tools/check_oracle.py [--out FILE] [--sample N --seed S] [sf_dir] [query ...]
 
 ``--out FILE`` additionally writes the PASS/FAIL lines + summary to
 FILE — the per-round sweep artifact (ORACLE_SWEEP_r{N}.txt /
 EDGE_SWEEP_r{N}.txt) that lets the judge diff the driver's 50-query
 sample against the full registry surface without re-running Spark.
+
+``--sample N --seed S`` (VERDICT r8 #4) checks a seeded random subset
+of N registered keys instead of the full registry — a rotating
+driver-style sample. The driver's own 50-key sample has been frozen
+since round 4; running a DIFFERENT random 50 each round (seed = the
+round number, by convention) catches key-set-dependent environment
+drift the frozen sample cannot. The sampled key list is printed in
+the header so the sweep artifact is self-describing.
 """
 
 from __future__ import annotations
@@ -128,10 +136,18 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def main() -> int:
     args = sys.argv[1:]
     out_path = None
-    if "--out" in args:
-        i = args.index("--out")
-        out_path = args[i + 1]
-        args = args[:i] + args[i + 2 :]
+    sample_n = seed = None
+    for flag in ("--out", "--sample", "--seed"):
+        if flag in args:
+            i = args.index(flag)
+            val = args[i + 1]
+            args = args[:i] + args[i + 2 :]
+            if flag == "--out":
+                out_path = val
+            elif flag == "--sample":
+                sample_n = int(val)
+            else:
+                seed = int(val)
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:]) if len(args) > 1 else (set(args) if args and not os.path.isdir(args[0]) else None)
     lines: list[str] = []
@@ -146,6 +162,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     regs = all_queries()
+    if sample_n is not None:
+        import random
+
+        picked = sorted(random.Random(seed or 0).sample(sorted(regs), min(sample_n, len(regs))))
+        only = set(picked) if only is None else (only & set(picked))
+        emit(f"SAMPLE n={sample_n} seed={seed or 0}: {' '.join(picked)}")
     n_pass = n_fail = n_rows_only = 0
     for name, rq in sorted(regs.items()):
         if only and name not in only:
