@@ -30,6 +30,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 # each heavyweight operator family (join, window, dedup, similarity).
 HEADLINE = [
     "pricing_summary",
+    "llm_dedup_lsh_cap_recover",
     "join_inner",
     "join_multiway_star",
     "agg_cube",

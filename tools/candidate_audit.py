@@ -357,6 +357,42 @@ def cascade_recovery_audit(
         )
     out["setsim_secs"] = round(time.time() - t0, 1)
 
+    # the registered recovery route's own verify bar: the sampled truth
+    # pairs ARE (member, bucket-min) pairs — exactly what
+    # llm_dedup_lsh_cap_recover emits for over-cap buckets — so the
+    # word-set Jaccard >= 0.8 fraction is that operator's measured
+    # precision on this corpus
+    t0 = time.time()
+    from nova_pulsar_spark.operators.dedup import _words
+
+    wsets = sub.select(
+        "doc_id", F.array_distinct(_words(F.col("text"))).alias("words")
+    ).localCheckpoint()
+    vj = (
+        truth.join(
+            wsets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            wsets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb")),
+            "doc_b",
+        )
+        .select(
+            "same_clique",
+            F.size(F.array_intersect("wa", "wb")).alias("ni"),
+            (F.size("wa") + F.size("wb")).alias("stot"),
+        )
+    )
+    vhit = vj.filter(
+        F.col("ni").cast("double") / (F.col("stot") - F.col("ni")) >= 0.8
+    )
+    out["recover_verify_frac"] = round(vhit.count() / n_truth, 4)
+    if n_clique:
+        out["recover_verify_frac_clique"] = round(
+            vhit.filter(F.col("same_clique")).count() / n_clique, 4
+        )
+    out["recover_verify_secs"] = round(time.time() - t0, 1)
+
     # winnowing criterion: shared selected fingerprints
     t0 = time.time()
     fps = winnowing_fingerprints(sub).select("doc_id", "fps").localCheckpoint()
@@ -522,7 +558,19 @@ def main() -> dict:
         "the everywhere-perturbed generator exact dedup removes only the "
         "base corpus's own exact-dup groups and the residual shed is "
         "near-dup clique mass for which the cap's bounded enumeration "
-        "(priced by llm_dedup_lsh_cap_loss) is the designed handling"
+        "(priced by llm_dedup_lsh_cap_loss) is the designed handling. "
+        "x1000_cascade_recovery (r9, VERDICT r8 #1) measures what the tiers "
+        "above the cap recover of that shed mass: the sampled shed pairs are "
+        "90.6% true near-dups, and on that class the LOSSLESS criteria "
+        "recover essentially all of them (setsim-prefix Jaccard>=0.6: 1.0, "
+        "winnowing shared-fingerprints: 0.99, SimHash verify radius: 0.996) "
+        "— but the as-run CAPPED SimHash banded tier re-finds only ~7% of "
+        "shed docs per-document, because its own fixed-keyspace band cap "
+        "sheds the same cliques. The measured per-document route is "
+        "llm_dedup_lsh_cap_recover: pair every over-cap member with its "
+        "bucket representative — O(members), never O(members**2) — which on "
+        "the same sampled truth set verifies at recover_verify_frac_clique "
+        "with the verify tier's word-set Jaccard>=0.8 bar"
     )
     print(json.dumps(results))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
