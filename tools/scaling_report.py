@@ -64,6 +64,32 @@ def main(small: str, big: str, only: list[str] | None = None) -> dict:
     ratio_data = 10.0  # sf0.01 -> sf0.1
     superlinear = [n for n, v in out.items() if v["ratio"] and v["ratio"] > 2 * ratio_data]
     doc = {"ratio_data": ratio_data, "queries": out, "superlinear": superlinear}
+    if superlinear and only is None:
+        # Session-residue screen (round 9): by the time a late HEADLINE
+        # query times its big side, ~100 preceding queries have filled
+        # the block manager with localCheckpointed stage caches, and a
+        # memory-hungry join can measure 3-6x slower than its own plan
+        # (graph_triangles: 36x in-sweep vs 6.7x isolated, r9). A flag
+        # that vanishes in a FRESH interpreter is measurement context,
+        # not plan work — both numbers go in the artifact so the flag
+        # is self-adjudicating.
+        import subprocess
+
+        iso: dict[str, dict] = {}
+        for name in superlinear:
+            try:
+                line = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), small, big, name],
+                    capture_output=True, text=True, timeout=1800,
+                ).stdout.strip().splitlines()[-1]
+                iso[name] = json.loads(line)["queries"][name]
+            except Exception as e:  # pragma: no cover - diagnostic path
+                iso[name] = {"error": str(e)}
+        doc["isolated"] = iso
+        doc["superlinear_isolated"] = [
+            n for n, v in iso.items()
+            if v.get("ratio") and v["ratio"] > 2 * ratio_data
+        ]
     print(json.dumps(doc))
     return doc
 
