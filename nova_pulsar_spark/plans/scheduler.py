@@ -140,6 +140,14 @@ def best_plan(plans: DataFrame, phases: DataFrame) -> DataFrame:
 # anything is off (`agents/orbiter.md:25-33`). `select_plan` reproduces
 # that contract with the scorer injectable (any callable — subprocess,
 # HTTP, in-process model); no external binary is assumed.
+#
+# Round 10: the seam is demonstrated LIVE against a real `claude` CLI
+# on this host (tools/live_llm_probe.py → S11_LIVE_r10.json): a
+# reference-policy probe whose validated reply agreed with O1, and an
+# override-policy probe whose validated reply provably OVERRODE the
+# deterministic pick — both through the full dispatch_once path with
+# the exact reference invocation shape (claude -p … --model haiku
+# --max-turns 5, candidates on stdin, first stdout line as the reply).
 
 DISPATCH_RE = re.compile(r"^([A-Za-z0-9_.\-]+):([A-Za-z0-9_.\-]+)$")
 
