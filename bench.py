@@ -31,6 +31,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 HEADLINE = [
     "pricing_summary",
     "llm_dedup_lsh_cap_recover",
+    "llm_dedup_lsh_cap_recover_prod",
     "join_inner",
     "join_multiway_star",
     "agg_cube",
@@ -339,7 +340,16 @@ def _write_local_artifact(doc: dict) -> None:
             prior_sha = (prior_doc.get("provenance") or {}).get("git_sha")
         except Exception:
             prior = prior_sha = None
-        same_code = prior_sha is None or prior_sha == doc["provenance"].get("git_sha")
+        # ADVICE r9 (low): a dirty tree shares HEAD's SHA while running
+        # different code, so dirty on EITHER side means not-same-code —
+        # a slower run of edited-but-uncommitted code must replace the
+        # artifact, not be refused as same-commit noise.
+        prior_dirty = bool((prior_doc.get("provenance") or {}).get("git_dirty")) if prior_sha else True
+        cur_dirty = bool(doc["provenance"].get("git_dirty"))
+        same_code = (
+            prior_sha is None
+            or (prior_sha == doc["provenance"].get("git_sha") and not prior_dirty and not cur_dirty)
+        )
         if isinstance(prior, (int, float)) and doc["value"] > prior and same_code:
             print(
                 f"BENCH GUARD: not overwriting {os.path.basename(path)} "

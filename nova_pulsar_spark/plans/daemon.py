@@ -48,7 +48,13 @@ def pid_alive_probe(pid: int) -> bool:
     ProcessLookupError = no such process (stale pid file → the daemon
     re-dispatches, the crashed-consumer recovery), PermissionError =
     the process exists but belongs to another user (alive — exactly
-    what `ps -p` would report)."""
+    what `ps -p` would report).
+
+    ADVICE r9: a pid file carrying an integer beyond C-int range makes
+    `os.kill` raise OverflowError, which is NOT an OSError — unswallowed
+    it would escape dispatch_once's per-file `except (OSError,
+    ValueError)` and turn one garbage pid file into a whole-cycle
+    scan_error. A pid that can't exist in the process table is dead."""
     if pid <= 0:
         return False
     try:
@@ -57,7 +63,7 @@ def pid_alive_probe(pid: int) -> bool:
         return False
     except PermissionError:
         return True
-    except OSError:
+    except (OSError, OverflowError):
         return False
     return True
 

@@ -192,6 +192,10 @@ def test_pid_alive_probe_real_process_table():
     assert pid_alive_probe(child.pid) is False
     assert pid_alive_probe(0) is False
     assert pid_alive_probe(-1) is False
+    # ADVICE r9: a pid beyond C-int range makes os.kill raise
+    # OverflowError (not OSError) — the probe must report dead, not
+    # let one garbage pid file halt the whole dispatch cycle
+    assert pid_alive_probe(2**63) is False
 
 
 def test_stale_pid_file_redispatches_under_default_probe(spark, tmp_path):

@@ -168,9 +168,18 @@ def main() -> int:
         picked = sorted(random.Random(seed or 0).sample(sorted(regs), min(sample_n, len(regs))))
         only = set(picked) if only is None else (only & set(picked))
         emit(f"SAMPLE n={sample_n} seed={seed or 0}: {' '.join(picked)}")
+        if not only:
+            # ADVICE r9: an empty intersection must not fall through to a
+            # full-registry sweep (empty set is falsy) — it means the
+            # explicit list and the sample share no keys. Say so and stop.
+            emit("EMPTY: --sample intersected the explicit query list to zero keys")
+            if out_path:
+                with open(out_path, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+            return 2
     n_pass = n_fail = n_rows_only = 0
     for name, rq in sorted(regs.items()):
-        if only and name not in only:
+        if only is not None and name not in only:
             continue
         try:
             sdf = rq.fn(spark, sf_dir)
