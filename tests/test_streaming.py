@@ -1132,3 +1132,101 @@ def test_streaming_embedding_near_dup_index_across_microbatches(spark, tmp_path)
         ).collect()
     }
     assert {(r.band, r.sig) for r in first} == batch_sigs
+
+
+def _partition_of(universe, edges):
+    """Connected components (frozenset of frozensets) of `universe`
+    under the undirected `edges` — the dup-membership partition."""
+    parent = {d: d for d in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    clusters: dict = {}
+    for d in universe:
+        clusters.setdefault(find(d), set()).add(d)
+    return frozenset(frozenset(c) for c in clusters.values())
+
+
+def test_stream_claim_and_batch_recover_agree_on_partition(spark, tmp_path):
+    """VERDICT r9 #5: the streaming ingest path links every colliding
+    doc to the bucket's FIRST owner (arrival order,
+    ingest_dedup._claim_bucket), the batch cap-recover links to the
+    bucket's MIN doc_id (dedup.lsh_cap_recover_pairs). On a corpus
+    replayed so arrival order ≠ id order the chosen REPRESENTATIVES
+    disagree — by design — but the invariant that matters for corpus
+    ownership must hold: both produce the SAME dup-membership
+    partition (identical doc→cluster sets), because each path emits a
+    star over the same bucket member sets and stars with different
+    centers span the same component."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from nova_pulsar_spark.operators.dedup import lsh_cap_recover_pairs
+    from nova_pulsar_spark.streaming.ingest_dedup import near_dup_stream
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    clique_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clique_b = "one two three four five six seven eight nine ten eleven"
+    lone = "nothing here resembles anything else in this corpus at all"
+    corpus = [(10, clique_a), (11, clique_a), (12, clique_a), (20, clique_b), (21, clique_b), (30, lone)]
+
+    def write_doc(name, doc_id, text):
+        with open(os.path.join(src, name), "w") as f:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_available_now(sink: list):
+        q = (
+            near_dup_stream(spark.readStream.schema(schema).json(src))
+            .writeStream.foreachBatch(lambda df, bid: sink.extend(df.collect()))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # replay with arrival order OPPOSITE to id order: the HIGHEST ids
+    # land in micro-batch 1 and claim the buckets, so the stream's
+    # representatives (12, 21) differ from the batch MIN-id reps (10, 20)
+    rows: list = []
+    write_doc("b1a.json", 12, clique_a)
+    write_doc("b1b.json", 21, clique_b)
+    run_available_now(rows)
+    for name, (doc_id, text) in zip(
+        ("b2a.json", "b2b.json", "b2c.json", "b2d.json"),
+        [(10, clique_a), (11, clique_a), (20, clique_b), (30, lone)],
+    ):
+        write_doc(name, doc_id, text)
+    run_available_now(rows)
+
+    stream_edges = {(int(r.doc_id), int(r.first_doc)) for r in rows if not r.is_new}
+    stream_reps = {int(r.first_doc) for r in rows if not r.is_new}
+    assert stream_reps == {12, 21}  # first-arrival ownership, not min-id
+
+    bdocs = spark.createDataFrame(corpus, schema)
+    # cap=1: every bucket of >=2 members emits (rep=MIN doc_id, member)
+    # pairs — the same bucket universe the uncapped stream claims over
+    batch_pairs = lsh_cap_recover_pairs(bdocs, max_bucket=1).collect()
+    batch_edges = {(int(r.doc_a), int(r.doc_b)) for r in batch_pairs}
+    batch_reps = {int(r.doc_a) for r in batch_pairs}
+    assert batch_reps == {10, 20}  # MIN-doc_id ownership
+
+    universe = [d for d, _ in corpus]
+    stream_partition = _partition_of(universe, stream_edges)
+    batch_partition = _partition_of(universe, batch_edges)
+    assert stream_partition == batch_partition == frozenset(
+        {frozenset({10, 11, 12}), frozenset({20, 21}), frozenset({30})}
+    )
