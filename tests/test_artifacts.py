@@ -179,3 +179,31 @@ def test_cascade_recovery_in_committed_scaling3():
             f"best upper-tier recovery {max(clique_fracs)} below the "
             f"accepted floor {CASCADE_RECOVERY_FLOOR}"
         )
+
+
+def test_x10_shed_class_split_in_committed_scaling3():
+    """VERDICT r9 #3: the x10 decade's shed-class split was prose
+    ("100% cross-clique band collisions") with no committed artifact
+    field — from round 10 on, SCALING3 carries the MEASURED split at
+    x10 (sample_mod=1, i.e. exact over all ~400 shed pairs). A
+    zero-same-clique decade is a legitimate outcome (the cap shed
+    nothing that was ever a near-dup); clique-restricted recovery
+    fractions are only required when same-clique pairs exist."""
+    path = _latest("SCALING3_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 10:
+        pytest.skip("no round>=10 SCALING3 artifact yet")
+    doc = json.load(open(path))
+    cr = doc.get("x10_cascade_recovery")
+    assert cr, f"{os.path.basename(path)} missing x10_cascade_recovery"
+    assert cr["sample_mod"] == 1  # exact, not sampled, at this decade
+    assert cr["sampled_pairs_shed"] <= cr["sampled_pairs_raw"]
+    if cr["sampled_pairs_shed"] == 0:
+        return  # nothing genuinely shed at x10 — split vacuously measured
+    assert "frac_same_clique" in cr, "x10 shed-class split missing"
+    assert 0.0 <= cr["frac_same_clique"] <= 1.0
+    clique_fracs = [v for k, v in cr.items() if k.endswith("_frac_clique")]
+    if cr["frac_same_clique"] > 0:
+        from tools.candidate_audit import CASCADE_RECOVERY_FLOOR
+
+        assert clique_fracs, "x10 clique-restricted recovery missing"
+        assert max(clique_fracs) >= CASCADE_RECOVERY_FLOOR

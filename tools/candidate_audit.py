@@ -533,6 +533,15 @@ def main() -> dict:
         try:
             _scale_docs_embeddings(base, wd, n)
             results[label] = audit_dir(spark, wd)
+            if label == "x10":
+                # VERDICT r9 #3: the x10 shed-class split was asserted
+                # ("100% cross-clique band collisions") but never
+                # measured. The x10 decade's over-cap mass is ~400
+                # (member, min) pairs, so sample_mod=1 takes ALL of
+                # them — frac_same_clique here is exact, not sampled.
+                results["x10_cascade_recovery"] = cascade_recovery_audit(
+                    spark, wd, base, sample_mod=1
+                )
             if label == "x1000":
                 results["x1000_exact_first"] = exact_first_audit(spark, wd, base, n)
                 results["x1000_cascade_recovery"] = cascade_recovery_audit(
