@@ -294,6 +294,57 @@ def test_lsh_cap_loss_accounting_on_planted_hot_bucket(spark, tmp_path):
         assert row.n_pairs_dropped == planted_pairs
 
 
+def test_prod_cap_recover_emits_on_planted_over_cap_bucket(spark, tmp_path):
+    """ADVICE r9: `llm_dedup_lsh_cap_recover_prod` is the PRODUCTION
+    surface (cap = MAX_BUCKET); at shipped SFs it is legitimately
+    empty, so this planted corpus proves it non-vacuous in-tree: a
+    70-doc identical clique (> MAX_BUCKET=64) must yield exactly
+    n-1 verified (member -> MIN-doc_id representative) pairs, on BOTH
+    engines (the DuckDB twin runs the registered SQL on the same
+    parquet), while organic under-cap docs never appear."""
+    import duckdb
+
+    from nova_pulsar_spark.operators.dedup import MAX_BUCKET
+    from nova_pulsar_spark.registry import all_queries
+
+    n_boiler = MAX_BUCKET + 6  # 70 identical docs -> one over-cap bucket per band
+    boiler = ["standard header boilerplate text repeated everywhere always and forever"] * n_boiler
+    organic = [
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+        "alpha beta gamma delta epsilon zeta eta theta kappa",
+    ]
+    d = str(tmp_path / "prodrec")
+    _write_docs(spark, d, boiler + organic)
+
+    rq = all_queries()["llm_dedup_lsh_cap_recover_prod"]
+    got = rq.fn(spark, d).collect()
+    # one recovery pair per non-representative clique member, dup-verified
+    assert len(got) == n_boiler - 1
+    assert all(r.rep_doc == 0 for r in got)  # MIN doc_id owns the clique
+    assert {r.doc_id for r in got} == set(range(1, n_boiler))
+    assert all(r.is_dup and r.jaccard == 1.0 for r in got)  # identical text
+
+    # the DuckDB twin agrees on the same parquet — the prod surface is
+    # oracle-checked at a corpus where the cap actually sheds
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(rq.sql).fetchdf()
+    assert len(odf) == n_boiler - 1
+    assert set(odf["doc_id"]) == set(range(1, n_boiler))
+    assert bool(odf["is_dup"].all()) and (odf["rep_doc"] == 0).all()
+
+    # the dashboard's new recover tiers see the same mass
+    from nova_pulsar_spark.operators.dedup import llm_dedup_report
+
+    tiers = {r.tier: r.n for r in llm_dedup_report(spark, d).collect()}
+    # the report runs at the registered test cap (2 < 70), so the
+    # planted clique is over-cap there too and fully recovered
+    assert tiers["recovered_dup_pairs"] >= n_boiler - 1
+    assert tiers["recovered_docs"] >= n_boiler - 1
+
+
 def test_lsh_hot_bucket_cap_drops_boilerplate(spark):
     """The LSH skew mitigation: a boilerplate bucket (many identical
     docs) explodes quadratically; the cap excises it while organic
