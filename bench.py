@@ -58,6 +58,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q21",
     "llm_pack_sequences",
+    "llm_shard_balance",
     "llm_quality_repetition",
     "llm_dedup_clusters",
     "ts_gapfill",

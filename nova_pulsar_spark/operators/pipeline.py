@@ -1489,3 +1489,76 @@ def llm_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("allocated_tokens"),
         F.col("level").alias("water_level"),
     )
+
+
+# --- Output sharding: size-balanced shard assignment ----------------------
+
+SHARD_K = 16  # output shards for the registered rendition
+
+
+@register(
+    "llm_shard_balance",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn0
+      FROM t)
+    SELECT CAST(CASE WHEN (rn0 // {SHARD_K}) % 2 = 0
+                     THEN rn0 % {SHARD_K}
+                     ELSE {SHARD_K} - 1 - (rn0 % {SHARD_K}) END AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM r GROUP BY 1
+    """,
+    doc=f"Size-balanced output sharding: serpentine (boustrophedon) assignment "
+    f"of token-count-ranked docs onto {SHARD_K} shards — the write-layout step "
+    "that makes N output files near-equal in token mass instead of doc count",
+)
+def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced write layout — the last step before a 100 TB corpus is
+    written as N files/partitions consumed round-robin by trainers.
+    Hash sharding balances document COUNT; token mass per shard then
+    varies with the length distribution, and stragglers follow. This
+    operator assigns shards serpentine over the global token-count
+    rank (longest-first; pass 0 deals shards 0..K-1, pass 1 deals
+    K-1..0, ...), the classic two-pass balancing strip: every shard
+    receives exactly one doc per K-sized pass, and alternating
+    direction cancels the within-pass size gradient, so shard token
+    sums differ by at most one pass's spread.
+
+    Scale: the only global structure is the corpus-global rank, built
+    with the audited distributed-rank pattern (``ranks.grouped_rank``
+    with empty group cols: range partitions + local windows +
+    broadcast offsets — never a single-partition window); the
+    serpentine assignment is per-row arithmetic on the rank, and the
+    audit rollup is a {SHARD_K}-key map-side-combinable groupBy. The
+    returned frame is the audit view (shard, n_docs, shard_tokens);
+    production joins the assignment back and writes
+    ``.repartition(shard)``."""
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    r = grouped_rank(
+        t,
+        [],
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        spark.sparkContext.defaultParallelism,
+    ).withColumn("rn0", F.col("rn") - 1)
+    passno = F.floor(F.col("rn0") / SHARD_K)
+    pos = F.col("rn0") % SHARD_K
+    shard = F.when(passno % 2 == 0, pos).otherwise(F.lit(SHARD_K - 1) - pos)
+    return (
+        r.select(shard.cast("int").alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+    )

@@ -424,6 +424,32 @@ def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
             running += r.n_tokens
 
 
+def test_shard_balance_serpentine_is_token_balanced(spark, sf_dir):
+    """The serpentine strip's guarantee: every shard gets exactly one
+    doc per K-sized pass (doc counts differ by at most 1) and
+    alternating direction cancels the within-pass size gradient, so
+    shard token sums stay within one pass's spread — far tighter than
+    hash sharding's token variance on a skewed length distribution."""
+    from nova_pulsar_spark.operators.pipeline import SHARD_K, llm_shard_balance
+    from nova_pulsar_spark.sources.tables import load_table
+
+    rows = llm_shard_balance(spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(range(SHARD_K))
+    n_docs = [r.n_docs for r in rows]
+    assert max(n_docs) - min(n_docs) <= 1  # one doc per shard per pass
+    toks = [r.shard_tokens for r in rows]
+    # spread bounded by the longest document (one pass's worst gradient)
+    longest = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("max(size(split(text, ' '))) AS m")
+        .first()
+        .m
+    )
+    assert max(toks) - min(toks) <= longest
+    # and tight in relative terms on the real length distribution
+    assert (max(toks) - min(toks)) / (sum(toks) / len(toks)) < 0.01
+
+
 def test_quality_repetition_flags_repeated_text(spark):
     from nova_pulsar_spark.operators.pipeline import llm_quality_repetition
     from unittest import mock
