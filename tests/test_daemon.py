@@ -177,6 +177,39 @@ def test_dispatch_subprocess_scorer_end_to_end(spark, tmp_path):
     assert (d["project"], d["plan_id"]) == ("alpha", "plan-20260228-1000")
 
 
+def test_live_llm_transcript_replays_deterministically(spark, tmp_path):
+    """The committed live-CLI transcript (S11_LIVE_r10.json, recorded
+    by tools/live_llm_probe.py against a real external LLM process) is
+    a REPLAYABLE regression: feeding each probe's recorded raw reply
+    through the same dispatch path via an injected scorer must
+    dispatch the same plan the live run dispatched. Pins that the
+    validation seam (regex + candidate membership + fallback) still
+    treats the recorded replies identically — no CLI needed."""
+    import glob
+
+    transcripts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "S11_LIVE_r*.json")))
+    if not transcripts:
+        import pytest
+
+        pytest.skip("no committed live-LLM transcript")
+    doc = json.load(open(transcripts[-1]))
+    assert doc["verdict"] == "live_llm_dispatch_demonstrated"
+    for i, probe in enumerate(doc["probes"]):
+        root = str(tmp_path / f"replay{i}")
+        _setup_queues(root)
+        d = dispatch_once(spark, root, NOW, scorer=lambda cands, r=probe["raw_reply"]: r)
+        assert d["action"] == "dispatch"
+        assert {"project": d["project"], "plan_id": d["plan_id"]} == probe["dispatched"], (
+            f"probe {probe['probe']}: replayed reply {probe['raw_reply']!r} no longer "
+            f"dispatches what the live run dispatched"
+        )
+        # the recorded candidate set matches what this fixture produces
+        assert {c["id"] for c in probe["candidates_sent"]} == {
+            "plan-20260226-0900",
+            "plan-20260228-1000",
+        }
+
+
 def test_pid_alive_probe_real_process_table():
     """VERDICT r8 #2 / ADVICE r8: the production default probes the
     process table like the reference's `ps -p` (starry-daemon.sh:77-85)
