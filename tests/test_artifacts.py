@@ -207,3 +207,30 @@ def test_x10_shed_class_split_in_committed_scaling3():
 
         assert clique_fracs, "x10 clique-restricted recovery missing"
         assert max(clique_fracs) >= CASCADE_RECOVERY_FLOOR
+
+
+def test_check_oracle_empty_sample_intersection_refuses_to_sweep():
+    """ADVICE r9: when --sample intersects an explicit query list to
+    the empty set, check_oracle must SAY so and exit 2 — not fall
+    through to a silent full-registry sweep (the empty set is falsy,
+    which is exactly how the old `if only and ...` skip test read it).
+    Seed 77's 2-key sample provably excludes llm_dedup_exact."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(HERE, "tools", "check_oracle.py"),
+            "--sample", "2", "--seed", "77",
+            "/root/testdata/sf0.001",
+            "llm_dedup_exact",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 2, r.stdout[-500:] + r.stderr[-500:]
+    assert "EMPTY" in r.stdout
+    # nothing was swept: no PASS/FAIL lines after the sample banner
+    assert "PASS " not in r.stdout and "FAIL " not in r.stdout
