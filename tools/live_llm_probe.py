@@ -135,7 +135,9 @@ def run_probe(spark, name, prompt, model, now, timeout):
         d = dispatch_once(spark, root, now, scorer=recording_scorer)
         return {
             "probe": name,
-            "argv": argv[:1] + ["<prompt>"] + argv[3:],  # prompt recorded below
+            # ADVICE r10: keep the "-p" flag (argv[1]) in the redacted
+            # record — only the prompt payload (argv[2]) is replaced.
+            "argv": argv[:2] + ["<prompt>"] + argv[3:],  # prompt recorded below
             "prompt": prompt,
             "model": model,
             "candidates_sent": exchange.get("candidates"),

@@ -32,6 +32,61 @@ from nova_pulsar_spark.session import get_spark  # noqa: E402
 
 RUNS = 3
 
+# VERDICT r10 #2 — llm_shard_balance quality floor, as POLICY (same
+# discipline as the rekey/cascade floors): the serpentine layout's
+# relative token spread (max-min)/mean over the K shards must stay
+# under this ceiling at every measured decade, AND beat the
+# hash-shard control. Serpentine deals every shard exactly one doc
+# per K-sized pass of the length-ranked corpus with alternating
+# direction, so the sum gap is bounded by ONE pass's internal spread
+# — on any corpus with >> K docs that is a vanishing fraction of a
+# shard's mass, while hash sharding's doc-count balance leaves the
+# token mass exposed to the length distribution's variance.
+SHARD_BALANCE_SPREAD_CEILING = 0.01
+
+
+def shard_balance_quality(spark, sf_dir: str) -> dict:
+    """Measured token-mass balance of llm_shard_balance vs a hash
+    control (shard = xxhash64(doc_id) % K) on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from nova_pulsar_spark.operators.pipeline import SHARD_K
+    from nova_pulsar_spark.sources.tables import load_table
+
+    regs = all_queries()
+    serp = [
+        r["shard_tokens"]
+        for r in regs["llm_shard_balance"].fn(spark, sf_dir).collect()
+    ]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    ctrl = [
+        r["shard_tokens"]
+        for r in d.groupBy(
+            F.pmod(F.xxhash64("doc_id"), F.lit(SHARD_K)).cast("int").alias("shard")
+        )
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .collect()
+    ]
+
+    def spread(tok: list[int]) -> float:
+        mean = sum(tok) / len(tok)
+        return round((max(tok) - min(tok)) / mean, 6) if mean else 0.0
+
+    return {
+        "k_shards": SHARD_K,
+        "n_docs": d.count(),
+        "serpentine_spread": spread(serp),
+        "hash_spread": spread(ctrl),
+        "serpentine_max_tokens": max(serp),
+        "serpentine_min_tokens": min(serp),
+        "hash_max_tokens": max(ctrl),
+        "hash_min_tokens": min(ctrl),
+        "spread_ceiling": SHARD_BALANCE_SPREAD_CEILING,
+    }
+
 
 def _run(df) -> None:
     # noop write materializes EVERY output column; count() lets Catalyst
@@ -64,6 +119,13 @@ def main(small: str, big: str, only: list[str] | None = None) -> dict:
     ratio_data = 10.0  # sf0.01 -> sf0.1
     superlinear = [n for n, v in out.items() if v["ratio"] and v["ratio"] > 2 * ratio_data]
     doc = {"ratio_data": ratio_data, "queries": out, "superlinear": superlinear}
+    if only is None:
+        # VERDICT r10 #2: the balance QUALITY llm_shard_balance exists
+        # to deliver, measured at both decades next to its time ratio.
+        doc["shard_balance"] = {
+            "small": shard_balance_quality(spark, small),
+            "big": shard_balance_quality(spark, big),
+        }
     if superlinear and only is None:
         # Session-residue screen (round 9): by the time a late HEADLINE
         # query times its big side, ~100 preceding queries have filled
