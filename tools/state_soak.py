@@ -407,9 +407,15 @@ def main() -> dict:
     # by a later judge.
     import importlib.util
 
-    results["tws_protobuf_present"] = (
-        importlib.util.find_spec("google.protobuf") is not None
-    )
+    try:
+        # find_spec on a submodule IMPORTS the parent package first, so
+        # a missing `google` raises ModuleNotFoundError instead of
+        # returning None — treat either as "absent".
+        results["tws_protobuf_present"] = (
+            importlib.util.find_spec("google.protobuf") is not None
+        )
+    except ModuleNotFoundError:
+        results["tws_protobuf_present"] = False
     results["per_key_bound"] = (
         "text: state rows <= N_BANDS(=4) x distinct docs, one (band int, 32-hex "
         "sig) key + one long value per row; embedding: <= 8 sign-LSH bands x "
