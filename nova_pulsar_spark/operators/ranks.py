@@ -76,6 +76,12 @@ def grouped_rank(
         "__lrn",
         F.row_number().over(W.partitionBy("__pid", *group_cols).orderBy(*order_cols)),
     )
+    # With empty group_cols this is a no-partition window — Spark logs
+    # "WARN WindowExec: No Partition Defined" — but it runs over the
+    # OFFSETS frame only: one row per range partition (== `width`,
+    # e.g. 32), never the data. That tiny single-partition pass is the
+    # "broadcast offsets" step of the pattern; the corpus itself is
+    # ranked by the per-__pid local windows above.
     wg = (W.partitionBy(*group_cols) if group_cols else W.partitionBy()).orderBy("__pid")
     offs = (
         pidded.groupBy("__pid", *group_cols)
