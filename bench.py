@@ -60,6 +60,7 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_shard_balance",
     "llm_shard_assign",
+    "llm_corpus_layout",
     "llm_quality_repetition",
     "llm_dedup_clusters",
     "ts_gapfill",

@@ -875,11 +875,15 @@ def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_FLOOR = 2  # keep docs scoring >= 2 of 3
 
-
-@register(
-    "llm_corpus_curate",
-    sql=_CLUSTER_CTES
-    + f""",
+# The full curation-funnel CTE chain (cluster stage + quality scores +
+# exact-dup keepers + near-dup losers) — shared verbatim by
+# `llm_corpus_curate` (the survivor listing) and `llm_corpus_layout`
+# (the survivors pushed through the serpentine write layout,
+# operators/pipeline.py), so the two oracles can never drift on what
+# "survives curation".
+_CURATE_FUNNEL_CTES = (
+    _CLUSTER_CTES
+    + """,
   comp AS (
     SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src),
   q AS (
@@ -899,7 +903,14 @@ QUALITY_FLOOR = 2  # keep docs scoring >= 2 of 3
              ROW_NUMBER() OVER (PARTITION BY c.component_id
                                 ORDER BY q.quality_score DESC, c.doc_id) AS rnk
       FROM comp c JOIN q ON q.doc_id = c.doc_id) t
-    WHERE rnk > 1)
+    WHERE rnk > 1)"""
+)
+
+
+@register(
+    "llm_corpus_curate",
+    sql=_CURATE_FUNNEL_CTES
+    + f"""
   SELECT d.doc_id, d.source, d.lang,
          CAST(q.quality_score AS INT) AS quality_score
   FROM documents d

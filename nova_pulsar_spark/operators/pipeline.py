@@ -1599,3 +1599,91 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the shared ``_serpentine_assign`` stage does the distributed
     rank); no aggregation — output is one row per doc."""
     return _serpentine_assign(spark, sf_dir)
+
+
+def _corpus_layout_sql() -> str:
+    from nova_pulsar_spark.operators.dedup import _CURATE_FUNNEL_CTES, QUALITY_FLOOR
+
+    return (
+        _CURATE_FUNNEL_CTES
+        + f""",
+  surv AS (
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           q.quality_score
+    FROM documents d
+    JOIN exact_keep ek ON ek.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM near_removed)
+      AND q.quality_score >= {QUALITY_FLOOR}),
+  r AS (
+    SELECT doc_id, n_tokens, quality_score,
+           ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn0
+    FROM surv)
+  SELECT CAST(CASE WHEN (rn0 // {SHARD_K}) % 2 = 0
+                   THEN rn0 % {SHARD_K}
+                   ELSE {SHARD_K} - 1 - (rn0 % {SHARD_K}) END AS INT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         CAST(SUM(quality_score) AS BIGINT) AS quality_sum
+  FROM r GROUP BY 1
+    """
+    )
+
+
+@register(
+    "llm_corpus_layout",
+    sql=_corpus_layout_sql(),
+    doc="Curate-then-lay-out capstone: the llm_corpus_curate survivors "
+    "dealt serpentine onto token-mass-balanced shards — raw crawl to "
+    "trainer-ready balanced output files as ONE declared plan (shard, "
+    "n_docs, shard_tokens, quality_sum)",
+)
+def llm_corpus_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of the training-data pipeline, composed from the
+    engine's own stages: `llm_corpus_curate` decides WHICH docs ship
+    (exact-dup keepers ∩ near-dup keep-best ∩ quality floor), and the
+    serpentine strip decides WHERE — survivors ranked by token count
+    and dealt boustrophedon onto SHARD_K shards, so the output files a
+    trainer consumes round-robin carry near-equal token mass. Returned
+    frame is the per-shard audit incl. `quality_sum` (the layout must
+    balance mass WITHOUT skewing quality across shards — serpentine
+    deals by length only, so quality mixes; the audit puts that in
+    evidence).
+
+    Scale: curation is one corpus scan plus tiny-side semi/anti joins
+    (see `llm_corpus_curate`); the layout adds one join to re-attach
+    token counts, the audited distributed rank over SURVIVORS (range
+    partitions + local windows + broadcast offsets), per-row serpentine
+    arithmetic, and a SHARD_K-key map-side-combinable rollup. Nothing
+    in the chain is all-pairs or single-partition over data."""
+    from nova_pulsar_spark.operators.dedup import llm_corpus_curate
+    from nova_pulsar_spark.operators.ranks import grouped_rank
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    surv = (
+        llm_corpus_curate(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .join(toks, "doc_id")
+    )
+    r = grouped_rank(
+        surv,
+        [],
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        spark.sparkContext.defaultParallelism,
+    ).withColumn("rn0", F.col("rn") - 1)
+    passno = F.floor(F.col("rn0") / SHARD_K)
+    pos = F.col("rn0") % SHARD_K
+    shard = F.when(passno % 2 == 0, pos).otherwise(F.lit(SHARD_K - 1) - pos)
+    return (
+        r.select(shard.cast("int").alias("shard"), "n_tokens", "quality_score")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.sum("quality_score").cast("bigint").alias("quality_sum"),
+        )
+    )

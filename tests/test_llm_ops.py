@@ -482,6 +482,33 @@ def test_shard_assign_is_the_production_view_of_shard_balance(spark, sf_dir):
     assert len(ids) == len(set(ids))  # exactly one shard per doc
 
 
+def test_corpus_layout_shards_exactly_the_curate_survivors(spark, sf_dir):
+    """llm_corpus_layout = llm_corpus_curate pushed through the
+    serpentine strip: the per-shard audit must account for every
+    survivor exactly once (doc and quality totals match the curate
+    output), deal docs one-per-shard-per-pass (counts differ by <=1),
+    and keep the token spread serpentine-tight. Quality must MIX
+    across shards rather than concentrate: every shard's mean quality
+    stays within 0.5 of the corpus mean (scores are 2 or 3 after the
+    floor, so a length-correlated layout could otherwise stack one
+    shard with all the 3s)."""
+    from nova_pulsar_spark.operators.dedup import llm_corpus_curate
+    from nova_pulsar_spark.operators.pipeline import SHARD_K, llm_corpus_layout
+
+    surv = llm_corpus_curate(spark, sf_dir).collect()
+    rows = llm_corpus_layout(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == len(surv)
+    assert sum(r.quality_sum for r in rows) == sum(s.quality_score for s in surv)
+    n_docs = [r.n_docs for r in rows]
+    assert max(n_docs) - min(n_docs) <= 1
+    toks = [r.shard_tokens for r in rows]
+    assert (max(toks) - min(toks)) / (sum(toks) / len(toks)) < 0.02
+    assert {r.shard for r in rows} <= set(range(SHARD_K))
+    corpus_mean = sum(s.quality_score for s in surv) / len(surv)
+    for r in rows:
+        assert abs(r.quality_sum / r.n_docs - corpus_mean) < 0.5
+
+
 def test_quality_repetition_flags_repeated_text(spark):
     from nova_pulsar_spark.operators.pipeline import llm_quality_repetition
     from unittest import mock
