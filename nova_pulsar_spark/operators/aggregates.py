@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import finite_measures, load_table
+from nova_pulsar_spark.sources.tables import fan_out, finite_measures, load_table
 
 
 @register(
@@ -1291,6 +1291,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "event_id", (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
     )
+    # r12: the testdata scan is a single row group = ONE task; the 32x
+    # expansion + md5/conv stream below is the whole cost of this query,
+    # so spread the (event_id, cents) pairs across the executor first
+    # (fan_out is layout-derived: a no-op when the scan already splits).
+    base = fan_out(spark, base, sf_dir, "events")
     base = base.localCheckpoint(eager=False)  # two consumers: reps + point est
     expanded = (
         base.select(
@@ -1306,10 +1311,16 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_dig"),  # computed BEFORE the slot explode: one digest per block
         )
         .select("cents", "block", "_dig", F.explode(F.expr("sequence(0, 3)")).alias("slot"))
+        # r12: materialize u in its own projection so the CASE ladder in
+        # _boot_w evaluates the conv/substring chain ONCE per (row, slot)
+        # — inlined, each of the 5 WHEN branches re-parses the digest
+        # (CollapseProject keeps multi-use non-cheap aliases separate, so
+        # this projection survives optimization). Same u, same weights.
+        .select("cents", "block", "slot", F.expr(_U_SPARK).alias("u"))
         .select(
             "cents",
             (F.col("block") * 4 + F.col("slot")).alias("rep"),
-            F.expr(f"{_boot_w(_U_SPARK)}").alias("w"),
+            F.expr(_boot_w("u")).alias("w"),
         )
     )
     per_rep = expanded.groupBy("rep").agg(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import finite_measures, load_table, timestamped
+from nova_pulsar_spark.sources.tables import fan_out, finite_measures, load_table, timestamped
 
 # Columns profiled by dq_profile (orders table).
 _PROFILE_COLS = (
@@ -292,17 +292,24 @@ def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     a BIGINT while DECIMAL(38,0) absorbs the sum exactly at any row
     count. Swapping any row cell flips the checksum with probability
     1 - 2^-60."""
-    l = load_table(spark, sf_dir, "lineitem")
+    # r12: the testdata scan is one row group = ONE task and the md5
+    # stream is this query's entire cost — spread the rows first
+    # (fan_out is layout-derived: no-op when the scan splits itself).
+    l = fan_out(spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     # Two short convs (8 + 7 hex chars, both inside long math) instead
     # of one 15-char conv: conv's cost grows superlinearly with digit
     # count, and hi*2^28 + lo is bit-identical to the single parse
     # (measured ~1.5x faster end-to-end on the serial local scan).
+    # r12: the digest is projected ONCE per row below the aggregate —
+    # inlined, both conv operands re-hash the canonical string, and the
+    # multi-use non-cheap alias keeps CollapseProject from re-inlining.
+    h = l.select("l_returnflag", F.expr(f"md5({_CANON_SPARK})").alias("_dig"))
     row_hash = F.expr(
-        f"CAST(conv(substring(md5({_CANON_SPARK}), 1, 8), 16, 10) AS BIGINT) * 268435456L"
-        f" + CAST(conv(substring(md5({_CANON_SPARK}), 9, 7), 16, 10) AS BIGINT)"
+        "CAST(conv(substring(_dig, 1, 8), 16, 10) AS BIGINT) * 268435456L"
+        " + CAST(conv(substring(_dig, 9, 7), 16, 10) AS BIGINT)"
     )
     return (
-        l.groupBy("l_returnflag")
+        h.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum(row_hash.cast("decimal(38,0)")).cast("string").alias("checksum"),

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nova_pulsar_spark.registry import register
-from nova_pulsar_spark.sources.tables import load_table
+from nova_pulsar_spark.sources.tables import fan_out, load_table
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -2649,7 +2649,12 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("av"), F.col("embedding").alias("ae"), norm.alias("na")
     )
-    corpus = e.select("vec_id", "embedding", norm.alias("nb"))
+    # r12: the corpus side carries the anchor x corpus exact-cosine fold
+    # — the dominant cost — and the testdata scan is one row group = one
+    # task; spread it first (fan_out no-ops when the scan splits itself).
+    corpus = fan_out(spark, e, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm.alias("nb")
+    )
     cos = F.when(
         F.col("na") * F.col("nb") != 0,
         _fold_dot("ae", "embedding") / (F.col("na") * F.col("nb")),
@@ -2677,20 +2682,35 @@ def llm_dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "strong", F.when(F.col("vec_a").isNull(), 0).otherwise(1).alias("got")
     )
-    n_anchors = anchors.count()
-    return hit.agg(
-        F.lit(n_anchors).cast("bigint").alias("n_anchors"),
-        F.lit(mod).cast("bigint").alias("anchor_mod"),
-        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-        F.sum("got").cast("bigint").alias("n_hit"),
-        (
-            F.sum("got").cast("double")
-            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double")
-        ).alias("recall"),
-        F.sum("strong").cast("bigint").alias("n_truth_strong"),
-        F.sum(F.col("strong") * F.col("got")).cast("bigint").alias("n_hit_strong"),
-        (
-            F.sum(F.col("strong") * F.col("got")).cast("double")
-            / F.nullif(F.sum("strong"), F.lit(0)).cast("double")
-        ).alias("recall_strong"),
+    # r12: n_anchors rides the same job as a broadcast 1-row aggregate
+    # (the SQL twin's scalar subquery) instead of a separate .count()
+    # action — one Spark job per timed run instead of two.
+    na = anchors.agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+    return (
+        hit.agg(
+            F.lit(mod).cast("bigint").alias("anchor_mod"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum("got").cast("bigint").alias("n_hit"),
+            (
+                F.sum("got").cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double")
+            ).alias("recall"),
+            F.sum("strong").cast("bigint").alias("n_truth_strong"),
+            F.sum(F.col("strong") * F.col("got")).cast("bigint").alias("n_hit_strong"),
+            (
+                F.sum(F.col("strong") * F.col("got")).cast("double")
+                / F.nullif(F.sum("strong"), F.lit(0)).cast("double")
+            ).alias("recall_strong"),
+        )
+        .crossJoin(F.broadcast(na))
+        .select(
+            "n_anchors",
+            "anchor_mod",
+            "n_truth",
+            "n_hit",
+            "recall",
+            "n_truth_strong",
+            "n_hit_strong",
+            "recall_strong",
+        )
     )

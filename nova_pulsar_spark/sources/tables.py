@@ -33,6 +33,15 @@ TABLE_NAMES = (
 SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Sessions already ensured, keyed by id(spark) (the repo's session-cache
+# idiom): every conf.set below is a driver↔JVM round trip, and this runs
+# per load_table call — r12 profiling measured multi-ms py4j round trips
+# on the bench host, so re-ensuring per call costs more than the scans
+# of small queries. The confs are only ever set, never unset, so
+# once-per-session is semantically identical.
+_CONFS_ENSURED: set[int] = set()
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Confs the engine relies on, set at runtime so they hold even on a
     session we did not build (the driver provides its own SparkSession).
@@ -41,6 +50,8 @@ def _ensure_session_confs(spark: SparkSession) -> None:
       Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
     - UTC session timezone: DuckDB-oracle timestamp parity.
     """
+    if id(spark) in _CONFS_ENSURED:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Naive parquet timestamp[us] (current testdata encoding) must land
@@ -56,6 +67,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         from nova_pulsar_spark.session import default_parallelism
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    _CONFS_ENSURED.add(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,6 +91,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def scan_width(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """How many scan tasks the source can provide on its own:
+    ceil(file bytes / maxPartitionBytes), i.e. Spark's own split
+    arithmetic (ignoring the per-file open cost, which only raises
+    the count). Metadata-only; local paths stat the filesystem
+    directly, non-local schemes return a large sentinel (a cluster
+    table supplies its own parallelism, so fan_out becomes a no-op)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    elif "://" in path:
+        return 1 << 30
+    total = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    else:
+        return 1 << 30
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    raw = raw.removesuffix("b")
+    max_split = (
+        int(raw[:-1]) * units[raw[-1]] if raw and raw[-1] in units else int(raw)
+    )
+    return max(1, -(-total // max_split))
+
+
+def fan_out(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition a scan to full parallelism WHEN (and only
+    when) the source cannot provide it — the driver's test tables are
+    one parquet file with one row group, so every scan otherwise runs
+    as ONE task and all map-side work (hashing, shingling, vector
+    folds) serializes on one core. The condition is derived from the
+    input layout (guide §2: scale-adaptive, not a local-mode constant):
+    a cluster-sized table already splits into >= width scan tasks, so
+    this is a no-op there — no extra exchange at scale.
+
+    Only correct-by-construction for this repo's queries, whose results
+    are partition-order-independent by discipline
+    (tests/test_partition_invariance.py); callers apply it where the
+    downstream per-row work dominates the small shuffle it costs."""
+    width = spark.sparkContext.defaultParallelism
+    if scan_width(spark, sf_dir, name) >= width:
+        return df
+    return df.repartition(width)
 
 
 def timestamped(df: DataFrame, *extra_nonnull: str) -> DataFrame:
