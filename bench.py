@@ -361,6 +361,17 @@ def _write_local_artifact(doc: dict) -> None:
                 file=sys.stderr,
             )
             accepted = False
+        elif isinstance(prior, (int, float)):
+            # ADVICE r12 (low): when a re-measurement replaces a prior
+            # artifact (faster same-SHA run on a healthier host, or any
+            # run of newer code), record what it superseded so a floor
+            # delta between same-SHA artifacts reads as environmental,
+            # not as a plan change.
+            doc["provenance"]["supersedes"] = {
+                "value": prior,
+                "git_sha": prior_sha,
+                "same_code": same_code,
+            }
     _append_spread(here, n, doc, accepted)
     if accepted:
         with open(path, "w") as f:
